@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the harness's single-JVM `local[N]` mode, but every conf here is
+  * equally valid on a multi-executor cluster:
+  *   - AQE on: runtime partition coalescing + skew-join splitting, which is
+  *     what makes the same plans survive a 100x scale-up.
+  *   - shuffle partitions sized to the parallelism at hand (the driver env),
+  *     not the 200 default.
+  *   - UTC session timezone for oracle parity.
+  *   - `nanosAsLong`: the `events` table stores TIMESTAMP(NANOS) which Spark
+  *     has no native type for; we read it as a raw nanosecond `LONG` and do
+  *     exact integer arithmetic on it (see [[operators.EventOps]]), which is
+  *     both faster (no timestamp codec) and deterministic across engines.
+  */
+object EngineSession {
+  def defaultCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(cores: String = defaultCores): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(cores: String = defaultCores): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Applies graft's session confs to an externally-built session builder
+    * (used by Verify/Bench which own their master/parallelism settings).
+    */
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query.
+  *
+  * @param name   registry key (drives CORRECTNESS_r{N}.json line items)
+  * @param oracle equivalent ANSI SQL for the DuckDB oracle over the same
+  *               parquet tables; None → driver records a rows-only check.
+  *               Column names MUST match the Spark result exactly.
+  * @param run    the Spark-side implementation, (session, sfDir) => result
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object QueryCatalog {
+  /** All registered queries, in registration order. Modules contribute here;
+    * SparkEntry exposes the flattened maps for the driver.
+    */
+  def all: Seq[QueryDef] =
+    operators.Relational.defs ++
+      operators.EventOps.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Multimodal.defs
+
+  def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

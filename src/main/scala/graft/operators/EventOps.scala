@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import Compat._
+
+/** Time-series operators over the `events` table.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS); Spark has no nanosecond
+  * timestamp type, so the session reads it as a raw nanosecond LONG
+  * (`spark.sql.legacy.parquet.nanosAsLong`, see [[graft.EngineSession]]) and
+  * all time arithmetic below is exact 64-bit integer math — deterministic,
+  * codegen-friendly, and byte-identical to DuckDB's `epoch_ns` view of the
+  * same column. The oracle SQL keeps native TIMESTAMP_NS semantics.
+  */
+object EventOps {
+
+  private val NS: Long = 1000000000L
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** Running (cumulative) sum per user — analytic window with the default
+    * running frame; exact decimal accumulation.
+    */
+  val windowRunning: QueryDef = q(
+    "q21_window_running",
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2)))
+      |       OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE)
+      |    AS running_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        sum(money(col("value"))).over(w).cast("double").as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Tumbling 1-hour windows (batch form of the streaming windowed agg in
+    * [[graft.streaming.EventStream]]): group on hour-bucketed time — a pure
+    * map-side bucket computation, one shuffle for the aggregate.
+    */
+  val hourlyRollup: QueryDef = q(
+    "q22_hourly_rollup",
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_id, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(expr("ts div 3600000000000").as("hour_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+      .orderBy("hour_id", "event_type")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity): lag + cumulative
+    * session-start flags, then per-user session counts. One shuffle on
+    * user_id; at 100 TB this is the mapGroupsWithState shape run as batch.
+    */
+  val sessionize: QueryDef = q(
+    "q23_sessionize",
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN prev_ts IS NULL
+      |                  OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM (SELECT user_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |      FROM events)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), lag(col("ts"), 1).over(w).as("prev_ts"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > 1800L * NS, 1L).otherwise(0L))
+          .cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join: for each purchase, the most recent strictly-earlier click
+    * by the same user. Implemented the scale-safe way — a single union-free
+    * window pass (carry-forward of the last click id per user in time
+    * order), NOT a quadratic self-join; the oracle states the same
+    * semantics relationally with max_by.
+    */
+  val asofJoin: QueryDef = q(
+    "q24_asof_join",
+    """SELECT p.event_id AS purchase_id,
+      |       max_by(c.event_id, c.ts) AS last_click_id
+      |FROM events p
+      |JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("last_click_id"))
+      .orderBy("purchase_id")
+  }
+
+  /** Time-band range join: events following each purchase within 60s by the
+    * same user. Equi-join on user_id carries the shuffle; the band predicate
+    * is applied post-join (AQE handles per-user skew).
+    */
+  val timeRangeJoin: QueryDef = q(
+    "q25_time_range_join",
+    """SELECT p.event_id AS purchase_id, count(*) AS n_follow
+      |FROM events p
+      |JOIN events f
+      |  ON f.user_id = p.user_id
+      | AND f.ts > p.ts AND f.ts <= p.ts + INTERVAL 60 SECOND
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val f = ev.select(col("user_id").as("f_user"), col("ts").as("f_ts"))
+    p.join(f,
+        col("f_user") === col("p_user") &&
+          col("f_ts") > col("p_ts") && col("f_ts") <= col("p_ts") + lit(60L * NS))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_follow"))
+      .orderBy("purchase_id")
+  }
+
+  /** JSON extraction from the string `props` column. */
+  val jsonExtract: QueryDef = q(
+    "q26_json_extract",
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(k).as("sum_k"),
+        min(k).as("min_k"),
+        max(k).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    windowRunning, hourlyRollup, sessionize, asofJoin, timeRangeJoin, jsonExtract)
+}

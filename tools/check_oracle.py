@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry queries vs the DuckDB oracle.
+
+Mimics the driver's t2 gate: for each query output parquet written by
+graft.Verify, run the matching SQL from oracle_sql.json in DuckDB over the
+same source tables, sort columns by name, sort rows, and compare values.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple(
+        (x is None, str(type(x)), x if not isinstance(x, float) or not math.isnan(x) else 'nan')
+        for x in t))
+
+def cmp_vals(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b  # exact: the whole point of decimal-safe queries
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
+            exp = con.execute(sql)
+            e_rows, e_cols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as ex:
+            print(f"FAIL {name}: exec error: {ex}")
+            n_fail += 1
+            continue
+        gc, gr = norm(g_rows, g_cols)
+        ec, er = norm(e_rows, e_cols)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            n_fail += 1
+            continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rows {len(gr)} != {len(er)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(gr, er)):
+            if not all(cmp_vals(x, y) for x, y in zip(a, b)):
+                bad = (i, a, b)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
