@@ -1,10 +1,246 @@
 package graft.operators
 
-import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
 
-/** Deduplication operators over `documents` (exact, MinHash+LSH, SimHash,
-  * n-gram Jaccard, embedding near-dup). Filled in incrementally.
+/** Deduplication operators over `documents` — the training-data-pipeline
+  * family: exact, normalized-key, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the 100 TB rules):
+  *   - exact/normalized dedup is a single hash-aggregate on the key — the
+  *     shuffle carries (key-hash, doc_id), never the document bodies;
+  *   - MinHash signatures and band keys are computed PER ROW with array
+  *     lambdas (`transform`/`array_min`) — zero shuffle until the band
+  *     equi-join, which only moves (band, doc_id) pairs. This is the
+  *     standard shingle→minhash→band→bucket-join LSH layout: candidate
+  *     generation is linear in corpus size, never O(n²);
+  *   - SimHash is explode→map-side-combined hash aggregate (16 partial sums
+  *     per doc);
+  *   - n-gram Jaccard joins on distinct shingles (the classic
+  *     inverted-index join) and filters by threshold after an exact
+  *     |A∩B|/|A∪B| count — document-frequency-capped to bound fan-out.
   */
 object Dedup {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** Exact dedup: hash-groupBy on the full text; keeper = min(doc_id). */
+  val exact: QueryDef = q(
+    "d01_dedup_exact",
+    """SELECT min(doc_id) AS keeper, count(*) AS n_copies,
+      |       length(text) AS n_chars
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keeper""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"), length(col("text")).as("n_chars"))
+      .orderBy("keeper")
+  }
+
+  /** Normalized-key dedup (prefix fingerprint): groups by the first 30
+    * chars — the cheap normalization pass that catches near-identical heads.
+    */
+  val prefixKey: QueryDef = q(
+    "d02_dedup_prefix",
+    """SELECT substr(text, 1, 30) AS key_prefix,
+      |       min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keeper""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(substring(col("text"), 1, 30).as("key_prefix"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+  }
+
+  private val SIGS = 8 // minhash signatures
+  private val BANDS = 2 // bands of SIGS/BANDS rows each
+
+  /** Per-doc minhash signature columns m0..m7 over DISTINCT word-trigram
+    * shingles.
+    *
+    * Layout choices, each load-bearing for performance:
+    *   - explode + projection md5 (codegen'd) rather than array-lambda md5:
+    *     higher-order-function lambdas evaluate interpreted, and Catalyst's
+    *     projection collapse additionally inlines (= recomputes) a shared
+    *     hash array into all 8 signature expressions;
+    *   - the min-aggregate runs over BIGINT (hex slice via conv), not
+    *     strings — string buffers force SortAggregate, long buffers get
+    *     map-side-combined HashAggregate. min(long) picks the same shingle
+    *     as min(fixed-width-hex); the long is converted back to padded hex
+    *     afterwards so band keys equal the oracle's strings.
+    *   - the 8 signatures are 8-hex-char (32-bit) slices of TWO md5
+    *     digests per shingle, not 8 separate hashes — 4× fewer md5 calls
+    *     for the same LSH behavior.
+    */
+  private def minhashSigs(doc: DataFrame): DataFrame = {
+    val tri = doc
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(if(size(ws) < 3, array(),
+          |  transform(sequence(1, size(ws)-2),
+          |    i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin))
+        .as("s"))
+    val hashed = tri.select(col("doc_id"), md5(col("s")).as("h1"),
+      md5(concat(lit("s:"), col("s"))).as("h2"))
+    val aggs = (0 until SIGS).map { k =>
+      val src = if (k < 4) "h1" else "h2"
+      val pos = (k % 4) * 8 + 1
+      min(expr(s"cast(conv(substr($src, $pos, 8), 16, 10) as bigint)")).as(s"ml$k")
+    }
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: (0 until SIGS).map(k =>
+        expr(s"lpad(lower(conv(ml$k, 10, 16)), 8, '0')").as(s"m$k")): _*)
+  }
+
+  /** MinHash + LSH candidate pairs: 8 signatures, 2 bands × 4 rows; docs
+    * sharing any band key are candidates. The band join is an equi-join on
+    * (band_idx, band_val) — shuffle carries only band keys and ids.
+    */
+  val minhashLsh: QueryDef = q(
+    "d03_dedup_minhash_lsh", {
+      val sigCols = (0 until SIGS).map { k =>
+        val src = if (k < 4) "h1" else "h2"
+        val pos = (k % 4) * 8 + 1
+        s"min(substr($src, $pos, 8)) AS m$k"
+      }.mkString(", ")
+      val bandSelects = (0 until BANDS).map { b =>
+        val parts = (0 until SIGS / BANDS).map(r => s"m${b * (SIGS / BANDS) + r}")
+          .mkString("||")
+        s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_val FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tri AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+         |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
+         |        FROM w),
+         |hs AS (SELECT doc_id, md5(s) AS h1, md5('s:'||s) AS h2 FROM tri),
+         |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a
+         |JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |            AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+    val rows = SIGS / BANDS
+    val sig = minhashSigs(Tables.documents(s, d).select("doc_id", "text"))
+    val bandArr = array((0 until BANDS).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+          .as("band_val"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi"),
+      col("band_val").as("bv"))
+    a.join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash fingerprint per doc from md5 nibbles of each token —
+    * near-duplicate docs land on equal/close fingerprints. Explode + one
+    * map-side-combined aggregate.
+    */
+  val simhash: QueryDef = q(
+    "d04_dedup_simhash", {
+      val sums = (0 until 16).map { b =>
+        val j = b / 4; val p = b % 4
+        s"sum(CASE WHEN (n$j >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(", ")
+      val fp = (0 until 16)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |h AS (SELECT doc_id, md5(word) AS hx FROM w),
+         |nib AS (SELECT doc_id,
+         |  strpos('0123456789abcdef', substr(hx,1,1))-1 AS n0,
+         |  strpos('0123456789abcdef', substr(hx,2,1))-1 AS n1,
+         |  strpos('0123456789abcdef', substr(hx,3,1))-1 AS n2,
+         |  strpos('0123456789abcdef', substr(hx,4,1))-1 AS n3 FROM h),
+         |sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val nib = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("hx"))
+      .select(col("doc_id") +:
+        (0 until 4).map(j =>
+          expr(s"instr('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1").as(s"n$j")): _*)
+    val sums = nib.groupBy(col("doc_id")).agg(
+      sum(when(expr(s"(n0 >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
+      (1 until 16).map { b =>
+        val j = b / 4; val p = b % 4
+        sum(when(expr(s"(n$j >> $p) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
+      }: _*)
+    val fp = (0 until 16)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), fp.cast("long").as("simhash")).orderBy("doc_id")
+  }
+
+  /** Exact word-trigram Jaccard over inverted-index candidates: docs share
+    * at least one trigram shingle (document frequency ≤ 50 to bound hub
+    * fan-out); pairs with J ≥ 0.2 survive. Integer set sizes → the final
+    * double division is exact-operand and deterministic.
+    */
+  val ngramJaccard: QueryDef = q(
+    "d05_dedup_ngram_jaccard",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+      |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
+      |        FROM w),
+      |df AS (SELECT s, count(*) AS c FROM tri GROUP BY s),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |         FROM tri a
+      |         JOIN df ON df.s = a.s AND df.c <= 50
+      |         JOIN tri b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+      |       inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+      |FROM cand
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val tri = w.select(col("doc_id"), explode(expr(
+        """if(size(ws) < 3, array(),
+          |   transform(sequence(1, size(ws)-2),
+          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])))""".stripMargin))
+        .as("s"))
+      .distinct()
+    val dfreq = tri.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= 50)
+    val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = tri.select(col("doc_id").as("doc_a"), col("s"))
+      .join(dfreq.select("s"), "s")
+    val b = tri.select(col("doc_id").as("doc_b"), col("s").as("s2"))
+    val cand = a.join(b, col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter"))
+    cand
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(jac >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        jac.as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard)
 }

@@ -1,10 +1,138 @@
 package graft.operators
 
-import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
 
-/** Multimodal (binary column) plumbing with stubbed decode. Filled in
-  * incrementally.
+/** Multimodal column plumbing: image/audio/video payloads are opaque
+  * BINARY columns with typed metadata; decode/feature-extraction runs
+  * per-partition over the binary batches.
+  *
+  * The decode step itself is STUBBED (no media codecs in this environment):
+  * [[decodeStub]] is a deterministic fake that derives "features" from the
+  * bytes. Everything Spark-side is real and tested — the schema, the
+  * binary column handling, the mapPartitions batch shape (one iterator per
+  * partition, no per-row task overhead, no driver collect), and the
+  * frame-sampling explode. Swapping the stub for a real codec is a
+  * one-function change.
   */
 object Multimodal {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** One media payload row. `content` is the opaque binary blob. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,
+      content: Array[Byte])
+
+  /** Fake decoded features: deterministic function of the payload bytes
+    * (byte count, a header byte, an 8-bucket byte histogram as the
+    * "embedding"). Real decode (JPEG/WAV/MP4) plugs in here.
+    */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      header: Int,
+      features: Array[Float])
+
+  /** Builds a media table from `documents` (utf-8 bytes as the payload) —
+    * the harness ships no binary fixtures, so the documents table stands in
+    * as a deterministic byte source.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 3).cast("int").as("k"),
+        col("text").cast("binary").as("content"))
+      .withColumn("kind",
+        element_at(array(lit("image"), lit("audio"), lit("video")), col("k") + 1))
+      .select($"media_id", $"kind", $"content").as[MediaRow]
+  }
+
+  /** STUB decode: per-partition iterator transform — the production shape
+    * for batch codec work (amortizes codec init per partition, streams, no
+    * driver materialization). Deterministic fake in place of real decoding.
+    */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: init codec once per partition here
+      rows.map { r =>
+        val hist = new Array[Float](8)
+        var i = 0
+        while (i < r.content.length) {
+          hist((r.content(i) & 0xff) >> 5) += 1f
+          i += 1
+        }
+        val n = r.content.length.toFloat.max(1f)
+        var j = 0
+        while (j < 8) { hist(j) /= n; j += 1 }
+        MediaFeatures(
+          r.media_id, r.kind, r.content.length.toLong,
+          if (r.content.nonEmpty) r.content(0) & 0xff else 0, hist)
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame offset (every `step` bytes
+    * stands in for every Nth video frame) — explode of a per-row sequence,
+    * fully parallel.
+    */
+  def frameSample(media: Dataset[MediaRow], step: Int): DataFrame =
+    media.toDF().select(col("media_id"), col("kind"),
+        posexplode(expr(s"sequence(0, greatest(length(content) - 1, 0), $step)"))
+          .as(Seq("frame_idx", "byte_offset")))
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** Binary-column metadata scan: payload size, header byte, chunk count —
+    * the catalog-building pass of a multimodal pipeline (oracle-checkable
+    * because it never needs the stubbed codec).
+    */
+  val binaryMeta: QueryDef = q(
+    "m01_multimodal_meta",
+    """SELECT doc_id AS media_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  ascii(substr(text, 1, 1)) AS header,
+      |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_chunks
+      |FROM documents
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      octet_length(col("text").cast("binary")).as("n_bytes"),
+      ascii(substring(col("text"), 1, 1)).as("header"),
+      ceil(octet_length(col("text").cast("binary")) / 256.0).cast("long")
+        .as("n_chunks"))
+      .orderBy("media_id")
+  }
+
+  /** Decoded-feature aggregate by kind, through the real mapPartitions
+    * pipeline ([[mediaFromDocuments]] → [[decodeStub]]). The stub is
+    * deterministic integer arithmetic, so it is still oracle-expressible.
+    */
+  val decodeAgg: QueryDef = q(
+    "m02_multimodal_decode",
+    """SELECT kind, count(*) AS n_media,
+      |  sum(octet_length(CAST(text AS BLOB))) AS total_bytes,
+      |  min(ascii(substr(text, 1, 1))) AS min_header,
+      |  max(ascii(substr(text, 1, 1))) AS max_header
+      |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |             WHEN 1 THEN 'audio' ELSE 'video' END AS kind, text
+      |      FROM documents)
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin) { (s, d) =>
+    decodeStub(mediaFromDocuments(s, d)).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("header")).as("min_header"),
+        max(col("header")).as("max_header"))
+      .orderBy("kind")
+  }
+
+  def defs: Seq[QueryDef] = Seq(binaryMeta, decodeAgg)
 }

@@ -1,10 +1,197 @@
 package graft.operators
 
-import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
 
-/** Similarity search over `embeddings` (brute-force cosine top-k baseline +
-  * bucketed ANN scale path). Filled in incrementally.
+/** Similarity search over `embeddings` (`ARRAY<FLOAT>`, 64-dim).
+  *
+  * Numeric determinism: float dot products are order-dependent in double
+  * arithmetic, so inner products run in EXACT integer space — each float
+  * widens to DOUBLE (exact), quantizes once to DECIMAL(18,6) (no decimal
+  * .5-boundary is dyadic, so both engines round identically), and scales to
+  * a BIGINT in 1e-6 units. Products (≤ 1.6e13) and their 64-term sums fit
+  * long arithmetic exactly; the single cast back to DOUBLE and the final
+  * IEEE divide/sqrt are correctly rounded, hence bit-identical in Spark
+  * and DuckDB.
+  *
+  * Scale design:
+  *   - dot products are per-row array lambdas (zip_with + aggregate) — no
+  *     explode of 64 rows per pair, no shuffle for the arithmetic;
+  *   - norms are precomputed once per vector (linear pass);
+  *   - the brute-force top-k broadcasts the (small) query set — the 100 TB
+  *     pattern for "few queries vs huge corpus";
+  *   - the bucketed ANN variant prunes candidates by sign-LSH bucket
+  *     (first 8 dims → 256 buckets) before scoring — the bucket equi-join
+  *     replaces the all-pairs cross join.
   */
 object Similarity {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** Quantized integer view of an ARRAY<FLOAT>: each element widened to
+    * DOUBLE (exact), rounded once to 1e-6, scaled to BIGINT units.
+    * Precomputed ONCE per vector so pair scoring is pure long arithmetic.
+    */
+  private def quantSql(emb: String): String =
+    s"transform($emb, x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+
+  /** Exact scaled inner product of two quantized BIGINT arrays (1e-12
+    * units): sums of 64 products ≤ 1.6e13 — exact long arithmetic via the
+    * codegen'd native [[graft.functions.LongDotProduct]] expression.
+    */
+  private def dotRawSql(a: String, b: String): String = s"long_dot($a, $b)"
+
+  /** cos = (dot/1e12) / (sqrt(na/1e12) * sqrt(nb/1e12)) in IEEE doubles. */
+  private def cosCol(dotRaw: Column, sa: Column, sb: Column): Column =
+    (dotRaw.cast("double") / lit(1.0e12)) /
+      (sqrt(sa.cast("double") / lit(1.0e12)) * sqrt(sb.cast("double") / lit(1.0e12)))
+
+  /** Oracle-side CTEs: a constant 1..64 index relation and per-vector
+    * scaled-integer squared norms (DuckDB has no lateral generate_series,
+    * so the index join uses a constant unnested range).
+    */
+  private def xiSql(tbl: String): String =
+    s"CAST(CAST(CAST($tbl.embedding[CAST(j.j AS INT)] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+  private val oracleNorms: String =
+    s"""j AS (SELECT unnest(range(1, 65)) AS j),
+       |norms AS (
+       |  SELECT vec_id, CAST(sum(${xiSql("embeddings")} * ${xiSql("embeddings")}) AS BIGINT) AS sq
+       |  FROM embeddings, j GROUP BY vec_id)""".stripMargin
+
+  private val oracleCos: String =
+    """(CAST(dot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+      |    / (sqrt(CAST(na.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+      |     * sqrt(CAST(nb.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE)))""".stripMargin
+
+  /** Adds the quantized vector (`qv`) and its scaled squared norm. */
+  private def withQuant(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("qv", expr(quantSql("embedding")))
+      .withColumn("sq", expr(dotRawSql("qv", "qv")))
+  }
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 10) against the
+    * whole corpus — the exact baseline every ANN variant is judged against.
+    */
+  val cosineTopk: QueryDef = q(
+    "s01_cosine_topk",
+    s"""WITH $oracleNorms,
+       |q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+       |dots AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |    CAST(sum(${xiSql("q")} * ${xiSql("c")}) AS BIGINT) AS dot
+       |  FROM q, embeddings c, j
+       |  WHERE c.vec_id <> q.qid
+       |  GROUP BY q.qid, c.vec_id),
+       |scored AS (
+       |  SELECT qid, cid, $oracleCos AS cos
+       |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid)
+       |SELECT qid, rn, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.embeddings(s, d))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
+    val cs = e.select(col("vec_id").as("cid"), col("qv").as("ce"),
+      col("sq").as("c_sq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    broadcast(qs).join(cs, col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosCol(expr(dotRawSql("qe", "ce")), col("q_sq"), col("c_sq")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "rn", "cid", "cos")
+      .orderBy("qid", "rn")
+  }
+
+  /** Sign-LSH bucket expression over the first 8 dims (256 buckets). */
+  private def bucketCol(emb: String): Column =
+    (0 until 8).map { i =>
+      when(expr(s"element_at($emb, ${i + 1})") > 0f, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def bucketSql(emb: String): String =
+    (0 until 8)
+      .map(i => s"(CASE WHEN $emb[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Bucketed ANN: every vector queries its own sign-LSH bucket for its
+    * top-3 neighbours — candidate scoring drops from O(n²) to O(n²/256).
+    * (Approximate by construction; the oracle encodes the same bucketing,
+    * so results are exact for the gate.)
+    */
+  val annBucketed: QueryDef = q(
+    "s02_ann_bucketed",
+    s"""WITH $oracleNorms,
+       |e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    CAST(sum(${xiSql("a")} * ${xiSql("b")}) AS BIGINT) AS dot
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id, j
+       |  GROUP BY a.vec_id, b.vec_id),
+       |scored AS (
+       |  SELECT qid, cid, $oracleCos AS cos
+       |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid)
+       |SELECT qid, rn, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.embeddings(s, d))
+      .withColumn("bucket", bucketCol("embedding"))
+    val a = e.select(col("vec_id").as("qid"), col("qv").as("qe"),
+      col("sq").as("q_sq"), col("bucket"))
+    val b = e.select(col("vec_id").as("cid"), col("qv").as("ce"),
+      col("sq").as("c_sq"), col("bucket").as("bucket_b"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    a.join(b, col("bucket") === col("bucket_b") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosCol(expr(dotRawSql("qe", "ce")), col("q_sq"), col("c_sq")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "rn", "cid", "cos")
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine > 0.4 (the
+    * data's near-dup band; random 64-dim pairs concentrate near 0). The
+    * exact all-pairs form is the correctness baseline; the bucketed variant
+    * above is the scale path.
+    */
+  val embeddingNearDup: QueryDef = q(
+    "d06_dedup_embedding",
+    s"""WITH $oracleNorms,
+       |dots AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(sum(${xiSql("a")} * ${xiSql("b")}) AS BIGINT) AS dot
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id, j
+       |  GROUP BY a.vec_id, b.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b, $oracleCos AS cos
+       |  FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b)
+       |SELECT vec_a, vec_b, cos FROM scored
+       |WHERE cos > 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.embeddings(s, d))
+    val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qe"),
+      col("sq").as("q_sq"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qv").as("ce"),
+      col("sq").as("c_sq"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosCol(expr(dotRawSql("qe", "ce")), col("q_sq"), col("c_sq")).as("cos"))
+      .filter(col("cos") > 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def defs: Seq[QueryDef] = Seq(cosineTopk, annBucketed, embeddingNearDup)
 }

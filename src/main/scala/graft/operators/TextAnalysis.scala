@@ -1,10 +1,158 @@
 package graft.operators
 
-import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
 
-/** Text analysis over `documents` (language ID, quality scoring, token
-  * counting, document fingerprinting). Filled in incrementally.
+/** Text analysis over `documents`: n-gram-heuristic classification
+  * ("language ID" over the corpus's own keyword profiles), quality scoring,
+  * token counting, and document fingerprinting (winnowing-style min-hash of
+  * k-gram windows).
+  *
+  * All four are PER-ROW computations (array lambdas + regex, no UDFs) — at
+  * 100 TB they are embarrassingly parallel map stages fused into the scan
+  * by whole-stage codegen; the only shuffle anywhere is the final ORDER BY
+  * for deterministic output.
   */
 object TextAnalysis {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** Keyword profiles, sorted by name — the classifier's "languages".
+    * (The corpus vocabulary is synthetic and shared across the `lang`
+    * column's values, so real stopword language-ID is degenerate here; the
+    * same n-gram-scoring machinery classifies against corpus-derived
+    * profiles instead.)
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "gen" -> Seq("the", "a", "data", "line", "part"),
+    "misc" -> Seq("window", "group", "order", "stream", "vector"),
+    "ops" -> Seq("scan", "filter", "sort", "merge", "join"),
+    "perf" -> Seq("fast", "slow", "big", "small", "batch"),
+    "struct" -> Seq("table", "row", "column", "key", "value"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** Language-ID-style classification: score each profile by keyword hits,
+    * predict the argmax (ties → first profile name alphabetically).
+    */
+  val langId: QueryDef = q(
+    "t01_langid", {
+      val scoreSelects = profiles.zipWithIndex.map { case ((name, ws), i) =>
+        s"""SELECT doc_id, '$name' AS profile, $i AS pidx,
+           |  len(list_filter(string_split(text, ' '), x -> x IN (${inList(ws)}))) AS score
+           |FROM documents""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH scores AS ($scoreSelects)
+         |SELECT doc_id, profile AS pred, score AS best_score
+         |FROM (SELECT doc_id, profile, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pidx) AS rn
+         |      FROM scores)
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val scored = profiles.zipWithIndex.foldLeft(ws) { case (df, ((name, kw), i)) =>
+      df.withColumn(s"score_$i",
+        expr(s"size(filter(ws, x -> x IN (${inList(kw)})))"))
+    }
+    // argmax with min-index tiebreak: max of struct(score, -idx)
+    val best = array_max(array(profiles.indices.map(i =>
+      struct(col(s"score_$i").as("score"), lit(-i).as("nidx"))): _*))
+    val names = array(profiles.map(p => lit(p._1)): _*)
+    scored
+      .withColumn("best", best)
+      .select(col("doc_id"),
+        element_at(names, -col("best.nidx") + 1).as("pred"),
+        col("best.score").as("best_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: alphabetic ratio, mean word length, stopword ratio →
+    * weighted score. Ratios are int/int → double (deterministic); the score
+    * formula is written with identical operator order on both sides.
+    */
+  val quality: QueryDef = q(
+    "t02_quality",
+    """SELECT doc_id, n_words, n_alpha, mean_wl, alpha_ratio, stop_ratio,
+      |  0.4 * alpha_ratio + 0.3 * least(mean_wl / 10.0, 1.0) + 0.3 * stop_ratio
+      |    AS quality_score
+      |FROM (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+      |    (length(text) - (len(string_split(text, ' ')) - 1))
+      |      / len(string_split(text, ' ')) AS mean_wl,
+      |    length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) AS alpha_ratio,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |      / len(string_split(text, ' ')) AS stop_ratio
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nWords = size(split(col("text"), " "))
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val meanWl = (length(col("text")) - (nWords - 1)) / nWords
+    val alphaRatio = nAlpha / length(col("text"))
+    val stopRatio =
+      expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))") / nWords
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nAlpha.as("n_alpha"),
+      meanWl.as("mean_wl"),
+      alphaRatio.as("alpha_ratio"),
+      stopRatio.as("stop_ratio"),
+      (lit(0.4) * alphaRatio + lit(0.3) * least(meanWl / 10.0, lit(1.0)) +
+        lit(0.3) * stopRatio).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs | digit runs | single punctuation).
+    */
+  val tokens: QueryDef = q(
+    "t03_tokens",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+      |  length(text) / len(regexp_extract_all(text, '\S+')) AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nWs = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+    val nBpe =
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nWs.as("n_ws_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      (length(col("text")) / nWs).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-style document fingerprinting: the minimum md5 over all
+    * k-char windows (k = 8 and 16) — stable under content reordering at
+    * the window scale, per-row array lambda.
+    */
+  val fingerprint: QueryDef = q(
+    "t04_fingerprint",
+    """SELECT doc_id,
+      |  list_min(list_transform(range(1, greatest(length(text)-7, 1)+1),
+      |    i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp8,
+      |  list_min(list_transform(range(1, greatest(length(text)-15, 1)+1),
+      |    i -> md5(substr(text, CAST(i AS INT), 16)))) AS fp16
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      expr("array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substr(text, i, 8))))")
+        .as("fp8"),
+      expr("array_min(transform(sequence(1, greatest(length(text)-15, 1)), i -> md5(substr(text, i, 16))))")
+        .as("fp16"))
+      .orderBy("doc_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint)
 }
