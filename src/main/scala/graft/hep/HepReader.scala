@@ -1,0 +1,128 @@
+package graft.hep
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import Schemas._
+
+/** Read path of the hep facade (reference S1-S6 / P1-P16, `read/hdf.py`).
+  *
+  * Every projection below is a lazy DataFrame: only the accessed columns
+  * reach the parquet reader (column pruning = the reference's lazy
+  * per-column reads, `read/hdf.py:262-316`), and process/chunk/event
+  * predicates prune partitions and row groups (= the reference's O(1)
+  * `divmod` B-tree descent, `read/hdf.py:454-466`).
+  *
+  * Iteration contract: [[ProcessReader.events]] is UNORDERED by default,
+  * matching the reference's native-order scan (`read/hdf.py:419-428`);
+  * order explicitly with `.orderBy("event_id")` when needed.
+  */
+final class HepReader(spark: SparkSession, path: String) {
+
+  private def table(name: String): DataFrame =
+    spark.read.parquet(s"$path/$name")
+
+  /** All process metadata (the tiny broadcastable dimension). */
+  def processes: Dataset[ProcessMeta] = {
+    import spark.implicits._
+    table(ProcessesTable).as[ProcessMeta]
+  }
+
+  /** Process lookup by key (reference `HdfReader.__getitem__`). */
+  def process(key: String): ProcessReader = {
+    val metas = processes.filter(col("process") === key).collect()
+    require(metas.nonEmpty, s"no such process: $key")
+    new ProcessReader(metas.head)
+  }
+
+  def evtsPerChunk: Int = {
+    val f = new java.io.File(s"$path/_meta.json")
+    if (!f.exists()) DefaultEvtsPerChunk
+    else {
+      val s = java.nio.file.Files.readString(f.toPath)
+      "\"evts_per_chunk\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(DefaultEvtsPerChunk)
+    }
+  }
+
+  final class ProcessReader private[HepReader] (val meta: ProcessMeta) {
+    // eager metadata snapshot, like the reference's attr cache
+    // (read/hdf.py:437): one driver-side read, then dict hits.
+    def processString: String = meta.process_string
+    def signalPdgs: Seq[Int] = meta.signal_pdgs
+    def comEnergy: (Double, String) = (meta.com_e, meta.e_unit)
+    def customMeta: Map[String, String] = meta.custom_meta
+
+    /** `len(process)` → finalized num_evts (reference `read/hdf.py:444`). */
+    def length: Long = meta.num_evts
+
+    private def inProc(df: DataFrame): DataFrame =
+      df.where(col("process") === meta.process)
+
+    /** All particle rows of this process (unordered scan). */
+    def particles: DataFrame = inProc(table(ParticlesTable))
+
+    /** All edges of this process. */
+    def edges: DataFrame = inProc(table(EdgesTable))
+
+    /** Event-level summaries. */
+    def events: DataFrame = inProc(table(EventsTable))
+
+    /** Point lookup (reference `proc[evt_num]`): process + chunk partition
+      * pruning + event_id row-group skip.
+      */
+    def event(n: Long): EventReader =
+      new EventReader(this, n, n / evtsPerChunk)
+
+    /** Custom datasets side table for this process. */
+    def custom: DataFrame = inProc(table(CustomTable))
+  }
+
+  final class EventReader private[HepReader] (
+      proc: ProcessReader, val eventId: Long, chunk: Long) {
+
+    private def slice(df: DataFrame): DataFrame =
+      df.where(col("chunk") === chunk && col("event_id") === eventId)
+
+    /** The event's particle table slice (all columns, pruned on use). */
+    def particles: DataFrame = slice(proc.particles)
+
+    def pmu: DataFrame = particles.select(col("idx"), col("pmu"))
+    def pdg: DataFrame = particles.select(col("idx"), col("pdg"))
+    def status: DataFrame = particles.select(col("idx"), col("status"))
+    def helicity: DataFrame = particles.select(col("idx"), col("helicity"))
+    def colorCol: DataFrame = particles.select(col("idx"), col("color"))
+
+    /** The `final` mask (reference `read/hdf.py:318-321`). */
+    def finalMask: DataFrame = particles.select(col("idx"), col("fin"))
+
+    /** A named extra mask (`masks[name]`). */
+    def mask(name: String): DataFrame =
+      particles.select(col("idx"),
+        coalesce(element_at(col("masks"), name), lit(false)).as(name))
+
+    /** Final-state particles only — `pmu[masks['final']]` semantics. */
+    def finalParticles: DataFrame = particles.where(col("fin"))
+
+    def edges: DataFrame = slice(proc.edges).select("src", "dst", "weight")
+
+    /** `num_pcls` from the events summary (attr, not a scan — P8). */
+    def count: Long = {
+      val r = slice(proc.events).select("num_pcls").collect()
+      if (r.isEmpty) 0L else r.head.getLong(0)
+    }
+
+    /** Custom dataset by name (`custom[name]`). */
+    def custom(name: String): DataFrame =
+      slice(proc.custom).where(col("name") === name).select("values")
+
+    /** Event custom metadata. */
+    def customMeta: Map[String, String] = {
+      val r = slice(proc.events).select("custom_meta").collect()
+      if (r.isEmpty) Map.empty
+      else r.head.getMap[String, String](0).toMap
+    }
+
+    /** Event key name (reference P9, `read/hdf.py:251-253`). */
+    def name: String = Keys.eventKey(eventId, evtsPerChunk)
+  }
+}

@@ -1,0 +1,216 @@
+package graft.hep
+
+import scala.collection.mutable
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import Schemas._
+
+/** Write path of the hep facade (reference S7-S11, `write/hdf.py`).
+  *
+  * The reference's streaming-shaped contract — `new_process` → per-event
+  * writer contexts fed by a generator (`write/hdf.py:493-516`) — maps to
+  * builders that buffer events and flush chunk-sized partitioned parquet
+  * appends: one append per `evtsPerChunk` events, so file sizes stay
+  * healthy at scale and `chunk` partition pruning reproduces the
+  * reference's O(1) `divmod` addressing (`read/hdf.py:454-466`).
+  *
+  * Validation reproduces the reference's write-time invariants (§2.3 F5):
+  * the first particle column fixes `numPcls` and later columns must match
+  * (`_set_num_pcls`, `write/hdf.py:268-282`); `edgeWeights` length must
+  * equal `edges` length (`write/hdf.py:306-314`); masks count toward
+  * `numPcls` (`write/hdf.py:98-110`).
+  *
+  * The reference writer stores process metadata on the wrong group (chunk
+  * instead of process — SURVEY.md §3 "wart"); here process metadata lives
+  * only in the `processes` table, matching the reference READER's
+  * semantics (`read/hdf.py:437`), with a regression test.
+  */
+final class HepWriter(
+    spark: SparkSession,
+    path: String,
+    evtsPerChunk: Int = DefaultEvtsPerChunk) {
+
+  /** Builder for one event (reference `HdfEventWriter`). */
+  final class EventBuilder private[HepWriter] (
+      procKey: String, val eventId: Long) {
+    private var numPcls: Option[Int] = None
+    private[HepWriter] var pmu: Array[Pmu] = Array.empty
+    private[HepWriter] var pdg: Array[Int] = Array.empty
+    private[HepWriter] var status: Array[Short] = Array.empty
+    private[HepWriter] var helicity: Array[Short] = Array.empty
+    private[HepWriter] var color: Array[ColorPair] = Array.empty
+    private[HepWriter] var edges: Array[(Int, Int)] = Array.empty
+    private[HepWriter] var edgeWeights: Array[Double] = Array.empty
+    private[HepWriter] val masks = mutable.LinkedHashMap.empty[String, Array[Boolean]]
+    private[HepWriter] val custom = mutable.LinkedHashMap.empty[String, Array[Double]]
+    private[HepWriter] val customMeta = mutable.LinkedHashMap.empty[String, String]
+
+    private def checkCount(what: String, n: Int): Unit = numPcls match {
+      case Some(m) =>
+        require(n == m,
+          s"$what has $n rows but event $eventId already fixed num_pcls=$m " +
+            "(first-write capture, reference write/hdf.py:268-282)")
+      case None => numPcls = Some(n)
+    }
+
+    def count: Int = numPcls.getOrElse(0)
+
+    def setPmu(v: Array[Pmu]): this.type = { checkCount("pmu", v.length); pmu = v; this }
+    def setPdg(v: Array[Int]): this.type = { checkCount("pdg", v.length); pdg = v; this }
+    def setStatus(v: Array[Short]): this.type = { checkCount("status", v.length); status = v; this }
+    def setHelicity(v: Array[Short]): this.type = { checkCount("helicity", v.length); helicity = v; this }
+    def setColor(v: Array[ColorPair]): this.type = { checkCount("color", v.length); color = v; this }
+
+    /** Edges are NOT length-checked against num_pcls (reference behavior). */
+    def setEdges(v: Array[(Int, Int)]): this.type = { edges = v; this }
+
+    def setEdgeWeights(v: Array[Double]): this.type = {
+      require(v.length == edges.length,
+        s"edge_weights has ${v.length} rows but edges has ${edges.length} " +
+          "(reference write/hdf.py:306-314)")
+      edgeWeights = v; this
+    }
+
+    /** Named boolean mask; counts toward num_pcls (reference `_mask_setter`). */
+    def setMask(name: String, v: Array[Boolean]): this.type = {
+      checkCount(s"mask '$name'", v.length); masks(name) = v; this
+    }
+
+    /** Named custom 1-D dataset; NOT row-count-checked (reference behavior). */
+    def setCustom(name: String, v: Array[Double]): this.type = { custom(name) = v; this }
+
+    def setCustomMeta(name: String, v: String): this.type = { customMeta(name) = v; this }
+  }
+
+  /** Builder for one process (reference `HdfProcessWriter`). */
+  final class ProcessBuilder private[HepWriter] (val key: String) {
+    private[HepWriter] var processString: String = ""
+    private[HepWriter] var signalPdgs: Seq[Int] = Nil
+    private[HepWriter] var comE: Double = 0.0
+    private[HepWriter] var eUnit: String = "GeV"
+    private[HepWriter] val customMeta = mutable.LinkedHashMap.empty[String, String]
+    private[HepWriter] var nextEventId: Long = 0L
+    private[HepWriter] var numEvts: Long = 0L
+    private val pending = mutable.ArrayBuffer.empty[EventBuilder]
+
+    def setProcessString(s: String): this.type = { processString = s; this }
+    def setSignalPdgs(p: Seq[Int]): this.type = { signalPdgs = p; this }
+    def setComEnergy(e: Double, unit: String): this.type = { comE = e; eUnit = unit; this }
+    def setCustomMeta(k: String, v: String): this.type = { customMeta(k) = v; this }
+
+    /** Opens the next event (monotonic event_id, like `_evt_idx`). */
+    def newEvent(): EventBuilder = {
+      val b = new EventBuilder(key, nextEventId)
+      nextEventId += 1
+      b
+    }
+
+    /** Commits one finished event; flushes a chunk when full. */
+    def commitEvent(b: EventBuilder): Unit = {
+      pending += b
+      numEvts += 1
+      if (pending.size >= evtsPerChunk) flush()
+    }
+
+    /** Streaming ingest (reference `event_iter`): one event per element. */
+    def eventIter[T](source: IterableOnce[T])(
+        fill: (EventBuilder, T) => Unit): Unit =
+      source.iterator.foreach { item =>
+        val b = newEvent()
+        fill(b, item)
+        commitEvent(b)
+      }
+
+    private[HepWriter] def flush(): Unit = {
+      if (pending.isEmpty) return
+      import spark.implicits._
+      val evts = pending.toVector
+      pending.clear()
+
+      val particles = evts.flatMap { b =>
+        val n = b.count
+        def pm(i: Int) = if (i < b.pmu.length) b.pmu(i) else Pmu(0, 0, 0, 0)
+        def cl(i: Int) = if (i < b.color.length) b.color(i) else ColorPair(0, 0)
+        (0 until n).map { i =>
+          Particle(key, b.eventId, i, pm(i),
+            if (i < b.pdg.length) b.pdg(i) else 0,
+            if (i < b.status.length) b.status(i) else 0,
+            if (i < b.helicity.length) b.helicity(i) else 0,
+            cl(i),
+            b.masks.get("final").exists(_(i)),
+            b.masks.view.filterKeys(_ != "final").map { case (k, v) => k -> v(i) }.toMap)
+        }
+      }
+      val edgeRows = evts.flatMap { b =>
+        b.edges.zipWithIndex.map { case ((s, t), i) =>
+          EdgeRow(key, b.eventId, s, t,
+            if (i < b.edgeWeights.length) b.edgeWeights(i) else 1.0)
+        }
+      }
+      val eventRows = evts.map(b =>
+        EventMeta(key, b.eventId, b.count.toLong, b.customMeta.toMap))
+      val customRows = evts.flatMap(b =>
+        b.custom.map { case (n, v) => CustomRow(key, b.eventId, n, v.toSeq) })
+
+      def append[T <: Product : org.apache.spark.sql.Encoder](
+          rows: Seq[T], table: String, partitioned: Boolean): Unit = {
+        if (rows.isEmpty) return
+        val df = spark.createDataset(rows).toDF()
+          .withColumn("chunk", expr(s"event_id div $evtsPerChunk"))
+        val w = df.write.mode(SaveMode.Append)
+        (if (partitioned) w.partitionBy("process", "chunk") else w)
+          .parquet(s"$path/$table")
+      }
+      append(particles, ParticlesTable, partitioned = true)
+      append(edgeRows, EdgesTable, partitioned = true)
+      append(eventRows, EventsTable, partitioned = true)
+      append(customRows, CustomTable, partitioned = true)
+    }
+  }
+
+  private val procs = mutable.LinkedHashMap.empty[String, ProcessBuilder]
+
+  /** Opens a new process group (reference `new_process`). */
+  def newProcess(key: String): ProcessBuilder = {
+    val b = new ProcessBuilder(key)
+    procs(key) = b
+    b
+  }
+
+  /** Finalizes the store: flushes all chunks and writes the `processes`
+    * metadata table (num_evts finalized at close, like `write/hdf.py:456`).
+    */
+  def close(): Unit = {
+    import spark.implicits._
+    procs.values.foreach(_.flush())
+    val metas = procs.values.map(p =>
+      ProcessMeta(p.key, p.processString, p.signalPdgs, p.comE, p.eUnit,
+        p.numEvts, p.customMeta.toMap)).toSeq
+    if (metas.nonEmpty)
+      spark.createDataset(metas).write.mode(SaveMode.Append)
+        .parquet(s"$path/$ProcessesTable")
+    // file-level attrs (layout/version/evts_per_chunk, write/hdf.py:571-576)
+    val sidecar =
+      s"""{"layout":"graft-hep","version":1,"evts_per_chunk":$evtsPerChunk}"""
+    val p = new java.io.File(s"$path/_meta.json")
+    p.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(p.toPath, sidecar)
+  }
+}
+
+object HepWriter {
+  /** Bulk ingest path: writes an existing particles Dataset directly with
+    * the standard partitioning — the distributed (non-builder) write
+    * surface for cluster-scale jobs.
+    */
+  def writeParticles(
+      spark: SparkSession,
+      path: String,
+      particles: org.apache.spark.sql.Dataset[Particle],
+      evtsPerChunk: Int = DefaultEvtsPerChunk): Unit =
+    particles.toDF()
+      .withColumn("chunk", expr(s"event_id div $evtsPerChunk"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("process", "chunk")
+      .parquet(s"$path/${ParticlesTable}")
+}

@@ -1,0 +1,132 @@
+package graft.hep
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import Schemas._
+
+class HepRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  lazy val dir: String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "hepstore").toString
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def mkEvent(
+      b: HepWriter#EventBuilder, n: Int, seedBase: Long): Unit = {
+    val rnd = new scala.util.Random(seedBase)
+    b.setPmu(Array.tabulate(n)(i =>
+        Pmu(rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble(), i + 1.0)))
+      .setPdg(Array.tabulate(n)(i => 11 + i))
+      .setStatus(Array.tabulate(n)(i => (i % 3).toShort))
+      .setHelicity(Array.fill(n)(1.toShort))
+      .setColor(Array.tabulate(n)(i => ColorPair(i, -i)))
+      .setMask("final", Array.tabulate(n)(_ % 2 == 0))
+      .setMask("signal", Array.tabulate(n)(_ < 2))
+    b.setEdges(Array.tabulate(n)(i => (i, i + 1)))
+    b.setEdgeWeights(Array.tabulate(n)(_ * 0.5))
+    b.setCustom("weights2", Array.tabulate(n)(_ * 2.0))
+    b.setCustomMeta("note", s"event-${b.eventId}")
+  }
+
+  test("write then read round-trips particles, masks, edges, metadata") {
+    val w = new HepWriter(spark, dir, evtsPerChunk = 10)
+    val p = w.newProcess("higgs")
+      .setProcessString("p p > h z")
+      .setSignalPdgs(Seq(25, 23))
+      .setComEnergy(13000.0, "GeV")
+    p.setCustomMeta("generator", "pythia")
+    for (e <- 0 until 25) { // crosses chunk boundaries (cpk=10 → 3 chunks)
+      val b = p.newEvent()
+      mkEvent(b, n = 4 + (e % 3), seedBase = e.toLong)
+      p.commitEvent(b)
+    }
+    w.close()
+
+    val r = new HepReader(spark, dir)
+    assert(r.evtsPerChunk == 10)
+    val proc = r.process("higgs")
+    assert(proc.length == 25)
+    assert(proc.processString == "p p > h z")
+    assert(proc.signalPdgs == Seq(25, 23))
+    assert(proc.comEnergy == ((13000.0, "GeV")))
+    assert(proc.customMeta("generator") == "pythia")
+
+    // point lookup vs scan agreement (S4 vs S5)
+    val ev7 = proc.event(7)
+    assert(ev7.count == 4 + (7 % 3))
+    val pdgRows = ev7.pdg.orderBy("idx").collect().map(_.getInt(1)).toSeq
+    assert(pdgRows == (0 until ev7.count.toInt).map(11 + _))
+
+    // final mask semantics: pmu[final]
+    val fin = ev7.finalParticles.orderBy("idx").collect()
+    assert(fin.map(_.getAs[Int]("idx")).toSeq == (0 until ev7.count.toInt).filter(_ % 2 == 0))
+
+    // extra mask via map column
+    val sig = ev7.mask("signal").orderBy("idx").collect().map(_.getBoolean(1)).toSeq
+    assert(sig == (0 until ev7.count.toInt).map(_ < 2))
+
+    // edges + weights
+    val ed = ev7.edges.orderBy("src").collect()
+    assert(ed.length == ev7.count.toInt)
+    assert(ed.head.getAs[Double]("weight") == 0.0)
+
+    // custom dataset + event custom metadata
+    val cu = ev7.custom("weights2").collect()
+    assert(cu.nonEmpty)
+    assert(cu.head.getSeq[Double](0) == (0 until ev7.count.toInt).map(_ * 2.0))
+    assert(ev7.customMeta("note") == "event-7")
+
+    // full-scan totals match per-event counts (A1/A2 parity)
+    val total = proc.particles.count()
+    assert(total == (0 until 25).map(e => 4 + (e % 3)).sum)
+  }
+
+  test("row-count invariant: second column with different length throws") {
+    val w = new HepWriter(spark, dir + "-inv")
+    val p = w.newProcess("x")
+    val b = p.newEvent()
+    b.setPdg(Array(1, 2, 3))
+    val e = intercept[IllegalArgumentException] {
+      b.setStatus(Array[Short](1, 2))
+    }
+    assert(e.getMessage.contains("num_pcls"))
+  }
+
+  test("edge-weight length invariant throws") {
+    val w = new HepWriter(spark, dir + "-inv2")
+    val b = w.newProcess("x").newEvent()
+    b.setEdges(Array((0, 1), (1, 2)))
+    intercept[IllegalArgumentException] {
+      b.setEdgeWeights(Array(0.5))
+    }
+  }
+
+  test("mask counts toward num_pcls (reference _mask_setter)") {
+    val w = new HepWriter(spark, dir + "-inv3")
+    val b = w.newProcess("x").newEvent()
+    b.setMask("final", Array(true, false))
+    intercept[IllegalArgumentException] {
+      b.setPdg(Array(1, 2, 3))
+    }
+  }
+
+  test("key formats match the reference (utils.py:7-14)") {
+    assert(Keys.eventKey(7, 1000) == "evt-007")
+    assert(Keys.eventKey(1234, 1000) == "evt-234")
+    assert(Keys.chunkKey(3) == "evt-set-000003")
+    assert(Keys.eventKey(5, 10) == "evt-5")
+    assert(Keys.chunkOf(1234, 1000) == 1)
+  }
+
+  test("point lookup plan prunes partitions (chunk) and pushes event_id") {
+    val r = new HepReader(spark, dir)
+    val plan = r.process("higgs").event(7).pmu
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("event_id"), "event_id filter should reach the scan")
+  }
+}
