@@ -49,6 +49,15 @@ object Demo {
       .select("idx", "pmu.e").orderBy("idx").show()
     println("DEMO per-event particle totals:")
     proc.particles.groupBy("event_id").count().orderBy("event_id").show(3)
+    println("DEMO per-event summed-system kinematics (mass, pt) of final state:")
+    import graft.functions.Kinematics
+    proc.particles.where(col("fin"))
+      .groupBy(col("event_id"))
+      .agg(Kinematics.pmuSum(col("pmu")).as("sys"))
+      .select(col("event_id"),
+        Kinematics.mass(col("sys")).as("sys_mass"),
+        Kinematics.pt(col("sys")).as("sys_pt"))
+      .orderBy("event_id").show(3)
     spark.stop()
   }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape assertions: the properties that make these queries survive a
+  * 100× scale-up are checked structurally, not just by row results —
+  * pushdown reaching the scan, broadcasts where a dim is small, top-k
+  * without a global sort, hash (not sort) aggregation in hot aggregates.
+  */
+class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = EngineSession.local("4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String = {
+    val df = QueryCatalog.byName(name).run(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter+projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // projection pruning: the 11-column table reads only the needed columns
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_extendedprice"),
+      "pruned column must not appear in the scan schema")
+  }
+
+  test("q03 broadcasts the filtered customer dimension") {
+    val p = plan("q03_topk_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q06 six-table join broadcasts all small dims") {
+    val p = plan("q06_multijoin_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q19 top-N plans TakeOrdered, not a global sort") {
+    val p = plan("q19_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 pricing summary uses hash aggregation with partial pass") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("d03 minhash signature aggregate is a HashAggregate (long buffers)") {
+    val p = plan("d03_dedup_minhash_lsh")
+    assert(!p.contains("SortAggregate"),
+      "string min-agg would fall back to SortAggregate; signatures must " +
+        "aggregate as longs")
+  }
+
+  test("q04 semi join stays a semi join (no row multiplication)") {
+    val p = plan("q04_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q05 anti join stays an anti join") {
+    val p = plan("q05_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("whole-stage codegen covers the q01 aggregate") {
+    // AQE prints codegen stage markers (*(n)) only in the final plan —
+    // execute first, then inspect.
+    val df = QueryCatalog.byName("q01_pricing_summary").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+  }
+}
