@@ -21,6 +21,7 @@ object QueryCatalog {
     */
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Relational2.defs ++
       operators.EventOps.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
