@@ -49,6 +49,13 @@ object Demo {
       .select("idx", "pmu.e").orderBy("idx").show()
     println("DEMO per-event particle totals:")
     proc.particles.groupBy("event_id").count().orderBy("event_id").show(3)
+    println("DEMO ancestry: descendants of vertex 0 in event 11:")
+    import org.apache.spark.sql.functions.lit
+    val roots = proc.edges.select(col("process"), col("event_id"))
+      .where(col("event_id") === 11).distinct()
+      .withColumn("vtx", lit(0))
+    Ancestry.descendants(proc.edges, roots, maxDepth = 10)
+      .orderBy("vtx").show()
     println("DEMO per-event summed-system kinematics (mass, pt) of final state:")
     import graft.functions.Kinematics
     proc.particles.where(col("fin"))

@@ -98,6 +98,71 @@ object Dedup {
         expr(s"lpad(lower(conv(ml$k, 10, 16)), 8, '0')").as(s"m$k")): _*)
   }
 
+  /** LSH candidate pairs (doc_a < doc_b) from the band equi-join. */
+  private[operators] def lshCandidates(doc: DataFrame): DataFrame = {
+    val rows = SIGS / BANDS
+    val sig = minhashSigs(doc)
+    val bandArr = array((0 until BANDS).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+          .as("band_val"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi"),
+      col("band_val").as("bv"))
+    a.join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Distinct word-trigram shingles per doc: (doc_id, s). */
+  private def trigrams(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """if(size(ws) < 3, array(),
+          |   transform(sequence(1, size(ws)-2),
+          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])))""".stripMargin))
+        .as("s"))
+      .distinct()
+
+  /** End-to-end near-duplicate REMOVAL pipeline: MinHash+LSH candidate
+    * generation (linear) → exact trigram-Jaccard verification on the
+    * candidates only → keep-min policy (of each confirmed pair, the lower
+    * doc_id survives). Returns the surviving rows of `docs`.
+    *
+    * Every stage is partition-parallel; the only data that moves are
+    * (band, id) pairs and the candidate pairs' shingle sets.
+    */
+  def deduplicate(docs: DataFrame, jaccardThreshold: Double = 0.6): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    // candidates and candidate shingles are reused by several downstream
+    // joins — persist so the signature pipeline runs once, not per action
+    val cand = lshCandidates(base).persist()
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val ctri = trigrams(base).join(candIds, "doc_id").persist()
+    val sz = ctri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ctri.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(ctri.select(col("doc_id").as("doc_b"), col("s").as("s2")), Seq("doc_b"))
+      .filter(col("s") === col("s2"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val drops = inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter"))
+        >= jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .persist()
+    drops.count() // materialize the (small) drop list, then free the rest
+    cand.unpersist()
+    ctri.unpersist()
+    docs.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash + LSH candidate pairs: 8 signatures, 2 bands × 4 rows; docs
     * sharing any band key are candidates. The band join is an equi-join on
     * (band_idx, band_val) — shuffle carries only band keys and ids.
@@ -128,21 +193,7 @@ object Dedup {
          |            AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
-    val rows = SIGS / BANDS
-    val sig = minhashSigs(Tables.documents(s, d).select("doc_id", "text"))
-    val bandArr = array((0 until BANDS).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
-          .as("band_val"))
-    }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandArr).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi"),
-      col("band_val").as("bv"))
-    a.join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    lshCandidates(Tables.documents(s, d).select("doc_id", "text"))
       .orderBy("doc_a", "doc_b")
   }
 
