@@ -22,6 +22,7 @@ object QueryCatalog {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Relational2.defs ++
+      operators.Relational3.defs ++
       operators.EventOps.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import Compat._
+
+/** Third relational batch: scalar subqueries, multiset set ops, analytic
+  * first/last values, pivot, and exact percentiles.
+  */
+object Relational3 {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** Scalar-subquery filter: customers above the global average balance.
+    * The threshold is computed with the deterministic decimal-sum/count
+    * form and broadcast (a 1-row cross join — the scalar-subquery shape).
+    */
+  val scalarSubquery: QueryDef = q(
+    "q32_scalar_subquery",
+    """SELECT c_custkey, c_acctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |                          / count(*) FROM customer)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val thr = cust.agg(
+      (sum(money(col("c_acctbal"))).cast("double") / count(lit(1))).as("thr"))
+    cust.join(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** EXCEPT ALL — multiset difference preserving duplicate counts. */
+  val exceptAll: QueryDef = q(
+    "q33_except_all",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .exceptAll(
+        o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** first_value / last_value analytics (last needs the full-partition
+    * frame — the default running frame would return the current row).
+    */
+  val firstLast: QueryDef = q(
+    "q34_first_last",
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_ord,
+      |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_ord"),
+      last(col("o_orderkey")).over(wFull).as("last_ord"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Pivot: order-status counts as columns per market segment (fixed pivot
+    * values so the schema is static; missing combos coalesce to 0 to match
+    * the oracle's conditional counts).
+    */
+  val pivot: QueryDef = q(
+    "q35_pivot",
+    """SELECT c_mktsegment,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("c_mktsegment"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Exact interpolated percentiles at dyadic points (0.25/0.5/0.75):
+    * on integer-valued quantities the interpolation weights and products
+    * are exact in double, so Spark's percentile and DuckDB's quantile_cont
+    * agree bit-for-bit.
+    */
+  val percentiles: QueryDef = q(
+    "q36_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5)  AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25D)").as("p25"),
+        expr("percentile(l_quantity, 0.5D)").as("p50"),
+        expr("percentile(l_quantity, 0.75D)").as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles)
+}
