@@ -163,6 +163,84 @@ object Dedup {
     docs.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** Jaccard-confirmed near-duplicate pairs (doc_a < doc_b): LSH
+    * candidates filtered by exact trigram Jaccard ≥ threshold.
+    */
+  def nearDupPairs(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val cand = lshCandidates(base)
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val ctri = trigrams(base).join(candIds, "doc_id")
+    val sz = ctri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(ctri.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(ctri.select(col("doc_id").as("doc_b"), col("s").as("s2")), Seq("doc_b"))
+      .filter(col("s") === col("s2"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter"))
+        >= jaccardThreshold)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Connected components over an undirected pair graph — minimum-label
+    * propagation with pointer jumping (the distributed union-find): each
+    * round every vertex adopts the smallest label among itself and its
+    * neighbours, then labels chase their own label's label (pointer jump),
+    * so convergence is O(log diameter) rounds instead of O(diameter).
+    * Each round is two equi-joins + a map-side-combined min aggregate.
+    * Returns (doc_id, cluster) where cluster is the component's smallest
+    * doc_id.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).persist()
+    labels.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("c_nbr")),
+          Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("c_nbr")).as("c_min"))
+      val propagated = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("c_min"), col("cluster")))
+            .as("cluster"))
+      // pointer jump: cluster := label(cluster)
+      val next = propagated
+        .join(propagated.select(col("doc_id").as("cluster"),
+          col("cluster").as("c_jump")), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("c_jump"), col("cluster")))
+            .as("cluster"))
+        .persist()
+      val changed = next.join(
+          labels.select(col("doc_id"), col("cluster").as("old")), Seq("doc_id"))
+        .filter(col("cluster") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate CLUSTERS: connected components over the Jaccard-confirmed
+    * near-dup pair graph. Docs in no pair are their own singleton cluster
+    * (not returned — join back against the corpus if needed).
+    */
+  def duplicateClusters(docs: DataFrame, jaccardThreshold: Double = 0.6): DataFrame =
+    connectedComponents(nearDupPairs(docs, jaccardThreshold))
+
   /** MinHash + LSH candidate pairs: 8 signatures, 2 bands × 4 rows; docs
     * sharing any band key are candidates. The band join is an equi-join on
     * (band_idx, band_val) — shuffle carries only band keys and ids.

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  override def afterAll(): Unit = spark.stop()
+
+  private def pairs(ps: (Long, Long)*) = {
+    import spark.implicits._
+    ps.toDF("doc_a", "doc_b")
+  }
+
+  private def clusters(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph collapses to the smallest id") {
+    val c = clusters(Dedup.connectedComponents(pairs((1L, 2L), (2L, 3L), (3L, 4L))))
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("two components stay separate") {
+    val c = clusters(Dedup.connectedComponents(
+      pairs((1L, 2L), (5L, 6L), (6L, 7L))))
+    assert(c == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("chain converges in few rounds (pointer jumping)") {
+    val chain = (1L until 9L).map(i => (i, i + 1))
+    val c = clusters(Dedup.connectedComponents(pairs(chain: _*)))
+    assert(c.values.toSet == Set(1L))
+    assert(c.size == 9)
+  }
+
+  test("duplicate clusters over injected exact copies") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val base = docs.orderBy("doc_id").limit(1)
+    val copies = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .union(base.select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val cl = Dedup.duplicateClusters(docs.union(copies), jaccardThreshold = 0.9)
+    val c = clusters(cl.filter(col("cluster") === 0))
+    // doc 0 and its two copies form one cluster labeled by the smallest id
+    assert(c.keySet.intersect(Set(0L, 100000L, 200000L)) == Set(0L, 100000L, 200000L))
+  }
+}
