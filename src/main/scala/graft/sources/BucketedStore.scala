@@ -13,15 +13,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedStore {
 
-  /** Writes `df` bucketed (and sorted in-bucket) by `key`. */
+  /** Writes `df` bucketed (and sorted in-bucket) by `key`. Drops any
+    * previous table AND its leftover warehouse location first — with the
+    * in-memory catalog, a prior JVM's table metadata is gone but its
+    * directory persists, and saveAsTable refuses to reuse the location.
+    */
   def writeBucketed(
-      df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+      df: DataFrame, table: String, key: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
