@@ -55,6 +55,17 @@ final class HepReader(spark: SparkSession, path: String) {
     /** `len(process)` → finalized num_evts (reference `read/hdf.py:444`). */
     def length: Long = meta.num_evts
 
+    /** Deprecated reference surface (`string` property alias of the
+      * hard-process string; deprecated in the reference too): use
+      * [[processString]].
+      */
+    @deprecated("use processString", "0.1.0")
+    def string: String = processString
+
+    /** Deprecated reference surface (`read_event(n)`): use [[event]]. */
+    @deprecated("use event(n)", "0.1.0")
+    def readEvent(n: Long): EventReader = event(n)
+
     private def inProc(df: DataFrame): DataFrame =
       df.where(col("process") === meta.process)
 
@@ -124,5 +135,17 @@ final class HepReader(spark: SparkSession, path: String) {
 
     /** Event key name (reference P9, `read/hdf.py:251-253`). */
     def name: String = Keys.eventKey(eventId, evtsPerChunk)
+
+    /** Deprecated reference surface (`read/hdf.py:329-332`): use
+      * [[mask]] instead.
+      */
+    @deprecated("use mask(name)", "0.1.0")
+    def maskDeprecated(nm: String): DataFrame = mask(nm)
+
+    /** Deprecated reference surface (`read/base.py:50-51` `final`): use
+      * [[finalMask]] / [[finalParticles]].
+      */
+    @deprecated("use finalMask", "0.1.0")
+    def finalProp: DataFrame = finalMask
   }
 }
