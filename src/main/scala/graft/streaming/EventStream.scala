@@ -88,6 +88,14 @@ object EventStream {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against the
+    * (small, broadcast) static dimension — the standard pattern for
+    * attaching reference data to an event stream without stateful joins.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** foreachBatch parquet-append ingest: the streaming form of the hep
     * facade's chunked appends. Batch ids give idempotent retry semantics.
     */

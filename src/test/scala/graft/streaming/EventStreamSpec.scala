@@ -80,6 +80,25 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment")
+    val q2 = EventStream.enrich(
+        EventStream.events(spark, eventsDir), dim, "user_id", "c_custkey")
+      .groupBy("c_mktsegment").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enriched").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.table("enriched")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val batch = graft.Tables.events(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("foreachBatch ingest appends all rows exactly once") {
     val out = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "ingest").toString
