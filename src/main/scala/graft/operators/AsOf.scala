@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable as-of join (the time-series operator Spark lacks natively).
+  *
+  * For each left row, attaches the LATEST right row whose time is ≤ (or <
+  * when `strict`) the left row's time, matched per key. Implemented the
+  * scale-safe way: union the two sides tagged, one window pass per key in
+  * time order with carry-forward of the last right payload — a single
+  * shuffle + sort, never the quadratic key-join + max_by (which is how the
+  * oracle for q24 states the same semantics).
+  *
+  * Time columns must be the same orderable type on both sides (the engine
+  * uses exact LONG nanoseconds for event time — see EngineSession).
+  */
+object AsOf {
+
+  /** @param left       probe side (one output row per left row)
+    * @param right      reference side (its latest row at-or-before left's
+    *                   time is attached; missing → nulls)
+    * @param key        equi-match column name present on both sides
+    * @param leftTime   left's time column name
+    * @param rightTime  right's time column name
+    * @param strict     true → right strictly earlier (ties excluded)
+    */
+  def joinAsOf(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val rightPayloadCols = right.columns.filter(c => c != key && c != rightTime)
+    val payload = struct(rightPayloadCols.map(col): _*)
+    val payloadType = StructType(rightPayloadCols.map(right.schema(_)))
+    val leftType = StructType(left.columns.map(left.schema(_)))
+
+    // side ordering at equal times decides tie semantics:
+    //   strict: left sorts BEFORE right at the same instant → same-time
+    //           right rows are not visible to the left row;
+    //   non-strict: right first → same-time right rows are matched.
+    val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
+
+    val l = left.select(
+      col(key).as("__k"), col(leftTime).as("__t"),
+      lit(leftSide).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(payloadType).as("__r"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTime).as("__t"),
+      lit(rightSide).as("__side"),
+      lit(null).cast(leftType).as("__l"),
+      payload.as("__r"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__l").isNotNull)
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightCols = rightPayloadCols.map(c => col(s"__last_r.$c").as(c))
+    carried.select(leftCols ++ rightCols: _*)
+  }
+}
