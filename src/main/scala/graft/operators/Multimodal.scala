@@ -116,7 +116,7 @@ object Multimodal {
   val decodeAgg: QueryDef = q(
     "m02_multimodal_decode",
     """SELECT kind, count(*) AS n_media,
-      |  sum(octet_length(CAST(text AS BLOB))) AS total_bytes,
+      |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
       |  min(ascii(substr(text, 1, 1))) AS min_header,
       |  max(ascii(substr(text, 1, 1))) AS max_header
       |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -41,13 +41,36 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            sel = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            g_df = con.execute(sel).df()
+            e_df = con.execute(sql).df()
+            got = con.execute(sel)
             g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
             exp = con.execute(sql)
             e_rows, e_cols = exp.fetchall(), [d[0] for d in exp.description]
         except Exception as ex:
             print(f"FAIL {name}: exec error: {ex}")
+            n_fail += 1
+            continue
+        # Representation strictness: the driver hashes through pandas, where
+        # e.g. a DuckDB HUGEINT sum becomes float64 (99111 -> 99111.0) while
+        # Spark's int64 stays int64 — values compare equal as Python ints yet
+        # hash-mismatch there. Integer-width diffs (int32 vs int64) are fine
+        # (round 1 showed the driver passes them); only int-vs-float or
+        # numeric-vs-object kind changes are flagged.
+        def kind(dt):
+            s = str(dt)
+            if s.startswith(("int", "uint", "Int", "UInt")):
+                return "int"
+            if s.startswith(("float", "Float")):
+                return "float"
+            return s
+        g_dt = {c: kind(g_df[c].dtype) for c in g_df.columns}
+        e_dt = {c: kind(e_df[c].dtype) for c in e_df.columns}
+        dt_bad = {c: (g_dt.get(c), e_dt.get(c))
+                  for c in set(g_dt) | set(e_dt) if g_dt.get(c) != e_dt.get(c)}
+        if dt_bad:
+            print(f"FAIL {name}: pandas value-kind mismatch (spark, duck): {dt_bad}")
             n_fail += 1
             continue
         gc, gr = norm(g_rows, g_cols)
