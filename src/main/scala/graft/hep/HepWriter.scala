@@ -30,6 +30,15 @@ final class HepWriter(
     path: String,
     evtsPerChunk: Int = DefaultEvtsPerChunk) {
 
+  // Re-opening a finalized store would corrupt it: close() would append a
+  // second copy of every process's metadata row, and fresh processes restart
+  // event_id at 0, colliding with existing (process, event_id) keys. The
+  // reference's h5py backing has the same constraint (opening an existing
+  // file in "w" mode truncates); here we refuse instead of truncating.
+  require(!new java.io.File(s"$path/_meta.json").exists(),
+    s"hep store at $path already exists (finalized by a previous close()); " +
+      "write to a fresh path — in-place append is not supported")
+
   /** Builder for one event (reference `HdfEventWriter`). */
   final class EventBuilder private[HepWriter] (
       procKey: String, val eventId: Long) {

@@ -18,20 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param left       probe side (one output row per left row)
-    * @param right      reference side (its latest row at-or-before left's
-    *                   time is attached; missing → nulls)
-    * @param key        equi-match column name present on both sides
-    * @param leftTime   left's time column name
-    * @param rightTime  right's time column name
-    * @param strict     true → right strictly earlier (ties excluded)
+  /** @param left        probe side (one output row per left row)
+    * @param right       reference side (its latest row at-or-before left's
+    *                    time is attached; missing → nulls)
+    * @param key         equi-match column name present on both sides
+    * @param leftTime    left's time column name
+    * @param rightTime   right's time column name
+    * @param strict      true → right strictly earlier (ties excluded)
+    * @param rightSuffix appended to every attached right payload column;
+    *                    required non-empty when a right payload name
+    *                    collides with a left column (otherwise the output
+    *                    would carry duplicate names and any select(name)
+    *                    downstream fails with ambiguity)
     */
   def joinAsOf(
       left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      rightSuffix: String = ""): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val rightPayloadCols = right.columns.filter(c => c != key && c != rightTime)
+    val collisions = rightPayloadCols.map(_ + rightSuffix).toSet
+      .intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload column(s) ${collisions.mkString(", ")} collide with " +
+        "left columns; pass rightSuffix to disambiguate")
     val payload = struct(rightPayloadCols.map(col): _*)
     val payloadType = StructType(rightPayloadCols.map(right.schema(_)))
     val leftType = StructType(left.columns.map(left.schema(_)))
@@ -61,7 +72,7 @@ object AsOf {
       .filter(col("__l").isNotNull)
 
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
-    val rightCols = rightPayloadCols.map(c => col(s"__last_r.$c").as(c))
+    val rightCols = rightPayloadCols.map(c => col(s"__last_r.$c").as(c + rightSuffix))
     carried.select(leftCols ++ rightCols: _*)
   }
 }

@@ -93,22 +93,35 @@ object EventOps {
     * by the same user. Implemented the scale-safe way — a single union-free
     * window pass (carry-forward of the last click id per user in time
     * order), NOT a quadratic self-join; the oracle states the same
-    * semantics relationally with max_by.
+    * semantics relationally with a ranked window.
+    *
+    * Tie semantics are pinned explicitly (both sides): a click at the SAME
+    * instant as the purchase is excluded (strictly earlier), and among
+    * equal-ts clicks the larger event_id wins. The sort key (ts, side,
+    * event_id) with purchase-side 0 < click-side 1 realizes both rules in
+    * one ordering — same trick as [[graft.operators.AsOf.joinAsOf]]'s
+    * __side column.
     */
   val asofJoin: QueryDef = q(
     "q24_asof_join",
-    """SELECT p.event_id AS purchase_id,
-      |       max_by(c.event_id, c.ts) AS last_click_id
-      |FROM events p
-      |JOIN events c
-      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
-      |WHERE p.event_type = 'purchase'
-      |GROUP BY p.event_id
+    """SELECT purchase_id, last_click_id FROM (
+      |  SELECT p.event_id AS purchase_id, c.event_id AS last_click_id,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM events p
+      |  JOIN events c
+      |    ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+      |  WHERE p.event_type = 'purchase')
+      |WHERE rn = 1
       |ORDER BY purchase_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        // purchases sort before clicks at an equal instant, so a same-ts
+        // click is OUTSIDE the (unboundedPreceding, -1) frame → strict <
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     ev.withColumn("last_click_id",
         last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)

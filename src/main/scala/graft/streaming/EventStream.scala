@@ -59,33 +59,69 @@ object EventStream {
         expr("unix_micros(window.start) div 3600000000").as("hour_id"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** [[Ev]] plus the derived event-time column the watermark rides on. */
+  final case class EvT(
+      event_id: Long, ts: Long, user_id: Long, event_type: String,
+      value: Double, et: java.sql.Timestamp)
+
+  /** How long past a user's last event their session state survives before
+    * eviction, in EVENT time. Once the watermark passes lastTs + this TTL no
+    * event can extend or reopen the old session (the TTL is ≥ the 30-min
+    * gap), so eviction never changes session counts — a later event starts
+    * a fresh session either way. The running totals restart from zero for
+    * such a user, which Update-mode consumers handle by summing deltas
+    * downstream.
+    */
+  val StateTtlMs: Long = 2L * 3600 * 1000
+
   /** Gap-based sessionization with explicit per-user state. Events within a
     * micro-batch are sorted by (ts, event_id); state carries the last seen
-    * timestamp and running counts across batches. State times out after
-    * inactivity, bounding memory at scale.
+    * timestamp and running counts across batches. State is evicted on an
+    * EVENT-time timeout: when the 2-hour watermark passes a user's last
+    * event + [[StateTtlMs]], their state is dropped, bounding memory at
+    * scale (without eviction, state grows with the number of distinct users
+    * ever seen). Event-time (not processing-time) timeouts also keep the
+    * micro-batch engine quiescent on an idle source — timeout checks fire
+    * only when the watermark actually advances.
     */
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
 
-    final case class SessState(lastTs: Long, sessions: Long, events: Long)
+    // locals, not object members: the update closure ships to executors and
+    // must not capture the (non-serializable) EventStream object itself
+    val ttlMs = StateTtlMs
+    val gapNs = SessionGapNs
 
     def update(
-        userId: Long, batch: Iterator[Ev],
+        userId: Long, batch: Iterator[EvT],
         state: GroupState[(Long, Long, Long)]): Iterator[UserSessions] = {
-      var (lastTs, sessions, nEvents) =
-        state.getOption.getOrElse((Long.MinValue, 0L, 0L))
-      batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-        if (lastTs == Long.MinValue || e.ts - lastTs > SessionGapNs) sessions += 1
-        lastTs = e.ts
-        nEvents += 1
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var (lastTs, sessions, nEvents) =
+          state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+        batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          if (lastTs == Long.MinValue || e.ts - lastTs > gapNs) sessions += 1
+          lastTs = e.ts
+          nEvents += 1
+        }
+        state.update((lastTs, sessions, nEvents))
+        // evict when the watermark passes last-event + TTL (the timestamp
+        // must sit strictly beyond the current watermark or Spark rejects it)
+        state.setTimeoutTimestamp(
+          math.max(lastTs / 1000000L + ttlMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.single(UserSessions(userId, sessions, nEvents))
       }
-      state.update((lastTs, sessions, nEvents))
-      Iterator.single(UserSessions(userId, sessions, nEvents))
     }
 
-    events.groupByKey(_.user_id)
+    events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("et", "2 hours")
+      .as[EvT]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Stream-static enrichment join: every micro-batch joins against the
@@ -96,14 +132,19 @@ object EventStream {
       streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
-  /** foreachBatch parquet-append ingest: the streaming form of the hep
-    * facade's chunked appends. Batch ids give idempotent retry semantics.
+  /** foreachBatch parquet ingest: the streaming form of the hep facade's
+    * chunked appends, made idempotent under micro-batch retry. Each batch
+    * OVERWRITES its own `batch_id=<id>` partition directory, so a failed or
+    * replayed batch (restart after a sink write but before the offset
+    * commit) lands on the same path instead of appending duplicates —
+    * exactly-once per batch. Readers see `batch_id` as an ordinary
+    * discovered partition column of `spark.read.parquet(outDir)`.
     */
   def ingest(stream: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
 }
