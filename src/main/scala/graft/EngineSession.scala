@@ -19,6 +19,17 @@ import org.apache.spark.sql.SparkSession
 object EngineSession {
   def defaultCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** `InferFiltersFromGenerate` synthesizes a `size(e) > 0` pre-filter for
+    * every explode; when the exploded array is COMPUTED (a shingle/n-gram
+    * `transform` lambda, as in every dedup/text operator here), predicate
+    * pushdown then inlines that whole interpreted lambda into a pre-scan
+    * Filter — evaluating it once per row for the filter and again for the
+    * projection (measured 3-4× slowdown on d05). The rule only pays off
+    * when the array is a STORED column; this engine always computes them.
+    */
+  val ExcludedRules: String = sys.env.getOrElse("SPARK_GRAFT_EXCLUDED_RULES",
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+
   def builder(cores: String = defaultCores): SparkSession.Builder =
     SparkSession
       .builder()
@@ -29,6 +40,7 @@ object EngineSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def local(cores: String = defaultCores): SparkSession = {
@@ -43,5 +55,6 @@ object EngineSession {
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

