@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val once = Sampling.hashSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.hashSample(docs.repartition(13), col("doc_id"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again, "same sample regardless of run or partitioning")
+    val n = docs.count().toDouble
+    assert(math.abs(once.size / n - 0.25) < 0.15, s"~25% kept, got ${once.size / n}")
+  }
+
+  test("stratifiedSample: full default rate keeps every unlisted stratum") {
+    val kept = Sampling.stratifiedSample(
+      docs, col("lang"), col("doc_id"), Map("en" -> 0.0))
+    assert(kept.filter(col("lang") === "en").count() == 0)
+    assert(kept.count() == docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("split: total partition, consistent with thresholds, stable") {
+    val s = Sampling.split(docs, col("doc_id"), train = 0.8, validation = 0.1)
+    assert(s.count() == docs.count())
+    val byLabel = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(byLabel("train") / n > 0.7 && byLabel("train") / n < 0.9)
+    // a doc keeps its split when the corpus around it changes
+    val subset = Sampling.split(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), train = 0.8, validation = 0.1)
+    val full = s.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.select("doc_id", "split").collect().foreach { r =>
+      assert(full(r.getLong(0)) == r.getString(1))
+    }
+  }
+}
