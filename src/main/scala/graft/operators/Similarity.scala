@@ -162,6 +162,107 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** IVF (inverted-file) ANN with seeded centroids: the third point on the
+    * exact→LSH-bucket→IVF accuracy/cost curve.
+    *
+    *   - nlist=8 centroids (the vectors with vec_id < 8 — deterministic
+    *     seeding; production IVF would k-means-iterate the same mechanics);
+    *   - every corpus vector is assigned to its nearest centroid by
+    *     cosine. The centroid table is collected ONCE to the driver and
+    *     embedded as literal arrays, so assignment is 8 codegen'd
+    *     `long_dot` expressions + a `greatest(struct…)` argmax per row:
+    *     a pure map — NO shuffle, no join, for the corpus-wide pass (this
+    *     is the piece that must scale to 100 TB);
+    *   - each query (vec_id < 10) probes its nprobe=2 nearest centroid
+    *     lists; the (query × probed-centroid) relation is tiny and
+    *     broadcast, so candidate selection is a broadcast-hash join
+    *     against the assigned corpus — again no corpus shuffle;
+    *   - candidates are scored exactly (integer dots) and top-3 ranked;
+    *     the rank(≤3) filter engages WindowGroupLimit pushdown, so each
+    *     partition pre-trims before the per-query shuffle.
+    *
+    * Ties in both argmaxes break toward the smaller centroid/candidate id
+    * on BOTH engines (struct ordering here, `ORDER BY cos DESC, cid` in
+    * the oracle).
+    */
+  val annIvf: QueryDef = q(
+    "s03_ann_ivf",
+    s"""WITH $oracleNorms,
+       |cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+       |adots AS (
+       |  SELECT e.vec_id, c.cid,
+       |    CAST(sum(${xiSql("e")} * ${xiSql("c")}) AS BIGINT) AS dot
+       |  FROM embeddings e, cent c, j
+       |  GROUP BY e.vec_id, c.cid),
+       |ascore AS (
+       |  SELECT adots.vec_id, adots.cid, $oracleCos AS cos
+       |  FROM adots JOIN norms na ON na.vec_id = adots.vec_id
+       |             JOIN norms nb ON nb.vec_id = adots.cid),
+       |assign AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM ascore) WHERE rn = 1),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT vec_id AS qid, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM ascore WHERE vec_id < 10) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid
+       |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |cdots AS (
+       |  SELECT cand.qid, cand.cid,
+       |    CAST(sum(${xiSql("a")} * ${xiSql("b")}) AS BIGINT) AS dot
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+       |            JOIN embeddings b ON b.vec_id = cand.cid, j
+       |  GROUP BY cand.qid, cand.cid),
+       |scored AS (
+       |  SELECT qid, cid, $oracleCos AS cos
+       |  FROM cdots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid)
+       |SELECT qid, rn, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.embeddings(s, d))
+    // centroid collect: nlist × dim longs — bounded and tiny even at
+    // production nlist; this is the standard "small model state to the
+    // driver, big corpus stays distributed" split
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("qv"), col("sq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    val argmax = greatest(cents.map { case (cid, cv, csq) =>
+      struct(
+        cosCol(call_function("long_dot", col("qv"), typedlit(cv)),
+          col("sq"), lit(csq)).as("ccos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = e.select(col("vec_id"), col("qv"), col("sq"),
+      (-argmax.getField("ncid")).cast("long").as("cid"))
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("pcid"), col("qv").as("cv"), col("sq").as("c_sq"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("pcid"))
+    val probes = qs.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qe"), col("q_sq"), col("pcid"),
+        cosCol(expr(dotRawSql("qe", "cv")), col("q_sq"), col("c_sq")).as("pcos"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= 2)
+      .select(col("qid"), col("qe"), col("q_sq"), col("pcid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    assigned
+      .join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosCol(expr(dotRawSql("qe", "qv")), col("q_sq"), col("sq")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "rn", "cid", "cos")
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine > 0.4 (the
     * data's near-dup band; random 64-dim pairs concentrate near 0). The
     * exact all-pairs form is the correctness baseline; the bucketed variant
@@ -193,5 +294,6 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  def defs: Seq[QueryDef] = Seq(cosineTopk, annBucketed, embeddingNearDup)
+  def defs: Seq[QueryDef] =
+    Seq(cosineTopk, annBucketed, annIvf, embeddingNearDup)
 }
