@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The hep store as a first-class Spark SQL catalog (DataSourceV2).
+  *
+  * The reference exposes its store through a programmatic reader object
+  * only (`read/hdf.py` `HdfReader[proc][evt]`); the Spark-native
+  * equivalent of "a hierarchical store you can open and descend" is a
+  * `TableCatalog`: register once,
+  *
+  * {{{
+  * spark.sql.catalog.hep      = graft.sources.HepCatalog
+  * spark.sql.catalog.hep.path = /data/hepstores        // or a single store
+  * }}}
+  *
+  * and every store under the path is a namespace, every member table a
+  * SQL-addressable identifier:
+  *
+  * {{{
+  * SELECT * FROM hep.mystore.particles WHERE process = 'ttbar' AND fin
+  * SHOW NAMESPACES IN hep; SHOW TABLES IN hep.mystore
+  * }}}
+  *
+  * Reads delegate to Spark's own parquet DSv2 `FileTable`, so filter
+  * pushdown, column pruning, partition pruning over the store's
+  * process/chunk layout, and vectorized decode are all inherited — the
+  * catalog adds addressing, not a bespoke reader. Writes stay with
+  * [[graft.hep.HepWriter]] (the store's chunked-finalize invariants are
+  * writer-side), so DDL through the catalog is rejected.
+  */
+class HepCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: java.io.File = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    require(options.containsKey("path"),
+      s"catalog $name needs spark.sql.catalog.$name.path")
+    catalogName = name
+    root = new java.io.File(options.get("path"))
+  }
+
+  override def name(): String = catalogName
+
+  private def isStore(dir: java.io.File): Boolean =
+    new java.io.File(dir, "_meta.json").isFile
+
+  /** Root may be one store (namespace "default") or a directory of them. */
+  private def namespaces: Seq[String] =
+    if (isStore(root)) Seq("default")
+    else Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && isStore(f)).map(_.getName).sorted.toSeq
+
+  private def storeDir(ns: Array[String]): java.io.File = {
+    if (ns.length != 1) throw new NoSuchNamespaceException(ns)
+    val dir = if (isStore(root) && ns.head == "default") root
+      else new java.io.File(root, ns.head)
+    if (!isStore(dir)) throw new NoSuchNamespaceException(ns)
+    dir
+  }
+
+  // ---- SupportsNamespaces --------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    namespaces.map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else { storeDir(namespace); Array.empty } // a store has no children
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    try { storeDir(namespace); true } catch { case _: NoSuchNamespaceException => false }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    storeDir(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "hep catalog is read-only; create stores with graft.hep.HepWriter")
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("hep catalog is read-only")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("hep catalog is read-only")
+
+  // ---- TableCatalog --------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = storeDir(namespace)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name()).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = new java.io.File(storeDir(ident.namespace()), ident.name())
+    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    ParquetTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+      SparkSession.active,
+      CaseInsensitiveStringMap.empty(),
+      Seq(dir.getAbsolutePath),
+      None,
+      classOf[ParquetFileFormat])
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "hep catalog is read-only; write events with graft.hep.HepWriter")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("hep catalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("hep catalog is read-only")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("hep catalog is read-only")
+}
