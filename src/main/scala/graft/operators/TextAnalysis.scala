@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -154,5 +155,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint)
+  /** Top-3 terms per document by TF-IDF.
+    *
+    * The score is INTEGER-exact: `tf * 1e6 * N / df` in BIGINT floor
+    * division rather than `tf·ln(N/df)` — `ln` is not correctly-rounded
+    * and differs across libm implementations, so a float formulation
+    * could rank ties differently per engine; the rational form ranks
+    * identically (it is monotone in tf/df for fixed N) and reproduces
+    * bit-for-bit. Ties break on the term text.
+    *
+    * Scale shape: tf is one map-side-combined aggregate over exploded
+    * terms; df aggregates the (already distinct) tf pairs; the tf⋈df
+    * equi-join shuffles by term; rank(≤3) engages WindowGroupLimit.
+    */
+  val tfidf: QueryDef = q(
+    "t05_tfidf",
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |               FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.term, tf, df,
+      |         CAST(tf * 1000000 * n.n // df AS BIGINT) AS score_micro
+      |  FROM tf JOIN df ON tf.term = df.term, n)
+      |SELECT doc_id, rn, term, tf, df, score_micro FROM (
+      |  SELECT doc_id, term, tf, df, score_micro,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score_micro DESC, term) AS rn
+      |  FROM scored)
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score_micro",
+        expr(s"CAST(tf * 1000000 * ${n}L div df AS BIGINT)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "term", "tf", "df", "score_micro")
+      .orderBy("doc_id", "rn")
+  }
+
+  def defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, tfidf)
 }
