@@ -84,6 +84,26 @@ object Multimodal {
         posexplode(expr(s"sequence(0, greatest(length(content) - 1, 0), $step)"))
           .as(Seq("frame_idx", "byte_offset")))
 
+  /** STUB resize: shrink each payload to `factor`-strided bytes (stands in
+    * for image downscaling / audio resampling). Same per-partition batch
+    * shape as [[decodeStub]] — a real scaler replaces only the inner
+    * function; the schema (same MediaRow, smaller content) is what
+    * downstream stages contract on.
+    */
+  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    media.mapPartitions { rows =>
+      // real impl: init scaler/codec once per partition here
+      rows.map { r =>
+        val out = new Array[Byte]((r.content.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.content(i * factor); i += 1 }
+        MediaRow(r.media_id, r.kind, out)
+      }
+    }
+  }
+
   private def q(name: String, oracle: String)(
       run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, Some(oracle), run)

@@ -124,6 +124,24 @@ object EventStream {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming exact dedup: drops events whose `event_id` was already seen,
+    * with state BOUNDED by the watermark — the streaming form of the batch
+    * `d01` exact dedup. `dropDuplicatesWithinWatermark` keeps a key's state
+    * only until the watermark passes it (unlike plain `dropDuplicates`,
+    * whose state grows with every distinct key ever seen — unusable on an
+    * unbounded stream). At-least-once dedup within the watermark horizon:
+    * exactly what ingest retries (see [[ingest]]) need upstream.
+    */
+  def dedupe(events: Dataset[Ev]): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("et", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("et")
+      .as[Ev]
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * (small, broadcast) static dimension — the standard pattern for
     * attaching reference data to an event stream without stateful joins.

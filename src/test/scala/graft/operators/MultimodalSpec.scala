@@ -40,4 +40,18 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every media row contributes at least one frame
     assert(frames.select("media_id").distinct().count() == media.count())
   }
+
+  test("resizeStub: strided downsample preserves schema and determinism") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val small = Multimodal.resizeStub(media, factor = 4)
+    assert(small.count() == media.count())
+    val orig = media.filter(col("media_id") === 1).collect().head
+    val shrunk = small.filter(col("media_id") === 1).collect().head
+    assert(shrunk.content.length == (orig.content.length + 3) / 4)
+    assert(shrunk.content.toSeq ==
+      orig.content.indices.collect { case i if i % 4 == 0 => orig.content(i) }.toSeq)
+    // decode composes downstream of resize
+    val feats = Multimodal.decodeStub(small)
+    assert(feats.count() == media.count())
+  }
 }

@@ -108,4 +108,29 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = spark.read.parquet(out).count()
     assert(n == graft.Tables.events(spark, sfDir).count())
   }
+
+  test("watermark-bounded streaming dedup drops replayed events") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev].collect().toSeq
+
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    // batch 1: the events; batch 2: a replay of half of them (a retried
+    // upstream producer) — all inside the watermark horizon
+    input.addData(evs)
+    val q = EventStream.dedupe(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    q.processAllAvailable()
+    input.addData(evs.take(evs.size / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("deduped")
+    assert(out.count() == evs.size, "replayed rows must be dropped")
+    assert(out.select("event_id").distinct().count() == evs.size)
+  }
 }
