@@ -294,6 +294,38 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-label centroid of the quantized embeddings, via the typed
+    * [[graft.functions.VecAgg]] `Aggregator` — the k-means update step
+    * (one shuffle of map-side-combined partial vector sums per label).
+    * The mean divides the EXACT long sum as `(sum / n) / 1e6` with the
+    * same parenthesization on both engines, so each IEEE division is
+    * correctly rounded over exact operands → bit-identical output.
+    */
+  val labelCentroids: QueryDef = q(
+    "s04_label_centroids",
+    s"""WITH j AS (SELECT unnest(range(1, 65)) AS j),
+       |sums AS (
+       |  SELECT label, j.j AS dim,
+       |         CAST(sum(${xiSql("embeddings")}) AS BIGINT) AS s,
+       |         count(*) AS n
+       |  FROM embeddings, j
+       |  GROUP BY label, j.j)
+       |SELECT label, dim,
+       |       (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS centroid
+       |FROM sums
+       |ORDER BY label, dim""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.embeddings(s, d))
+    e.groupBy(col("label"))
+      .agg(graft.functions.VecAgg.vecSum(col("qv")).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col("label"),
+        posexplode(col("sums")).as(Seq("d0", "s")), col("n"))
+      .select(col("label"), (col("d0") + 1).cast("long").as("dim"),
+        (col("s").cast("double") / col("n").cast("double") / lit(1000000.0))
+          .as("centroid"))
+      .orderBy("label", "dim")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(cosineTopk, annBucketed, annIvf, embeddingNearDup)
+    Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup)
 }
