@@ -163,6 +163,41 @@ object Dedup {
     docs.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** EXHAUSTIVE Jaccard pairs (doc_a < doc_b): every pair sharing at least
+    * one shingle of document-frequency ≤ dfCap, kept when exact trigram
+    * Jaccard ≥ threshold. Same inverted-index shape as the d05 query (and
+    * reused by it and by d07's clustering); deterministic-complete where
+    * [[nearDupPairs]] trades recall for the LSH linear scan.
+    */
+  private[operators] def jaccardPairs(
+      docs: DataFrame, jaccardThreshold: Double, dfCap: Int): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        """array_distinct(if(size(ws) < 3, array(),
+          |   transform(sequence(1, size(ws)-2),
+          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin)
+        .as("arr"))
+    val tri = w.select(col("doc_id"), explode(col("arr")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val dfreq = tri.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= dfCap)
+    val a = tri.select(col("doc_id").as("doc_a"), col("h"))
+      .join(dfreq.select("h"), "h")
+    val b = tri.select(col("doc_id").as("doc_b"), col("h").as("h2"))
+    val cand = a.join(b, col("h") === col("h2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val jac = col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter"))
+    cand
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(jac >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        jac.as("jaccard"))
+  }
+
   /** Jaccard-confirmed near-duplicate pairs (doc_a < doc_b): LSH
     * candidates filtered by exact trigram Jaccard ≥ threshold.
     */
@@ -343,48 +378,60 @@ object Dedup {
       |JOIN sz sb ON sb.doc_id = doc_b
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // Inverted-index postings pipeline, the scale shape of shingle overlap:
-    //   1. distinct-per-doc is row-local (array_distinct before explode) —
-    //      no (doc_id, shingle) dedup shuffle, and per-doc set sizes come
-    //      from size(arr) with no aggregation at all;
-    //   2. shingles travel as xxhash64 longs, never strings — the hash is
-    //      internal (absent from the output), so engine/oracle determinism
-    //      is untouched; a collision would need ~2^32 distinct shingles
-    //      per corpus to become likely;
-    //   3. candidate pairs come from the shingle-hash equi-join (sort-merge
-    //      over longs, whole-stage codegen'd). A collect_list posting-list
-    //      formulation was measured 4-5× SLOWER here: higher-order-function
-    //      lambdas evaluate interpreted in Spark, so pair explosion inside
-    //      a lambda loses to the codegen'd join even though it shuffles
-    //      less. The df cap bounds the join fan-out either way.
-    val w = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), expr(
-        """array_distinct(if(size(ws) < 3, array(),
-          |   transform(sequence(1, size(ws)-2),
-          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin)
-        .as("arr"))
-    val tri = w.select(col("doc_id"), explode(col("arr")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfreq = tri.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= 50)
-    val a = tri.select(col("doc_id").as("doc_a"), col("h"))
-      .join(dfreq.select("h"), "h")
-    val b = tri.select(col("doc_id").as("doc_b"), col("h").as("h2"))
-    val cand = a.join(b, col("h") === col("h2") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val jac = col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter"))
-    cand
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .filter(jac >= 0.2)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
-        jac.as("jaccard"))
+    jaccardPairs(Tables.documents(s, d).select("doc_id", "text"), 0.2, 50)
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The d05 oracle's CTE prefix, reused by d07 (which clusters the same
+    * confirmed pair set).
+    */
+  private val pairCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+      |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
+      |        FROM w),
+      |df AS (SELECT s, count(*) AS c FROM tri GROUP BY s),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |         FROM tri a
+      |         JOIN df ON df.s = a.s AND df.c <= 50
+      |         JOIN tri b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |conf AS (SELECT doc_a, doc_b FROM cand
+      |         JOIN sz sa ON sa.doc_id = doc_a
+      |         JOIN sz sb ON sb.doc_id = doc_b
+      |         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2)""".stripMargin
+
+  /** Duplicate clusters as an oracle-checked query: connected components
+    * over the exhaustive Jaccard pair graph (doc_a < doc_b, J ≥ 0.2 —
+    * exactly d05's pair set), each doc labeled with its component's
+    * smallest doc_id.
+    *
+    * The engine side runs the distributed min-label-propagation +
+    * pointer-jumping loop of [[connectedComponents]] (O(log diameter)
+    * rounds of equi-joins); the oracle states the same fixpoint as a
+    * recursive-CTE transitive closure — tractable for DuckDB at gate
+    * scale, quadratic-in-component-size at 100 TB, which is precisely why
+    * the engine does label propagation instead.
+    */
+  val dupClusters: QueryDef = q(
+    "d07_dup_clusters",
+    s"""WITH RECURSIVE $pairCtes,
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM conf
+       |        UNION ALL SELECT doc_b, doc_a FROM conf),
+       |reach(doc_id, r) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT und.a, reach.r FROM und JOIN reach ON reach.doc_id = und.b)
+       |SELECT doc_id, min(r) AS cluster FROM reach
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    connectedComponents(
+      jaccardPairs(Tables.documents(s, d).select("doc_id", "text"), 0.2, 50))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard)
+    Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters)
 }

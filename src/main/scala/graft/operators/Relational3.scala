@@ -118,6 +118,34 @@ object Relational3 {
       .orderBy("l_returnflag")
   }
 
+  /** UNPIVOT (wide → long), the inverse of q35's pivot: per-flag metric
+    * columns melt into (metric, value) rows. Spark's `unpivot` is a
+    * zero-shuffle Expand over the aggregate; value columns are cast to
+    * DOUBLE on both sides so the unified value column has one type.
+    */
+  val unpivotMetrics: QueryDef = q(
+    "q37_unpivot",
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc,
+      |    CAST(count(*) AS DOUBLE) AS n_rows
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value
+      |FROM base UNPIVOT (value FOR metric IN (sum_qty, sum_disc, n_rows))
+      |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_discount").cast("decimal(12,2)")).cast("double").as("sum_disc"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_disc"), col("n_rows")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles)
+    Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles, unpivotMetrics)
 }
