@@ -28,7 +28,8 @@ object QueryCatalog {
       operators.Sampling.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.Skew.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
