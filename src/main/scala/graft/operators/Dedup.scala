@@ -229,11 +229,45 @@ object Dedup {
     * Each round is two equi-joins + a map-side-combined min aggregate.
     * Returns (doc_id, cluster) where cluster is the component's smallest
     * doc_id.
+    *
+    * ADAPTIVE small-graph path: the confirmed-pair graph is usually tiny
+    * relative to the corpus (near-dup pairs, not documents), and the
+    * iterative loop pays ~8 scheduled jobs per round regardless of size.
+    * When the edge count is under `localEdgeThreshold` (default 4M edges
+    * ≈ 64 MB of longs — same order as a broadcast threshold), edges are
+    * collected and union-find runs on the driver in milliseconds; the
+    * distributed loop engages above it. Both paths produce identical
+    * (doc_id, min-id cluster) labels.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, localEdgeThreshold: Long = 4000000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
+    val edgeCount = edges.count()
+    if (edgeCount <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val local = edges.as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      local.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // roots are already the minimum id of each component: unions always
+      // attach the larger root under the smaller
+      val labels = parent.keys.map(v => (v, find(v))).toSeq.sorted
+      return spark.createDataset(labels).toDF("doc_id", "cluster")
+    }
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).persist()
     labels.count()

@@ -36,6 +36,17 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.size == 9)
   }
 
+  test("distributed and driver-local paths agree label-for-label") {
+    // mixed topology: chain + diamond + singleton pair + disjoint triangle
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 13L), (12L, 13L), (20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L))
+    val local = clusters(Dedup.connectedComponents(pairs(es: _*)))
+    val dist = clusters(
+      Dedup.connectedComponents(pairs(es: _*), localEdgeThreshold = 0L))
+    assert(local == dist)
+    assert(local(13L) == 10L && local(32L) == 30L)
+  }
+
   test("duplicate clusters over injected exact copies") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
