@@ -70,6 +70,37 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("p01 hash sampling reads only the needed columns, no shuffle before agg") {
+    val p = plan("p01_sample_hash")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("text"), "sampling must not read the document bodies")
+    // scan → filter → partial agg: exactly one exchange (for the tiny
+    // per-language aggregate), nothing before it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("s03 IVF assignment is map-only: corpus side never shuffles") {
+    val p = plan("s03_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    // exchanges exist only on the tiny probe/window sides; the corpus
+    // subtree (scan → quantize → argmax → join) must be exchange-free,
+    // i.e. no Exchange may sit between the corpus parquet scan and the
+    // probe join. Structural proxy: every hashpartitioning exchange in
+    // the plan keys on qid (the post-join top-k), never on vec_id.
+    assert(!"Exchange hashpartitioning\\(vec_id".r.unanchored.matches(p), p)
+  }
+
+  test("q38 salted join spreads the hot keys: join keys include the salt") {
+    val p = plan("q38_skew_salted")
+    assert(p.contains("__salt"), p)
+  }
+
+  test("q37 unpivot plans as Expand (zero shuffle for the melt itself)") {
+    val p = plan("q37_unpivot")
+    assert(p.contains("Expand"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
