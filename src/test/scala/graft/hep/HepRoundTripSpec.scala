@@ -114,6 +114,17 @@ class HepRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reopening a finalized store is refused (no silent corruption)") {
+    val d2 = dir + "-reopen"
+    val w = new HepWriter(spark, d2)
+    val p = w.newProcess("zz")
+    val b = p.newEvent()
+    b.setPmu(Array(Pmu(1, 2, 3, 4)))
+    p.commitEvent(b)
+    w.close()
+    intercept[IllegalArgumentException] { new HepWriter(spark, d2) }
+  }
+
   test("key formats match the reference (utils.py:7-14)") {
     assert(Keys.eventKey(7, 1000) == "evt-007")
     assert(Keys.eventKey(1234, 1000) == "evt-234")

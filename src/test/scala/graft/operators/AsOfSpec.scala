@@ -63,4 +63,16 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(got == expected)
   }
+
+  test("colliding right payload names require a suffix, then disambiguate") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 7.0)).toDF("sym", "ts", "px")
+    // right payload also named px — ambiguous without a suffix
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(left, quotes, "sym", "ts", "ts")
+    }
+    val r = AsOf.joinAsOf(left, quotes, "sym", "ts", "ts", rightSuffix = "_q")
+    assert(r.columns.toSeq == Seq("sym", "ts", "px", "px_q"))
+    assert(r.collect().head.getDouble(3) == 100.0)
+  }
 }
