@@ -136,5 +136,56 @@ object Sampling {
       .orderBy("source", "split")
   }
 
-  def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, sampleSplit)
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * rows ("packs"). Docs land in 16 hash shards (embarrassingly
+    * parallel), are ordered deterministically within the shard, and a
+    * running token count opens a new pack each time the 2048-token budget
+    * would... be exceeded by strict accumulation: pack index =
+    * floor(cumulative-tokens-before-this-doc / budget), the streaming
+    * formulation every packer (e.g. for LLM pretraining rows) reduces to
+    * when oversized docs must not stall the line.
+    *
+    * One window per shard (16 independent sorts — at 100 TB each shard
+    * sorts in parallel and no global order is ever needed); token counts
+    * reuse t03's whitespace tokenizer. Everything is integer arithmetic.
+    */
+  val sequencePack: QueryDef = q(
+    "p04_sequence_pack",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         CAST(strpos('0123456789abcdef',
+      |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+      |           AS shard,
+      |         len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |         CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT)
+      |           AS pack
+      |  FROM toks)
+      |SELECT shard, pack, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+      |       min(doc_id) AS first_doc
+      |FROM packed
+      |GROUP BY shard, pack
+      |ORDER BY shard, pack""".stripMargin) { (s, d) =>
+    val shard = (expr("instr('0123456789abcdef', " +
+      "substr(md5(cast(doc_id as string)), 1, 1))") - 1).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), shard.as("shard"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("pack",
+        expr("CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) " +
+          "div 2048 AS BIGINT)"))
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("shard", "pack")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(sampleHash, sampleStratified, sampleSplit, sequencePack)
 }
