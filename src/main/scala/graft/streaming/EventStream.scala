@@ -142,6 +142,32 @@ object EventStream {
       .as[Ev]
   }
 
+  /** Stream-STREAM interval join: click→purchase attribution. Each
+    * purchase joins every click by the same user within the preceding
+    * `horizonMin` minutes. Both sides carry a watermark and the join
+    * condition bounds event time in both directions, so Spark can expire
+    * join state as the watermark advances — the requirements for an
+    * unbounded stream-stream inner join to run with bounded memory.
+    */
+  def attribution(events: Dataset[Ev], horizonMin: Int = 30): DataFrame = {
+    val base = events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+    val clicks = base.filter(col("event_type") === "click")
+      .withWatermark("et", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("et").as("ct"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .withWatermark("et", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("et").as("pt"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("pt") >= col("ct") &&
+        col("pt") <= col("ct") + expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("ct"), col("pt"))
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * (small, broadcast) static dimension — the standard pattern for
     * attaching reference data to an event stream without stateful joins.

@@ -109,6 +109,41 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == graft.Tables.events(spark, sfDir).count())
   }
 
+  test("stream-stream interval join equals the batch attribution join") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev]
+
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    input.addData(evs.collect().toSeq)
+    val q = EventStream.attribution(input.toDS(), horizonMin = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attrib")
+      .select("click_id", "purchase_id").collect().map(_.toSeq).toSet
+
+    // same micro truncation as the stream side (ts div 1000)
+    val e = graft.Tables.events(spark, sfDir)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        expr("ts div 1000").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        expr("ts div 1000").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + lit(30L * 60 * 1000000L))
+      .select("click_id", "purchase_id").collect().map(_.toSeq).toSet
+
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must exercise the join")
+  }
+
   test("watermark-bounded streaming dedup drops replayed events") {
     import spark.implicits._
     val evs = graft.Tables.events(spark, sfDir)
