@@ -112,7 +112,12 @@ object Dedup {
     val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi"),
       col("band_val").as("bv"))
-    a.join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+    // merge hint: with both sides shuffled on the band key the two
+    // exchanges canonicalize identically and ReusedExchange computes the
+    // whole signature pipeline ONCE; the default broadcast join would
+    // run it twice (measured slower despite the cheaper join itself)
+    a.hint("merge")
+      .join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
         col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
