@@ -28,7 +28,8 @@ import Schemas._
 final class HepWriter(
     spark: SparkSession,
     path: String,
-    evtsPerChunk: Int = DefaultEvtsPerChunk) {
+    evtsPerChunk: Int = DefaultEvtsPerChunk,
+    compression: String = "zstd") {
 
   // Re-opening a finalized store would corrupt it: close() would append a
   // second copy of every process's metadata row, and fresh processes restart
@@ -166,7 +167,10 @@ final class HepWriter(
         if (rows.isEmpty) return
         val df = spark.createDataset(rows).toDF()
           .withColumn("chunk", expr(s"event_id div $evtsPerChunk"))
+        // per-store codec, the parquet counterpart of the reference's
+        // per-dataset gzip/lzf choice (write/hdf.py:552-564); zstd default
         val w = df.write.mode(SaveMode.Append)
+          .option("compression", compression)
         (if (partitioned) w.partitionBy("process", "chunk") else w)
           .parquet(s"$path/$table")
       }
@@ -197,10 +201,11 @@ final class HepWriter(
         p.numEvts, p.customMeta.toMap)).toSeq
     if (metas.nonEmpty)
       spark.createDataset(metas).write.mode(SaveMode.Append)
+        .option("compression", compression)
         .parquet(s"$path/$ProcessesTable")
     // file-level attrs (layout/version/evts_per_chunk, write/hdf.py:571-576)
     val sidecar =
-      s"""{"layout":"graft-hep","version":1,"evts_per_chunk":$evtsPerChunk}"""
+      s"""{"layout":"graft-hep","version":1,"evts_per_chunk":$evtsPerChunk,"compression":"$compression"}"""
     val p = new java.io.File(s"$path/_meta.json")
     p.getParentFile.mkdirs()
     java.nio.file.Files.writeString(p.toPath, sidecar)

@@ -125,6 +125,23 @@ class HepRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { new HepWriter(spark, d2) }
   }
 
+  test("per-store compression codec reaches the parquet files") {
+    val d2 = dir + "-gz"
+    val w = new HepWriter(spark, d2, evtsPerChunk = 10, compression = "gzip")
+    val p = w.newProcess("cz")
+    val b = p.newEvent()
+    b.setPmu(Array(Pmu(1, 2, 3, 4)))
+    p.commitEvent(b)
+    w.close()
+    def parquetFiles(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(parquetFiles)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getName) else Nil
+    val files = parquetFiles(new java.io.File(d2))
+    assert(files.nonEmpty)
+    assert(files.forall(_.endsWith(".gz.parquet")),
+      s"expected gzip-coded files, got: $files")
+  }
+
   test("key formats match the reference (utils.py:7-14)") {
     assert(Keys.eventKey(7, 1000) == "evt-007")
     assert(Keys.eventKey(1234, 1000) == "evt-234")
