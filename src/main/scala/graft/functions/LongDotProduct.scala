@@ -64,9 +64,18 @@ case class LongDotProduct(left: Expression, right: Expression)
   * registry, making them usable from `expr(...)` and `spark.sql(...)`.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    // idempotent: every query builder calls this; re-registering floods
+    // the logs with "replaced a previously registered function" warnings
+    val registry = spark.sessionState.functionRegistry
+    def missing(name: String) = !registry.functionExists(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    if (missing("long_dot"))
+      registry.createOrReplaceTempFunction(
+        "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
+    if (missing("vec_sum"))
+      spark.udf.register("vec_sum", VecAgg.vecSum)
+  }
 }
 
 /** SparkSessionExtensions hook: the deployment-grade registration path —
