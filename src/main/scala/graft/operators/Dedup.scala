@@ -122,15 +122,17 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Distinct word-trigram shingles per doc: (doc_id, s). */
+  /** Distinct word-trigram shingles per doc: (doc_id, s). Per-doc
+    * distinctness is row-local (array_distinct before the explode), so
+    * this is a pure map — no dedup shuffle.
+    */
   private def trigrams(doc: DataFrame): DataFrame =
     doc.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
-        """if(size(ws) < 3, array(),
+        """array_distinct(if(size(ws) < 3, array(),
           |   transform(sequence(1, size(ws)-2),
-          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])))""".stripMargin))
+          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin))
         .as("s"))
-      .distinct()
 
   /** End-to-end near-duplicate REMOVAL pipeline: MinHash+LSH candidate
     * generation (linear) → exact trigram-Jaccard verification on the
