@@ -187,7 +187,9 @@ object TextAnalysis {
       |WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    // N as a broadcast 1-row relation, not a driver-side count() action —
+    // one job per invocation instead of two
+    val n = docs.agg(count(lit(1)).as("n_total"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -195,8 +197,9 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("term"))
     tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
       .withColumn("score_micro",
-        expr(s"CAST(tf * 1000000 * ${n}L div df AS BIGINT)"))
+        expr("CAST(tf * 1000000 * n_total div df AS BIGINT)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("doc_id", "rn", "term", "tf", "df", "score_micro")
