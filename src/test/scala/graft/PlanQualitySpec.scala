@@ -101,6 +101,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Expand"), p)
   }
 
+  test("d05 shingle pipeline: no row-level dedup shuffle, long join keys") {
+    val p = plan("d05_dedup_ngram_jaccard")
+    // per-doc distinctness is array_distinct (row-local); a (doc_id, s)
+    // HashAggregate-distinct before the join would betray a regression
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("xxhash64"), "shingles must travel hashed, not as strings")
+  }
+
+  test("t05 corpus count is folded into the plan (broadcast scalar)") {
+    val p = plan("t05_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
