@@ -180,6 +180,40 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Two-step conversion funnel: users who clicked, and of those, users
+    * with a purchase STRICTLY AFTER their first click — the ordered-
+    * sequence semantics that separate a funnel from two independent
+    * counts. Shape: two grouped min-aggregates and one equi-join on
+    * user_id; each step's output is one row per converting user, so the
+    * final counts are trivial.
+    */
+  val funnel: QueryDef = q(
+    "q39_funnel",
+    """WITH c AS (SELECT user_id, min(epoch_ns(ts)) AS c1
+      |           FROM events WHERE event_type = 'click' GROUP BY user_id),
+      |p AS (SELECT e.user_id
+      |      FROM events e JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.c1
+      |      GROUP BY e.user_id)
+      |SELECT '1_click' AS step, count(*) AS n_users FROM c
+      |UNION ALL
+      |SELECT '2_click_then_purchase' AS step, count(*) AS n_users FROM p
+      |ORDER BY step""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("c1"))
+      .select(col("user_id")).distinct()
+    c.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_click").as("step"), col("n_users"))
+      .union(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_then_purchase").as("step"), col("n_users")))
+      .orderBy("step")
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    windowRunning, hourlyRollup, sessionize, asofJoin, timeRangeJoin, jsonExtract)
+    windowRunning, hourlyRollup, sessionize, asofJoin, timeRangeJoin,
+    jsonExtract, funnel)
 }
