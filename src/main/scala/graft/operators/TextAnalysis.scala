@@ -206,5 +206,41 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
-  def defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, tfidf)
+  /** Bigram commonality: the mean corpus document-frequency of each
+    * document's distinct word bigrams — high values flag boilerplate-like
+    * phrasing, low values novel text (the cheap perplexity proxy that
+    * needs no model). Integer-exact: `sum(df) * 1e6 / n` in BIGINT floor
+    * division, for the same libm-independence reason as t05.
+    */
+  val bigramCommonality: QueryDef = q(
+    "t06_bigram_commonality",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(ws)-1, 0)+1),
+      |           i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1])) AS b
+      |       FROM w),
+      |df AS (SELECT b, count(*) AS df FROM bg GROUP BY b)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(df.df) * 1000000 // count(*) AS BIGINT) AS common_micro
+      |FROM bg JOIN df ON bg.b = df.b
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(if(size(ws) < 2, array(),
+          |   transform(sequence(1, size(ws)-1),
+          |     i -> concat(ws[i-1], ' ', ws[i]))))""".stripMargin))
+        .as("b"))
+    val dfreq = bg.groupBy(col("b")).agg(count(lit(1)).as("df"))
+    bg.join(dfreq, "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("df")).as("sum_df"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("CAST(sum_df * 1000000 div n_bigrams AS BIGINT)").as("common_micro"))
+      .orderBy("doc_id")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality)
 }
