@@ -355,27 +355,31 @@ object Dedup {
     * near-duplicate docs land on equal/close fingerprints. Explode + one
     * map-side-combined aggregate.
     */
-  val simhash: QueryDef = q(
-    "d04_dedup_simhash", {
-      val sums = (0 until 16).map { b =>
-        val j = b / 4; val p = b % 4
-        s"sum(CASE WHEN (n$j >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
-      }.mkString(", ")
-      val fp = (0 until 16)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |h AS (SELECT doc_id, md5(word) AS hx FROM w),
-         |nib AS (SELECT doc_id,
-         |  strpos('0123456789abcdef', substr(hx,1,1))-1 AS n0,
-         |  strpos('0123456789abcdef', substr(hx,2,1))-1 AS n1,
-         |  strpos('0123456789abcdef', substr(hx,3,1))-1 AS n2,
-         |  strpos('0123456789abcdef', substr(hx,4,1))-1 AS n3 FROM h),
-         |sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id)
-         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums
-         |ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-    val nib = Tables.documents(s, d)
+  /** DuckDB CTE prefix computing (doc_id, simhash) as `fps` — shared by
+    * d04 (fingerprints) and d08 (hamming pairing).
+    */
+  private val simhashCtes: String = {
+    val sums = (0 until 16).map { b =>
+      val j = b / 4; val p = b % 4
+      s"sum(CASE WHEN (n$j >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val fp = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, md5(word) AS hx FROM w),
+       |nib AS (SELECT doc_id,
+       |  strpos('0123456789abcdef', substr(hx,1,1))-1 AS n0,
+       |  strpos('0123456789abcdef', substr(hx,2,1))-1 AS n1,
+       |  strpos('0123456789abcdef', substr(hx,3,1))-1 AS n2,
+       |  strpos('0123456789abcdef', substr(hx,4,1))-1 AS n3 FROM h),
+       |sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  /** Spark side of the same fingerprint: (doc_id, simhash LONG). */
+  private def simhashFps(doc: DataFrame): DataFrame = {
+    val nib = doc
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), md5(col("word")).as("hx"))
       .select(col("doc_id") +:
@@ -390,7 +394,51 @@ object Dedup {
     val fp = (0 until 16)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    sums.select(col("doc_id"), fp.cast("long").as("simhash")).orderBy("doc_id")
+    sums.select(col("doc_id"), fp.cast("long").as("simhash"))
+  }
+
+  val simhash: QueryDef = q(
+    "d04_dedup_simhash",
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM fps
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    simhashFps(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** SimHash near-duplicate PAIRS: all doc pairs whose 16-bit fingerprints
+    * differ in ≤ 3 bits. The hamming join runs over the DISTINCT
+    * fingerprint table — bounded by 2^16 regardless of corpus size — and
+    * only then expands to documents via two equi-joins, so the corpus is
+    * never self-joined. This is the sketch-pairing counterpart of d03's
+    * banding: constant-size candidate structure, linear expansion.
+    */
+  val simhashPairs: QueryDef = q(
+    "d08_simhash_pairs",
+    s"""WITH $simhashCtes,
+       |d AS (SELECT DISTINCT simhash FROM fps),
+       |close_fp AS (
+       |  SELECT a.simhash AS f1, b.simhash AS f2
+       |  FROM d a JOIN d b
+       |    ON bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3)
+       |SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b,
+       |       bit_count(CAST(xor(fa.simhash, fb.simhash) AS BIGINT)) AS hamming
+       |FROM close_fp
+       |JOIN fps fa ON fa.simhash = f1
+       |JOIN fps fb ON fb.simhash = f2
+       |WHERE fa.doc_id < fb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val fps = simhashFps(Tables.documents(s, d))
+    val dfp = fps.select(col("simhash")).distinct()
+    val close = dfp.select(col("simhash").as("f1"))
+      .join(dfp.select(col("simhash").as("f2")),
+        bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3)
+    close
+      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("f1")), "f1")
+      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("f2")), "f2")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact word-trigram Jaccard over inverted-index candidates: docs share
@@ -474,5 +522,5 @@ object Dedup {
   }
 
   def defs: Seq[QueryDef] =
-    Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters)
+    Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters, simhashPairs)
 }
