@@ -34,13 +34,20 @@ object Bench {
     // Two measured passes, min per query: a single pass is exposed to
     // ±10% box noise with occasional multi-second outliers under load;
     // the min is the standard steady-state estimator for that regime.
+    // A failed pass records +Infinity so min() prefers the pass that
+    // actually completed (a fast time-to-throw must not masquerade as a
+    // fast run); both passes failing reports -1.
     def pass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
     val (p1, p2) = (pass(), pass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, v) =>
+      val m = math.min(v, p2(k))
+      k -> (if (m.isInfinity) -1.0 else m)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

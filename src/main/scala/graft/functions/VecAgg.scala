@@ -26,6 +26,8 @@ object VecAgg {
       private def add(b: Array[Long], v: Seq[Long]): Array[Long] =
         if (b.isEmpty) v.toArray
         else {
+          require(v.length == b.length,
+            s"vecSum over ragged vectors: ${v.length} vs ${b.length} elements")
           var i = 0
           while (i < b.length) { b(i) += v(i); i += 1 }
           b

@@ -31,14 +31,20 @@ final class HepWriter(
     evtsPerChunk: Int = DefaultEvtsPerChunk,
     compression: String = "zstd") {
 
-  // Re-opening a finalized store would corrupt it: close() would append a
+  // Re-opening an existing store would corrupt it: close() would append a
   // second copy of every process's metadata row, and fresh processes restart
-  // event_id at 0, colliding with existing (process, event_id) keys. The
-  // reference's h5py backing has the same constraint (opening an existing
-  // file in "w" mode truncates); here we refuse instead of truncating.
-  require(!new java.io.File(s"$path/_meta.json").exists(),
-    s"hep store at $path already exists (finalized by a previous close()); " +
-      "write to a fresh path — in-place append is not supported")
+  // event_id at 0, colliding with existing (process, event_id) keys. This
+  // covers BOTH a finalized store (_meta.json present) and the debris of a
+  // writer that crashed before close() (member dirs without the sidecar) —
+  // appending over either silently duplicates keys. The reference's h5py
+  // backing has the same constraint (opening an existing file in "w" mode
+  // truncates); here we refuse instead of truncating.
+  require({
+    val d = new java.io.File(path)
+    !d.exists() || Option(d.listFiles()).forall(_.isEmpty)
+  }, s"hep store path $path already contains data (a finalized store, or " +
+    "a crashed writer's partial output); write to a fresh path — " +
+    "in-place append is not supported")
 
   /** Builder for one event (reference `HdfEventWriter`). */
   final class EventBuilder private[HepWriter] (

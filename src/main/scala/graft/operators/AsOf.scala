@@ -30,12 +30,20 @@ object AsOf {
     *                    collides with a left column (otherwise the output
     *                    would carry duplicate names and any select(name)
     *                    downstream fails with ambiguity)
+    * @param tieBreak    right-side column names that deterministically
+    *                    order multiple right rows sharing the same
+    *                    (key, time) — the row LARGEST under this ordering
+    *                    is attached. Without it such ties resolve by
+    *                    partition order (nondeterministic across runs);
+    *                    pass a unique id column when the right side can
+    *                    carry same-instant duplicates.
     */
   def joinAsOf(
       left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       strict: Boolean = false,
-      rightSuffix: String = ""): DataFrame = {
+      rightSuffix: String = "",
+      tieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val rightPayloadCols = right.columns.filter(c => c != key && c != rightTime)
     val collisions = rightPayloadCols.map(_ + rightSuffix).toSet
@@ -53,19 +61,27 @@ object AsOf {
     //   non-strict: right first → same-time right rows are matched.
     val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
 
+    val tbType = StructType(tieBreak.map(right.schema(_)))
+    val tbCol =
+      if (tieBreak.isEmpty) lit(null).cast("int") else struct(tieBreak.map(col): _*)
     val l = left.select(
       col(key).as("__k"), col(leftTime).as("__t"),
       lit(leftSide).as("__side"),
       struct(left.columns.map(col): _*).as("__l"),
-      lit(null).cast(payloadType).as("__r"))
+      lit(null).cast(payloadType).as("__r"),
+      (if (tieBreak.isEmpty) lit(null).cast("int")
+       else lit(null).cast(tbType)).as("__tb"))
     val r = right.select(
       col(key).as("__k"), col(rightTime).as("__t"),
       lit(rightSide).as("__side"),
       lit(null).cast(leftType).as("__l"),
-      payload.as("__r"))
+      payload.as("__r"),
+      tbCol.as("__tb"))
 
+    // __tb participates only among same-side (right) rows: left rows carry
+    // null and never share a (__t, __side) slot with right rows
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))

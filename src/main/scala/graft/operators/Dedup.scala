@@ -271,8 +271,10 @@ object Dedup {
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       // roots are already the minimum id of each component: unions always
-      // attach the larger root under the smaller
-      val labels = parent.keys.map(v => (v, find(v))).toSeq.sorted
+      // attach the larger root under the smaller. Snapshot the keys first:
+      // find() path-compresses (mutates the map) and iterating a live view
+      // while mutating is undefined for mutable.HashMap
+      val labels = parent.keys.toSeq.map(v => (v, find(v))).sorted
       return spark.createDataset(labels).toDF("doc_id", "cluster")
     }
     var labels = edges.select(col("src").as("doc_id")).distinct()

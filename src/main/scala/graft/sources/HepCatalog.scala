@@ -63,6 +63,11 @@ class HepCatalog extends TableCatalog with SupportsNamespaces {
 
   private def storeDir(ns: Array[String]): java.io.File = {
     if (ns.length != 1) throw new NoSuchNamespaceException(ns)
+    // same traversal guard as table names: a namespace is a plain child
+    // directory name, never a path
+    if (ns.head.isEmpty || ns.head.startsWith(".") ||
+        ns.head.contains('/') || ns.head.contains('\\'))
+      throw new NoSuchNamespaceException(ns)
     val dir = if (isStore(root) && ns.head == "default") root
       else new java.io.File(root, ns.head)
     if (!isStore(dir)) throw new NoSuchNamespaceException(ns)
@@ -108,7 +113,16 @@ class HepCatalog extends TableCatalog with SupportsNamespaces {
       .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name()).toArray
   }
 
+  /** Table names the catalog will resolve: plain member-directory names.
+    * Anything with a path separator or a leading dot/underscore (internal
+    * files, `..` traversal out of the store root) is NOT a table.
+    */
+  private def validTableName(name: String): Boolean =
+    name.nonEmpty && !name.startsWith("_") && !name.startsWith(".") &&
+      !name.contains('/') && !name.contains('\\')
+
   override def loadTable(ident: Identifier): Table = {
+    if (!validTableName(ident.name())) throw new NoSuchTableException(ident)
     val dir = new java.io.File(storeDir(ident.namespace()), ident.name())
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
     ParquetTable(

@@ -64,6 +64,18 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("tieBreak pins which same-instant right duplicate is attached") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "t")).toDF("sym", "ts", "trade")
+    val dupQuotes = Seq((1L, 10L, 100.0, 1L), (1L, 10L, 200.0, 2L))
+      .toDF("sym", "ts", "px", "seq")
+    val r = AsOf.joinAsOf(left, dupQuotes.repartition(5), "sym", "ts", "ts",
+      tieBreak = Seq("seq"))
+    // largest seq wins, deterministically
+    assert(r.select("px").collect().head.getDouble(0) == 200.0)
+    assert(r.select("seq").collect().head.getLong(0) == 2L)
+  }
+
   test("colliding right payload names require a suffix, then disambiguate") {
     import spark.implicits._
     val left = Seq((1L, 10L, 7.0)).toDF("sym", "ts", "px")

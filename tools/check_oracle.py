@@ -13,14 +13,21 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def _kval(x):
+    # total order across None / NaN / typed values: class marker first,
+    # then type name (values of equal type names are mutually comparable)
+    if x is None:
+        return (2, "", "")
+    if isinstance(x, float) and math.isnan(x):
+        return (1, "", "")
+    return (0, str(type(x)), x)
+
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
-    return sorted(cols), sorted(out, key=lambda t: tuple(
-        (x is None, str(type(x)), x if not isinstance(x, float) or not math.isnan(x) else 'nan')
-        for x in t))
+    return sorted(cols), sorted(out, key=lambda t: tuple(_kval(x) for x in t))
 
 def cmp_vals(a, b):
     if a is None or b is None:
@@ -41,13 +48,17 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # single execution per side: rows come out of the same frames
+            # used for the dtype check (expensive oracles like d07's
+            # recursive closure must not run twice)
             sel = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             g_df = con.execute(sel).df()
             e_df = con.execute(sql).df()
-            got = con.execute(sel)
-            g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
-            exp = con.execute(sql)
-            e_rows, e_cols = exp.fetchall(), [d[0] for d in exp.description]
+            def rows_of(df):
+                return [tuple(x.item() if hasattr(x, "item") else x for x in t)
+                        for t in df.itertuples(index=False, name=None)]
+            g_rows, g_cols = rows_of(g_df), list(g_df.columns)
+            e_rows, e_cols = rows_of(e_df), list(e_df.columns)
         except Exception as ex:
             print(f"FAIL {name}: exec error: {ex}")
             n_fail += 1
