@@ -263,10 +263,56 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** EXACT all-pairs cosine-threshold pairs via the block-pair (1-bucket-
+    * theta) decomposition — the scale-safe plan shape for an inherently
+    * quadratic exact semantics.
+    *
+    * Why not LSH/pruning here: the gate data's qualifying pairs start at
+    * cos 0.4005 with a dense continuum just below the 0.4 threshold, and
+    * per-label angular radii are ~90-110° (measured) — so sign-LSH recall
+    * is necessarily < 1 and the sound angular-triangle-inequality prune
+    * (θ_ij − r_i − r_j > acos(T)) eliminates zero block pairs. Exact
+    * threshold search on such data is Ω(n²) compute; what CAN be fixed is
+    * the plan: a BroadcastNestedLoopJoin serializes the corpus through the
+    * driver and caps out at one broadcast, whereas this decomposition
+    * shuffles each side into `blocks` hash blocks, broadcasts only the
+    * tiny (blockA, blockB) pair relation, and runs the scoring as a
+    * shuffle-partitioned EQUI-join: every (blockA, blockB) cell is an
+    * independent task with n/B-bounded build side, so the quadratic work
+    * spreads evenly over a 1000-executor cluster. The approximate
+    * recall-for-cost path remains [[annBucketed]] (sign-LSH buckets).
+    *
+    * @param blocks number of hash blocks per side; size to ~2× cluster
+    *               parallelism (tasks = blocks²; per-task memory = n/blocks
+    *               quantized vectors)
+    */
+  def allPairsCosine(emb: DataFrame, threshold: Double,
+      blocks: Int = 32): DataFrame = {
+    val e = withQuant(emb)
+    val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qe"),
+      col("sq").as("q_sq"), pmod(col("vec_id"), lit(blocks)).cast("int").as("ba"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qv").as("ce"),
+      col("sq").as("c_sq"), pmod(col("vec_id"), lit(blocks)).cast("int").as("bb"))
+    // all (pi, pj) ordered block pairs: each unordered vector pair lands in
+    // exactly one cell (its blocks determine the cell; vec_a < vec_b picks
+    // the orientation), so no dedup pass is needed afterwards
+    val rel = e.sparkSession.range(blocks.toLong * blocks).select(
+      (col("id") / blocks).cast("int").as("pi"),
+      pmod(col("id"), lit(blocks)).cast("int").as("pj"))
+    a.join(broadcast(rel), col("ba") === col("pi"))
+      .join(b.hint("shuffle_hash"),
+        col("pj") === col("bb") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosCol(expr(dotRawSql("qe", "ce")), col("q_sq"), col("c_sq")).as("cos"))
+      .filter(col("cos") > threshold)
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine > 0.4 (the
-    * data's near-dup band; random 64-dim pairs concentrate near 0). The
-    * exact all-pairs form is the correctness baseline; the bucketed variant
-    * above is the scale path.
+    * data's near-dup band; random 64-dim pairs concentrate near 0). Exact
+    * semantics (the oracle states the plain all-pairs form); the engine
+    * runs the block-pair equi-join decomposition of [[allPairsCosine]] —
+    * no BroadcastNestedLoopJoin anywhere in the plan (asserted in
+    * PlanQualitySpec).
     */
   val embeddingNearDup: QueryDef = q(
     "d06_dedup_embedding",
@@ -282,16 +328,7 @@ object Similarity {
        |SELECT vec_a, vec_b, cos FROM scored
        |WHERE cos > 0.4
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val e = withQuant(Tables.embeddings(s, d))
-    val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qe"),
-      col("sq").as("q_sq"))
-    val b = e.select(col("vec_id").as("vec_b"), col("qv").as("ce"),
-      col("sq").as("c_sq"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        cosCol(expr(dotRawSql("qe", "ce")), col("q_sq"), col("c_sq")).as("cos"))
-      .filter(col("cos") > 0.4)
-      .orderBy("vec_a", "vec_b")
+    allPairsCosine(Tables.embeddings(s, d), 0.4).orderBy("vec_a", "vec_b")
   }
 
   /** Per-label centroid of the quantized embeddings, via the typed

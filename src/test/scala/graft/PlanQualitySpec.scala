@@ -109,6 +109,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("xxhash64"), "shingles must travel hashed, not as strings")
   }
 
+  test("d06 exact pair scoring is a partitioned equi-join, never a BNLJ") {
+    val p = plan("d06_dedup_embedding")
+    // the block-pair decomposition must plan the corpus×corpus scoring as
+    // a shuffle-partitioned equi-join on the block cell — a
+    // BroadcastNestedLoopJoin here would serialize the corpus through the
+    // driver and cannot scale out
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("t05 corpus count is folded into the plan (broadcast scalar)") {
     val p = plan("t05_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

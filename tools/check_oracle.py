@@ -48,17 +48,23 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            # single execution per side: rows come out of the same frames
-            # used for the dtype check (expensive oracles like d07's
-            # recursive closure must not run twice)
+            # single execution per side, via Arrow: value rows keep exact
+            # nullable-integer types (pandas would coerce BIGINT-with-NULLs
+            # to float64, rounding values above 2^53 on BOTH sides and
+            # masking real diffs), while the pandas-kind probe below still
+            # sees the driver's coercion via to_pandas() — no re-execution
+            # (expensive oracles like d07's recursive closure must not run
+            # twice)
             sel = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            g_df = con.execute(sel).df()
-            e_df = con.execute(sql).df()
-            def rows_of(df):
-                return [tuple(x.item() if hasattr(x, "item") else x for x in t)
-                        for t in df.itertuples(index=False, name=None)]
-            g_rows, g_cols = rows_of(g_df), list(g_df.columns)
-            e_rows, e_cols = rows_of(e_df), list(e_df.columns)
+            g_at = con.execute(sel).arrow()
+            e_at = con.execute(sql).arrow()
+            g_df = g_at.to_pandas()
+            e_df = e_at.to_pandas()
+            def rows_of(at):
+                cols = [c.to_pylist() for c in at.columns]
+                return [tuple(c[i] for c in cols) for i in range(at.num_rows)]
+            g_rows, g_cols = rows_of(g_at), list(g_at.column_names)
+            e_rows, e_cols = rows_of(e_at), list(e_at.column_names)
         except Exception as ex:
             print(f"FAIL {name}: exec error: {ex}")
             n_fail += 1
