@@ -42,6 +42,16 @@ object EngineSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Subset-key co-partitioning: tables co-bucketed on (process,
+      // event_id) must join exchange-free on (process, event_id, vtx) —
+      // the bucket keys cluster any superset join key. The default (true)
+      // forces a full reshuffle whenever partitioning keys != join keys,
+      // throwing away the store's co-location; the skew the default guards
+      // against does not apply to a layout keyed on the high-cardinality
+      // (process, event_id). Applies only when both sides are already
+      // compatibly partitioned, so plans without bucketed inputs are
+      // unaffected.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
 
   def local(cores: String = defaultCores): SparkSession = {
     val s = builder(cores).getOrCreate()
@@ -57,4 +67,5 @@ object EngineSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
 }

@@ -21,10 +21,17 @@ final class HepReader(spark: SparkSession, path: String) {
   private def table(name: String): DataFrame =
     spark.read.parquet(s"$path/$name")
 
-  /** All process metadata (the tiny broadcastable dimension). */
+  /** All process metadata (the tiny broadcastable dimension). Stores
+    * written before the decay surface existed lack `in_pcls`/`out_pcls`;
+    * they are patched in as empty arrays so old stores keep opening
+    * (schema evolution, additive-columns-only).
+    */
   def processes: Dataset[ProcessMeta] = {
     import spark.implicits._
-    table(ProcessesTable).as[ProcessMeta]
+    var df = table(ProcessesTable)
+    for (c <- Seq("in_pcls", "out_pcls") if !df.columns.contains(c))
+      df = df.withColumn(c, typedLit(Seq.empty[Int]))
+    df.as[ProcessMeta]
   }
 
   /** Process lookup by key (reference `HdfReader.__getitem__`). */
@@ -34,15 +41,18 @@ final class HepReader(spark: SparkSession, path: String) {
     new ProcessReader(metas.head)
   }
 
-  def evtsPerChunk: Int = {
-    val f = new java.io.File(s"$path/_meta.json")
-    if (!f.exists()) DefaultEvtsPerChunk
-    else {
-      val s = java.nio.file.Files.readString(f.toPath)
-      "\"evts_per_chunk\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-        .map(_.group(1).toInt).getOrElse(DefaultEvtsPerChunk)
+  /** File-level `evts_per_chunk` attr from the `_meta.json` sidecar, read
+    * through the Hadoop `FileSystem` of the store's path (works on any
+    * scheme — a `java.io.File` read would silently miss the sidecar on
+    * HDFS/S3 and mis-address every chunk of a non-default store).
+    */
+  def evtsPerChunk: Int =
+    HadoopIo.readString(spark, s"$path/_meta.json") match {
+      case None => DefaultEvtsPerChunk
+      case Some(s) =>
+        "\"evts_per_chunk\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt).getOrElse(DefaultEvtsPerChunk)
     }
-  }
 
   final class ProcessReader private[HepReader] (val meta: ProcessMeta) {
     // eager metadata snapshot, like the reference's attr cache
@@ -61,6 +71,14 @@ final class HepReader(spark: SparkSession, path: String) {
       */
     @deprecated("use processString", "0.1.0")
     def string: String = processString
+
+    /** Deprecated reference surface (`decay` property,
+      * `read/hdf.py:482-485`: dict of `in_pcls`/`out_pcls` PDG arrays;
+      * deprecated there in favour of `signal_pdgs`): use [[signalPdgs]].
+      */
+    @deprecated("use signalPdgs", "0.1.0")
+    def decay: Map[String, Seq[Int]] =
+      Map("in_pcls" -> meta.in_pcls, "out_pcls" -> meta.out_pcls)
 
     /** Deprecated reference surface (`read_event(n)`): use [[event]]. */
     @deprecated("use event(n)", "0.1.0")
@@ -122,9 +140,22 @@ final class HepReader(spark: SparkSession, path: String) {
       if (r.isEmpty) 0L else r.head.getLong(0)
     }
 
-    /** Custom dataset by name (`custom[name]`). */
-    def custom(name: String): DataFrame =
-      slice(proc.custom).where(col("name") === name).select("values")
+    /** Custom dataset by name (`custom[name]`): `values` carries 1-D
+      * doubles (first column, as always), `values_long` 1-D ints,
+      * `values_2d` 2-D doubles, with `dtype` saying which one this
+      * dataset populated (f8 / i8 / f8_2d) — the reference's
+      * any-dtype/any-shape passthrough (`write/hdf.py:113-124`) without
+      * coercing everything through doubles. Stores written before the
+      * typed columns existed surface them as empty arrays.
+      */
+    def custom(name: String): DataFrame = {
+      var df = slice(proc.custom).where(col("name") === name)
+      if (!df.columns.contains("dtype"))
+        df = df.withColumn("dtype", lit("f8"))
+          .withColumn("values_long", typedLit(Seq.empty[Long]))
+          .withColumn("values_2d", typedLit(Seq.empty[Seq[Double]]))
+      df.select("values", "values_long", "values_2d", "dtype")
+    }
 
     /** Event custom metadata. */
     def customMeta: Map[String, String] = {

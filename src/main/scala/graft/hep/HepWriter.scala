@@ -3,6 +3,7 @@ package graft.hep
 import scala.collection.mutable
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import HepWriter.CustomData
 import Schemas._
 
 /** Write path of the hep facade (reference S7-S11, `write/hdf.py`).
@@ -34,17 +35,22 @@ final class HepWriter(
   // Re-opening an existing store would corrupt it: close() would append a
   // second copy of every process's metadata row, and fresh processes restart
   // event_id at 0, colliding with existing (process, event_id) keys. This
-  // covers BOTH a finalized store (_meta.json present) and the debris of a
-  // writer that crashed before close() (member dirs without the sidecar) —
-  // appending over either silently duplicates keys. The reference's h5py
-  // backing has the same constraint (opening an existing file in "w" mode
-  // truncates); here we refuse instead of truncating.
+  // covers a finalized store (_meta.json present), the debris of a writer
+  // that crashed before close() (member dirs without the sidecar), AND a
+  // path occupied by a regular file — appending over any of these silently
+  // duplicates keys or fails opaquely later. The reference's h5py backing
+  // has the same constraint (opening an existing file in "w" mode
+  // truncates); here we refuse instead of truncating. Checked through the
+  // path's Hadoop FileSystem so the guard holds on HDFS/S3, not just local
+  // disk.
   require({
-    val d = new java.io.File(path)
-    !d.exists() || Option(d.listFiles()).forall(_.isEmpty)
-  }, s"hep store path $path already contains data (a finalized store, or " +
-    "a crashed writer's partial output); write to a fresh path — " +
-    "in-place append is not supported")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = HadoopIo.fs(spark, path)
+    !f.exists(p) ||
+      (f.getFileStatus(p).isDirectory && f.listStatus(p).isEmpty)
+  }, s"hep store path $path already contains data (a finalized store, a " +
+    "crashed writer's partial output, or a non-directory); write to a " +
+    "fresh path — in-place append is not supported")
 
   /** Builder for one event (reference `HdfEventWriter`). */
   final class EventBuilder private[HepWriter] (
@@ -58,7 +64,7 @@ final class HepWriter(
     private[HepWriter] var edges: Array[(Int, Int)] = Array.empty
     private[HepWriter] var edgeWeights: Array[Double] = Array.empty
     private[HepWriter] val masks = mutable.LinkedHashMap.empty[String, Array[Boolean]]
-    private[HepWriter] val custom = mutable.LinkedHashMap.empty[String, Array[Double]]
+    private[HepWriter] val custom = mutable.LinkedHashMap.empty[String, CustomData]
     private[HepWriter] val customMeta = mutable.LinkedHashMap.empty[String, String]
 
     private def checkCount(what: String, n: Int): Unit = numPcls match {
@@ -92,8 +98,26 @@ final class HepWriter(
       checkCount(s"mask '$name'", v.length); masks(name) = v; this
     }
 
-    /** Named custom 1-D dataset; NOT row-count-checked (reference behavior). */
-    def setCustom(name: String, v: Array[Double]): this.type = { custom(name) = v; this }
+    /** Named custom 1-D double dataset; NOT row-count-checked (reference
+      * behavior, `write/hdf.py:113-124`: any dtype/shape passes through).
+      */
+    def setCustom(name: String, v: Array[Double]): this.type = {
+      custom(name) = CustomData("f8", doubles = v); this
+    }
+
+    /** Named custom 1-D integer dataset — int custom data must not coerce
+      * through doubles (lossy above 2^53).
+      */
+    def setCustom(name: String, v: Array[Long]): this.type = {
+      custom(name) = CustomData("i8", longs = v); this
+    }
+
+    /** Named custom 2-D double dataset (ragged rows allowed, like numpy
+      * object arrays through the reference's passthrough).
+      */
+    def setCustom2d(name: String, v: Array[Array[Double]]): this.type = {
+      custom(name) = CustomData("f8_2d", grid = v); this
+    }
 
     def setCustomMeta(name: String, v: String): this.type = { customMeta(name) = v; this }
   }
@@ -104,6 +128,8 @@ final class HepWriter(
     private[HepWriter] var signalPdgs: Seq[Int] = Nil
     private[HepWriter] var comE: Double = 0.0
     private[HepWriter] var eUnit: String = "GeV"
+    private[HepWriter] var inPcls: Seq[Int] = Nil
+    private[HepWriter] var outPcls: Seq[Int] = Nil
     private[HepWriter] val customMeta = mutable.LinkedHashMap.empty[String, String]
     private[HepWriter] var nextEventId: Long = 0L
     private[HepWriter] var numEvts: Long = 0L
@@ -113,6 +139,16 @@ final class HepWriter(
     def setSignalPdgs(p: Seq[Int]): this.type = { signalPdgs = p; this }
     def setComEnergy(e: Double, unit: String): this.type = { comE = e; eUnit = unit; this }
     def setCustomMeta(k: String, v: String): this.type = { customMeta(k) = v; this }
+
+    /** Deprecated legacy surface (reference `write/hdf.py:447-465`
+      * `decay` setter, itself deprecated in favour of `signal_pdgs`):
+      * incoming/outgoing hard-process PDG lists, kept so migrated stores
+      * preserve them.
+      */
+    @deprecated("use setSignalPdgs", "0.1.0")
+    def setDecay(in: Seq[Int], out: Seq[Int]): this.type = {
+      inPcls = in; outPcls = out; this
+    }
 
     /** Opens the next event (monotonic event_id, like `_evt_idx`). */
     def newEvent(): EventBuilder = {
@@ -166,7 +202,10 @@ final class HepWriter(
       val eventRows = evts.map(b =>
         EventMeta(key, b.eventId, b.count.toLong, b.customMeta.toMap))
       val customRows = evts.flatMap(b =>
-        b.custom.map { case (n, v) => CustomRow(key, b.eventId, n, v.toSeq) })
+        b.custom.map { case (n, v) =>
+          CustomRow(key, b.eventId, n, v.doubles.toSeq, v.dtype,
+            v.longs.toSeq, v.grid.map(_.toSeq).toSeq)
+        })
 
       def append[T <: Product : org.apache.spark.sql.Encoder](
           rows: Seq[T], table: String, partitioned: Boolean): Unit = {
@@ -204,7 +243,7 @@ final class HepWriter(
     procs.values.foreach(_.flush())
     val metas = procs.values.map(p =>
       ProcessMeta(p.key, p.processString, p.signalPdgs, p.comE, p.eUnit,
-        p.numEvts, p.customMeta.toMap)).toSeq
+        p.numEvts, p.customMeta.toMap, p.inPcls, p.outPcls)).toSeq
     if (metas.nonEmpty)
       spark.createDataset(metas).write.mode(SaveMode.Append)
         .option("compression", compression)
@@ -212,13 +251,20 @@ final class HepWriter(
     // file-level attrs (layout/version/evts_per_chunk, write/hdf.py:571-576)
     val sidecar =
       s"""{"layout":"graft-hep","version":1,"evts_per_chunk":$evtsPerChunk,"compression":"$compression"}"""
-    val p = new java.io.File(s"$path/_meta.json")
-    p.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(p.toPath, sidecar)
+    HadoopIo.writeString(spark, s"$path/_meta.json", sidecar)
   }
 }
 
 object HepWriter {
+  /** One staged custom dataset: the dtype tag plus exactly one populated
+    * payload (mirrors CustomRow's self-describing storage).
+    */
+  private[hep] final case class CustomData(
+      dtype: String,
+      doubles: Array[Double] = Array.empty,
+      longs: Array[Long] = Array.empty,
+      grid: Array[Array[Double]] = Array.empty)
+
   /** Bulk ingest path: writes an existing particles Dataset directly with
     * the standard partitioning — the distributed (non-builder) write
     * surface for cluster-scale jobs.

@@ -66,6 +66,10 @@ object Schemas {
   /** Per-process metadata (process attrs, `read/hdf.py:478-496`).
     * Values that are not strings round-trip JSON-encoded in `custom_meta`
     * (table-property values are string-typed; SURVEY.md §7 hard part 1).
+    * `in_pcls`/`out_pcls` back the deprecated `decay` surface (reference
+    * `read/hdf.py:482-485`, `write/hdf.py:447-465`) — superseded by
+    * `signal_pdgs` but kept so stores migrated from old files keep their
+    * incoming/outgoing hard-process PDG lists.
     */
   final case class ProcessMeta(
       process: String,
@@ -74,14 +78,26 @@ object Schemas {
       com_e: Double,
       e_unit: String,
       num_evts: Long,
-      custom_meta: Map[String, String])
+      custom_meta: Map[String, String],
+      in_pcls: Seq[Int] = Nil,
+      out_pcls: Seq[Int] = Nil)
 
-  /** One named custom 1-D dataset for one event (`custom/<name>`). */
+  /** One named custom per-event dataset (`custom/<name>`). The reference
+    * accepts ANY numpy dtype/shape unchecked (`write/hdf.py:113-124`);
+    * here the self-describing `dtype` tag selects which typed column
+    * carries the payload — `"f8"` → `values`, `"i8"` → `values_long`,
+    * `"f8_2d"` → `values_2d` — so integer and 2-D custom data round-trip
+    * without lossy double coercion, and the unused columns stay empty
+    * (null-cheap in parquet).
+    */
   final case class CustomRow(
       process: String,
       event_id: Long,
       name: String,
-      values: Seq[Double])
+      values: Seq[Double],
+      dtype: String = "f8",
+      values_long: Seq[Long] = Nil,
+      values_2d: Seq[Seq[Double]] = Nil)
 
   val ParticlesTable = "particles"
   val EdgesTable = "edges"

@@ -46,8 +46,14 @@ object AsOf {
       tieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val rightPayloadCols = right.columns.filter(c => c != key && c != rightTime)
-    val collisions = rightPayloadCols.map(_ + rightSuffix).toSet
-      .intersect(left.columns.toSet)
+    val suffixed = rightPayloadCols.map(_ + rightSuffix)
+    // left-vs-right is the only collision class: within the right side,
+    // appending one fixed suffix to distinct names stays distinct
+    // (a+s == b+s ⟹ a == b), so e.g. right carrying both px and px_q under
+    // rightSuffix="_q" yields px_q and px_q_q — never a duplicate. (The
+    // rename CAN still surprise: the output px_q is the suffixed px, not
+    // the original px_q; spec-pinned.)
+    val collisions = suffixed.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload column(s) ${collisions.mkString(", ")} collide with " +
         "left columns; pass rightSuffix to disambiguate")

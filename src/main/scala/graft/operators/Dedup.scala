@@ -185,6 +185,14 @@ object Dedup {
           |   transform(sequence(1, size(ws)-2),
           |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin)
         .as("arr"))
+    // shingles travel as xxhash64 LONGs, not strings (plan-asserted: long
+    // join keys keep the join + df-cap aggregates in HashAggregate). The
+    // ACCEPTED RISK: two distinct shingles colliding in 64 bits would
+    // perturb inter/df counts vs the string-keyed oracle — at p ≈ n²/2^65
+    // (n = distinct shingles; ~1e-9 even at 10^8 shingles) this is below
+    // the noise floor of any other nondeterminism source, and the
+    // threshold decision a collision could flip is itself jitter-adjacent.
+    // A paranoid exact variant would carry (h, s) and join on both.
     val tri = w.select(col("doc_id"), explode(col("arr")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val dfreq = tri.groupBy(col("h")).agg(count(lit(1)).as("c"))
@@ -247,7 +255,8 @@ object Dedup {
     * (doc_id, min-id cluster) labels.
     */
   def connectedComponents(
-      pairs: DataFrame, localEdgeThreshold: Long = 4000000L): DataFrame = {
+      pairs: DataFrame, localEdgeThreshold: Long = 2000000L,
+      maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
@@ -255,7 +264,16 @@ object Dedup {
     if (edgeCount <= localEdgeThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val local = edges.as[(Long, Long)].collect()
+      // collect into two primitive long arrays: boxed Tuple2 + a boxed-key
+      // HashMap would cost ~10× the raw 16 B/edge (the r2 advisor sized
+      // this honestly); 2M edges ≈ 32 MB primitive + the map below
+      val rows = edges.toDF("src", "dst").collect()
+      val srcArr = new Array[Long](rows.length)
+      val dstArr = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        srcArr(i) = rows(i).getLong(0); dstArr(i) = rows(i).getLong(1); i += 1
+      }
       edges.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -265,10 +283,13 @@ object Dedup {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      local.foreach { case (a, b) =>
+      var e = 0
+      while (e < srcArr.length) {
+        val a = srcArr(e); val b = dstArr(e)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        e += 1
       }
       // roots are already the minimum id of each component: unions always
       // attach the larger root under the smaller. Snapshot the keys first:
@@ -277,12 +298,15 @@ object Dedup {
       val labels = parent.keys.toSeq.map(v => (v, find(v))).sorted
       return spark.createDataset(labels).toDF("doc_id", "cluster")
     }
+    // lineage truncation per round (localCheckpoint, not just persist):
+    // a persisted DataFrame keeps its full logical plan, so driver-side
+    // analysis/cache-lookup would walk an O(rounds)-deep tree each round —
+    // same trap fixed in Ancestry.descendants
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).persist()
-    labels.count()
+      .withColumn("cluster", col("doc_id")).localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIters) {
       val nbr = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster").as("c_nbr")),
           Seq("dst"))
@@ -299,16 +323,22 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("c_jump"), col("cluster")))
             .as("cluster"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(
           labels.select(col("doc_id"), col("cluster").as("old")), Seq("doc_id"))
         .filter(col("cluster") < col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    // returning partial labels on a non-converged loop would silently
+    // mislabel clusters (docs kept that should have been dropped); with
+    // pointer jumping maxIters=20 covers diameters to ~2^20, so hitting
+    // the cap means something is structurally wrong — fail loudly
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds " +
+        "(graph diameter too large?); raise maxIters")
     labels
   }
 
@@ -443,6 +473,112 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** 64-bit SimHash per doc — the production-width fingerprint (d04/d08
+    * keep the 16-bit variant as their oracle gate): all 16 md5 nibbles of
+    * each token vote on 64 bits. Same explode → map-side-combined
+    * aggregate shape; the 64 partial sums ride one HashAggregate row.
+    * Bit 63's weight is Long.MinValue — the fingerprint is a bit PATTERN,
+    * so two's-complement sign is irrelevant; both engines build it by the
+    * same non-overflowing addition of distinct powers.
+    */
+  private def simhashFps64(doc: DataFrame): DataFrame = {
+    val nib = doc
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("hx"))
+      .select(col("doc_id") +:
+        (0 until 16).map(j =>
+          expr(s"instr('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1").as(s"n$j")): _*)
+    val sums = nib.groupBy(col("doc_id")).agg(
+      sum(when(expr(s"(n0 >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
+      (1 until 64).map { b =>
+        val j = b / 4; val p = b % 4
+        sum(when(expr(s"(n$j >> $p) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
+      }: _*)
+    val fp = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), fp.cast("long").as("simhash"))
+  }
+
+  /** DuckDB twin of [[simhashFps64]], exposed as CTE `fps64`. */
+  private val simhash64Ctes: String = {
+    val nibs = (0 until 16)
+      .map(j => s"strpos('0123456789abcdef', substr(hx,${j + 1},1))-1 AS n$j")
+      .mkString(", ")
+    val sums = (0 until 64).map { b =>
+      val j = b / 4; val p = b % 4
+      s"sum(CASE WHEN (n$j >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val fp = (0 until 64).map { b =>
+      val w = 1L << b // b=63 prints Long.MinValue; BIGINT addition of
+      // distinct powers never leaves the long range
+      s"CASE WHEN s$b > 0 THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, md5(word) AS hx FROM w),
+       |nib AS (SELECT doc_id, $nibs FROM h),
+       |sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+       |fps64 AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  /** 64-bit SimHash near-duplicate pairs (hamming ≤ 3) via the
+    * bank-pigeonhole equi-join: split each fingerprint into 4 disjoint
+    * 16-bit banks — two fingerprints within hamming distance 3 differ in
+    * at most 3 banks, so they AGREE on at least one (pigeonhole; the
+    * Manku/Jain/Sarma WWW'07 construction). Candidates come from an
+    * equi-join on (bank_idx, bank_value) over the DISTINCT-fingerprint
+    * table, then exact bit_count verification — no
+    * BroadcastNestedLoopJoin anywhere (plan-asserted), unlike d08's
+    * 16-bit BNLJ which only stays cheap because 2^16 bounds that table.
+    * Guaranteed recall (the pigeonhole bound is exact, not
+    * probabilistic), candidates linear-ish in corpus under uniform
+    * hashing, and the doc expansion is two equi-joins on fingerprint.
+    */
+  val simhashPairs64: QueryDef = q(
+    "d09_simhash_hamming64",
+    s"""WITH $simhash64Ctes,
+       |d AS (SELECT DISTINCT simhash FROM fps64),
+       |close_fp AS (
+       |  SELECT a.simhash AS f1, b.simhash AS f2
+       |  FROM d a JOIN d b
+       |    ON bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3)
+       |SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b,
+       |       bit_count(CAST(xor(fa.simhash, fb.simhash) AS BIGINT)) AS hamming
+       |FROM close_fp
+       |JOIN fps64 fa ON fa.simhash = f1
+       |JOIN fps64 fb ON fb.simhash = f2
+       |WHERE fa.doc_id < fb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val fps = simhashFps64(Tables.documents(s, d))
+    val dfp = fps.select(col("simhash")).distinct()
+    def banks(fpCol: String, prefix: String): Column = explode(array(
+      (0 until 4).map(k => struct(lit(k).as(s"${prefix}k"),
+        shiftright(col(fpCol), k * 16).bitwiseAND(lit(65535L))
+          .as(s"${prefix}v"))): _*))
+    val b1 = dfp.select(col("simhash").as("f1"), banks("simhash", "b").as("b"))
+      .select(col("f1"), col("b.bk"), col("b.bv"))
+    val b2 = dfp.select(col("simhash").as("f2"), banks("simhash", "c").as("c"))
+      .select(col("f2"), col("c.ck"), col("c.cv"))
+    // both orientations survive (f1 =!= f2, no ordering): the doc-level
+    // doc_a < doc_b can pair either fingerprint first; a multi-bank
+    // collision yields duplicate candidates → distinct before verifying
+    val cand = b1.join(b2, col("bk") === col("ck") && col("bv") === col("cv") &&
+        col("f1") =!= col("f2"))
+      .select("f1", "f2").distinct()
+      .filter(bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3)
+    // equal fingerprints (hamming 0 across distinct docs) pair on the
+    // diagonal, which the f1 =!= f2 join above excludes by construction
+    val close = cand.union(dfp.select(col("simhash").as("f1"),
+      col("simhash").as("f2")))
+    close
+      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("f1")), "f1")
+      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("f2")), "f2")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact word-trigram Jaccard over inverted-index candidates: docs share
     * at least one trigram shingle (document frequency ≤ 50 to bound hub
     * fan-out); pairs with J ≥ 0.2 survive. Integer set sizes → the final
@@ -524,5 +660,6 @@ object Dedup {
   }
 
   def defs: Seq[QueryDef] =
-    Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters, simhashPairs)
+    Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
+      simhashPairs, simhashPairs64)
 }

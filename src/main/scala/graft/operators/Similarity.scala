@@ -363,6 +363,80 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
+  /** Fitted spherical k-means: per-vector cluster labels plus the final
+    * (unquantized) mean vectors, cluster ids 0..k-1 in seed order.
+    */
+  final case class KMeansModel(assignments: DataFrame, centroids: Seq[Seq[Double]])
+
+  /** Full spherical k-means loop — iterating exactly the two mechanics the
+    * single-shot queries already prove out: s03's literal-centroid argmax
+    * assignment (pure codegen'd map over the corpus, NO shuffle) and s04's
+    * [[graft.functions.VecAgg]] partial-sum update (ONE shuffle of
+    * map-side-combined partial vector sums per iteration). Driver state is
+    * k×dim longs per iteration — the legitimate small-model-state split;
+    * the corpus is never collected, and each iteration's plan is built
+    * fresh from `emb` with new centroid literals, so plans do not grow
+    * with the iteration count (no lineage trap).
+    *
+    * Determinism: assignment runs on exact quantized longs (ties break
+    * toward the smaller centroid id, as in s03); the mean is the only
+    * float step and re-quantizes through `rint` to 1e-6 units, so every
+    * iteration is bit-reproducible. Empty clusters keep their previous
+    * centroid (standard practice).
+    *
+    * @param emb   corpus with `vec_id` and `embedding` (ARRAY<FLOAT>);
+    *              persist it for multi-iteration runs if the scan is
+    *              expensive — the loop itself does not cache
+    * @param k     cluster count; seeds are the k smallest vec_ids
+    * @param iters update iterations (assignment recomputed once more for
+    *              the returned labels, consistent with the final centroids)
+    */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): KMeansModel = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    val e = withQuant(emb).select(col("vec_id"), col("qv"), col("sq"))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // seed: the k smallest vec_ids (deterministic, mirrors s03's seeding)
+    var cents: Array[(Long, Array[Long], Long)] = e
+      .orderBy("vec_id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong, r.getSeq[Long](1).toArray, r.getLong(2))
+      }
+    def assigned: DataFrame = {
+      val argmax = greatest(cents.map { case (cid, cv, csq) =>
+        struct(
+          cosCol(call_function("long_dot", col("qv"), typedlit(cv.toSeq)),
+            col("sq"), lit(csq)).as("ccos"),
+          lit(-cid).as("ncid"))
+      }.toIndexedSeq: _*)
+      e.select(col("vec_id"), col("qv"),
+        (-argmax.getField("ncid")).cast("long").as("cluster"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = assigned.groupBy(col("cluster"))
+        .agg(graft.functions.VecAgg.vecSum(col("qv")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Long](1).toArray, r.getLong(2)))
+        .toMap
+      cents = cents.map { case (cid, cv, csq) =>
+        sums.get(cid) match {
+          case None => (cid, cv, csq) // empty cluster: keep previous
+          case Some((s, n)) =>
+            val nq = s.map(x => math.rint(x.toDouble / n).toLong)
+            (cid, nq, dot(nq, nq))
+        }
+      }
+    }
+    KMeansModel(assigned,
+      cents.toIndexedSeq.map(_._2.toIndexedSeq.map(_ / 1.0e6)))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup)
 }

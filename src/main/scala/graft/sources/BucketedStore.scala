@@ -13,32 +13,62 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedStore {
 
-  /** Writes `df` bucketed (and sorted in-bucket) by `key`. Drops any
+  /** Writes `df` bucketed (and sorted in-bucket) by `keys`. Drops any
     * previous table AND its leftover warehouse location first — with the
     * in-memory catalog, a prior JVM's table metadata is gone but its
     * directory persists, and saveAsTable refuses to reuse the location.
     */
-  def writeBucketed(
-      df: DataFrame, table: String, key: String, numBuckets: Int): Unit = {
+  def writeBucketedMulti(
+      df: DataFrame, table: String, keys: Seq[String], numBuckets: Int): Unit = {
+    require(keys.nonEmpty, "need at least one bucket key")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = new java.io.File(warehouse, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    graft.hep.HadoopIo.delete(spark, s"${warehouse.stripSuffix("/")}/$table")
     df.write
       .mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, key)
-      .sortBy(key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Registers a hep store's `particles` and `edges` as catalog tables
+    * co-bucketed on (process, event_id) — the store's natural join keys.
+    * Every ancestry traversal round (edges ⋈ frontier on process/event_id/
+    * vertex) and every event-sliced particle⋈edge join then satisfies its
+    * distribution from the bucket layout: `HashPartitioning(process,
+    * event_id)` clusters any superset join key, so the plans carry ZERO
+    * Exchange (asserted in BucketedStoreSpec). One shuffle at write time,
+    * amortized over every traversal — the co-location layout the 100 TB
+    * design point wants for the hep side specifically, because BFS rounds
+    * re-join the same edges table O(depth) times.
+    *
+    * @return (particlesTable, edgesTable) catalog names
+    */
+  def writeHepBucketed(
+      spark: SparkSession, storePath: String, numBuckets: Int,
+      prefix: String = "hep_b"): (String, String) = {
+    val keys = Seq("process", "event_id")
+    val pt = s"${prefix}_particles"
+    val et = s"${prefix}_edges"
+    writeBucketedMulti(
+      spark.read.parquet(s"$storePath/particles"), pt, keys, numBuckets)
+    writeBucketedMulti(
+      spark.read.parquet(s"$storePath/edges"), et, keys, numBuckets)
+    (pt, et)
+  }
+
+  /** Writes `df` bucketed (and sorted in-bucket) by `key`.
+    *
+    * Leftover-location cleanup goes through the warehouse's Hadoop
+    * FileSystem: the warehouse may be remote (hdfs:/s3a:), where
+    * java.io.File deletes would silently no-op and saveAsTable would
+    * refuse the dirty location.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+    writeBucketedMulti(df, table, Seq(key), numBuckets)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 

@@ -41,27 +41,40 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class HepCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private var root: java.io.File = _
+  private var root: org.apache.hadoop.fs.Path = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     require(options.containsKey("path"),
       s"catalog $name needs spark.sql.catalog.$name.path")
     catalogName = name
-    root = new java.io.File(options.get("path"))
+    root = new org.apache.hadoop.fs.Path(options.get("path"))
   }
 
   override def name(): String = catalogName
 
-  private def isStore(dir: java.io.File): Boolean =
-    new java.io.File(dir, "_meta.json").isFile
+  // Discovery goes through the path's Hadoop FileSystem (resolved per call
+  // against the active session's conf), so stores on HDFS/S3 list exactly
+  // like local ones — java.io.File would silently see an empty catalog.
+  private def fs: org.apache.hadoop.fs.FileSystem = graft.hep.HadoopIo.fsAny(root)
+
+  private def isStore(dir: org.apache.hadoop.fs.Path): Boolean = {
+    val f = fs
+    val meta = new org.apache.hadoop.fs.Path(dir, "_meta.json")
+    f.exists(meta) && f.getFileStatus(meta).isFile
+  }
 
   /** Root may be one store (namespace "default") or a directory of them. */
   private def namespaces: Seq[String] =
     if (isStore(root)) Seq("default")
-    else Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && isStore(f)).map(_.getName).sorted.toSeq
+    else {
+      val f = fs
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root)
+        .filter(s => s.isDirectory && isStore(s.getPath))
+        .map(_.getPath.getName).sorted.toSeq
+    }
 
-  private def storeDir(ns: Array[String]): java.io.File = {
+  private def storeDir(ns: Array[String]): org.apache.hadoop.fs.Path = {
     if (ns.length != 1) throw new NoSuchNamespaceException(ns)
     // same traversal guard as table names: a namespace is a plain child
     // directory name, never a path
@@ -69,7 +82,7 @@ class HepCatalog extends TableCatalog with SupportsNamespaces {
         ns.head.contains('/') || ns.head.contains('\\'))
       throw new NoSuchNamespaceException(ns)
     val dir = if (isStore(root) && ns.head == "default") root
-      else new java.io.File(root, ns.head)
+      else new org.apache.hadoop.fs.Path(root, ns.head)
     if (!isStore(dir)) throw new NoSuchNamespaceException(ns)
     dir
   }
@@ -108,9 +121,10 @@ class HepCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = storeDir(namespace)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
-      .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name()).toArray
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .sortBy(_.name()).toArray
   }
 
   /** Table names the catalog will resolve: plain member-directory names.
@@ -123,13 +137,15 @@ class HepCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     if (!validTableName(ident.name())) throw new NoSuchTableException(ident)
-    val dir = new java.io.File(storeDir(ident.namespace()), ident.name())
-    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    val dir = new org.apache.hadoop.fs.Path(storeDir(ident.namespace()), ident.name())
+    val f = fs
+    if (!f.exists(dir) || !f.getFileStatus(dir).isDirectory)
+      throw new NoSuchTableException(ident)
     ParquetTable(
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
       SparkSession.active,
       CaseInsensitiveStringMap.empty(),
-      Seq(dir.getAbsolutePath),
+      Seq(dir.toString),
       None,
       classOf[ParquetFileFormat])
   }

@@ -119,6 +119,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("d09 64-bit simhash pairing is a bank equi-join, never a BNLJ") {
+    val p = plan("d09_simhash_hamming64")
+    // the pigeonhole bank join replaces d08's distinct-fingerprint BNLJ
+    // (which only stays cheap at 16 bits); at 64 bits candidates must come
+    // from an equi-join on (bank_idx, bank_value)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t05 corpus count is folded into the plan (broadcast scalar)") {
     val p = plan("t05_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

@@ -42,6 +42,20 @@ class AncestrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vtxSet(d) == Set(3, 4))
   }
 
+  test("deep chain: depth-30 walk completes without plan blow-up") {
+    import spark.implicits._
+    // a 31-vertex path graph forces 30 BFS rounds; without the per-round
+    // persist/unpersist of `visited` the lineage is a 30-deep union tree
+    // and each round re-computes the whole prefix (O(d^2) blow-up)
+    val chain = (0 until 30)
+      .map(i => ("p", 0L, i, i + 1, 1.0))
+      .toDF("process", "event_id", "src", "dst", "weight")
+    val d = Ancestry.descendants(chain, verts(0), 40)
+    assert(vtxSet(d) == (1 to 30).toSet)
+    // and the depth bound still truncates the same walk
+    assert(vtxSet(Ancestry.descendants(chain, verts(0), 5)) == (1 to 5).toSet)
+  }
+
   test("cycle-safe: traversal terminates on a cyclic graph") {
     import spark.implicits._
     val cyc = Seq((0, 1), (1, 2), (2, 0))

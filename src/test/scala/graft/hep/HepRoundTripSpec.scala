@@ -85,6 +85,50 @@ class HepRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == (0 until 25).map(e => 4 + (e % 3)).sum)
   }
 
+  test("typed custom datasets and decay legacy surface round-trip") {
+    val d2 = dir + "-typed"
+    val w = new HepWriter(spark, d2, evtsPerChunk = 5)
+    val p = w.newProcess("zmumu").setProcessString("p p > z")
+    p.setDecay(Seq(2212, 2212), Seq(13, -13))
+    val b = p.newEvent()
+    b.setPdg(Array(13, -13))
+    // int custom data must NOT coerce through doubles: 1L<<60 is above
+    // 2^53 and would round
+    b.setCustom("hits", Array(5L, 1L << 60))
+    // 2-D (and ragged) custom data, reference any-shape passthrough
+    b.setCustom2d("cov", Array(Array(1.0, 0.5), Array(0.5, 2.0, 9.0)))
+    b.setCustom("wgt", Array(0.25, 0.75))
+    p.commitEvent(b)
+    w.close()
+
+    val r = new HepReader(spark, d2)
+    val proc = r.process("zmumu")
+    assert(proc.decay == Map(
+      "in_pcls" -> Seq(2212, 2212), "out_pcls" -> Seq(13, -13)))
+    val ev = proc.event(0)
+    val hits = ev.custom("hits").collect().head
+    assert(hits.getAs[String]("dtype") == "i8")
+    assert(hits.getSeq[Long](1) == Seq(5L, 1L << 60))
+    val cov = ev.custom("cov").collect().head
+    assert(cov.getAs[String]("dtype") == "f8_2d")
+    assert(cov.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq) ==
+      Seq(Seq(1.0, 0.5), Seq(0.5, 2.0, 9.0)))
+    val wgt = ev.custom("wgt").collect().head
+    assert(wgt.getAs[String]("dtype") == "f8")
+    assert(wgt.getSeq[Double](0) == Seq(0.25, 0.75))
+  }
+
+  test("pre-decay stores open with empty decay arrays (schema evolution)") {
+    val d2 = dir + "-typed"
+    val d3 = dir + "-legacy"
+    // simulate a store written before the decay columns existed
+    spark.read.parquet(s"$d2/processes").drop("in_pcls", "out_pcls")
+      .write.parquet(s"$d3/processes")
+    val proc = new HepReader(spark, d3).process("zmumu")
+    assert(proc.decay == Map("in_pcls" -> Nil, "out_pcls" -> Nil))
+    assert(proc.processString == "p p > z")
+  }
+
   test("row-count invariant: second column with different length throws") {
     val w = new HepWriter(spark, dir + "-inv")
     val p = w.newProcess("x")

@@ -87,4 +87,18 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.columns.toSeq == Seq("sym", "ts", "px", "px_q"))
     assert(r.collect().head.getDouble(3) == 100.0)
   }
+
+  test("suffixing right columns never collides them with each other") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("sym", "ts")
+    // right carries both px and px_q: one fixed suffix keeps distinct
+    // names distinct (px→px_q, px_q→px_q_q), so the output has unique
+    // columns — px_q is the SUFFIXED px, the original px_q moved on
+    val right = Seq((1L, 5L, 100.0, 1.0)).toDF("sym", "ts", "px", "px_q")
+    val r = AsOf.joinAsOf(left, right, "sym", "ts", "ts", rightSuffix = "_q")
+    assert(r.columns.toSeq == Seq("sym", "ts", "px_q", "px_q_q"))
+    assert(r.columns.distinct.length == r.columns.length)
+    val row = r.collect().head
+    assert(row.getDouble(2) == 100.0 && row.getDouble(3) == 1.0)
+  }
 }

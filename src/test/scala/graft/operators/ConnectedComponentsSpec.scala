@@ -47,6 +47,22 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(local(13L) == 10L && local(32L) == 30L)
   }
 
+  test("non-convergence within maxIters fails loudly, not with partial labels") {
+    // a 12-node path needs several propagation rounds; maxIters=1 cannot
+    // reach the all-quiet round, and silent partial labels would mislabel
+    // downstream keep/drop decisions — the guard must throw instead
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs(chain: _*),
+        localEdgeThreshold = 0L, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // same graph, enough rounds: converges to the minimum label
+    val ok = clusters(Dedup.connectedComponents(pairs(chain: _*),
+      localEdgeThreshold = 0L))
+    assert(ok.values.toSet == Set(1L))
+  }
+
   test("duplicate clusters over injected exact copies") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")

@@ -38,6 +38,44 @@ class BucketedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ancestry join over a bucketed hep store runs exchange-free") {
+    import graft.hep.{HepWriter, Ancestry}
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "hepbucket").toString + "/store"
+    val w = new HepWriter(spark, dir, evtsPerChunk = 10)
+    val p = w.newProcess("ttbar")
+    for (e <- 0 until 20) {
+      val b = p.newEvent()
+      b.setPdg(Array.tabulate(6)(i => 1 + i))
+      // per-event chain 0→1→…→5
+      b.setEdges(Array.tabulate(5)(i => (i, i + 1)))
+      p.commitEvent(b)
+    }
+    w.close()
+    val (pt, et) = BucketedStore.writeHepBucketed(spark, dir, numBuckets = 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val edges = spark.table(et)
+      // frontier: each event's root vertex, projected straight off the
+      // co-bucketed particles table so both join sides inherit
+      // HashPartitioning(process, event_id) from the bucket layout
+      val roots = spark.table(pt).filter(col("idx") === 0)
+        .select(col("process"), col("event_id"), col("idx").as("vtx"))
+      val kids = Ancestry.children(edges, roots)
+      kids.collect() // finalize the AQE plan
+      val plan = kids.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "children over co-bucketed tables must not shuffle (join keys " +
+          "are a superset of the bucket keys, and the trailing distinct " +
+          "is clustered by them too):\n" + plan)
+      assert(kids.count() == 20) // one child (vtx 1) per event
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("salted join equals the plain join") {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("k"), col("l_quantity"))
