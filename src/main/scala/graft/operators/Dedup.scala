@@ -79,13 +79,18 @@ object Dedup {
     *     for the same LSH behavior.
     */
   private def minhashSigs(doc: DataFrame): DataFrame = {
+    // no transform-lambda and no array_distinct here, unlike trigrams():
+    // a min() aggregate is idempotent to duplicate shingles, so the
+    // signatures can skip per-doc distinctness entirely, and generating
+    // via explode(sequence) + a plain concat projection keeps the whole
+    // row codegen'd where a transform lambda evaluates interpreted
+    // (measured faster despite emitting duplicate shingle rows)
     val tri = doc
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(if(size(ws) < 3, array(),
-          |  transform(sequence(1, size(ws)-2),
-          |    i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin))
-        .as("s"))
+      .select(col("doc_id"), col("ws"), explode(expr(
+        "if(size(ws) < 3, array(), sequence(1, size(ws)-2))")).as("i"))
+      .select(col("doc_id"),
+        expr("concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])").as("s"))
     val hashed = tri.select(col("doc_id"), md5(col("s")).as("h1"),
       md5(concat(lit("s:"), col("s"))).as("h2"))
     val aggs = (0 until SIGS).map { k =>
@@ -482,12 +487,24 @@ object Dedup {
     * same non-overflowing addition of distinct powers.
     */
   private def simhashFps64(doc: DataFrame): DataFrame = {
+    // nibble extraction as long arithmetic, not string ops: the first 16
+    // hex chars decode through TWO conv() calls (8 chars each — 32 bits,
+    // safely inside BIGINT; one 16-char conv would overflow), then each
+    // nibble is a codegen'd shift+mask — 16 substr+instr string probes per
+    // word cost measurably more. Hex char 1 is the MOST significant
+    // nibble of its 8-char slice, so n_j = (h >> (28 - 4*(j mod 8))) & 15
+    // — value-identical to the strpos nibbles the oracle states.
     val nib = doc
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), md5(col("word")).as("hx"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(hx, 1, 8), 16, 10) as bigint)").as("h1"),
+        expr("cast(conv(substr(hx, 9, 8), 16, 10) as bigint)").as("h2"))
       .select(col("doc_id") +:
-        (0 until 16).map(j =>
-          expr(s"instr('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1").as(s"n$j")): _*)
+        (0 until 16).map { j =>
+          val src = if (j < 8) "h1" else "h2"
+          expr(s"($src >> ${28 - 4 * (j % 8)}) & 15").as(s"n$j")
+        }: _*)
     val sums = nib.groupBy(col("doc_id")).agg(
       sum(when(expr(s"(n0 >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
       (1 until 64).map { b =>
@@ -659,7 +676,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination check (the decontamination pass every
+    * training pipeline runs before eval): corpus docs sharing any
+    * 5-gram word shingle with the benchmark set (stand-in: doc_id < 50),
+    * with the contaminated-shingle fraction per doc.
+    *
+    * Scale shape: the benchmark shingle table is the SMALL dimension —
+    * distinct-hashed and broadcast — while the corpus streams through a
+    * scan → shingle-explode → broadcast-hash-join → per-doc count, so the
+    * 100 TB corpus never shuffles for the probe (the only exchange is the
+    * per-doc aggregate, keyed on doc_id). Shingles travel as xxhash64
+    * longs (same documented collision posture as d05).
+    */
+  val contamination: QueryDef = q(
+    "d10_contamination",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest(list_transform(range(1, greatest(len(ws)-4, 0)+1),
+      |          i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2]||' '||ws[CAST(i AS INT)+3]||' '||ws[CAST(i AS INT)+4])) AS s
+      |      FROM w),
+      |bench AS (SELECT DISTINCT s FROM g WHERE doc_id < 50),
+      |corpus AS (SELECT doc_id, s FROM g WHERE doc_id >= 50),
+      |sz AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+      |hits AS (SELECT doc_id, count(*) AS n_contaminated
+      |         FROM corpus JOIN bench USING (s) GROUP BY doc_id)
+      |SELECT doc_id, n_contaminated, n_shingles,
+      |       n_contaminated * 1.0 / n_shingles AS contamination
+      |FROM hits JOIN sz USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(if(size(ws) < 5, array(),
+          |  transform(sequence(1, size(ws)-4),
+          |    i -> concat(ws[i-1],' ',ws[i],' ',ws[i+1],' ',ws[i+2],' ',ws[i+3]))))""".stripMargin))
+        .as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bench = g.filter(col("doc_id") < 50).select("h").distinct()
+    val corpus = g.filter(col("doc_id") >= 50)
+    val sz = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    hits.join(sz, "doc_id")
+      .select(col("doc_id"), col("n_contaminated"), col("n_shingles"),
+        (col("n_contaminated") * lit(1.0) / col("n_shingles"))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
-      simhashPairs, simhashPairs64)
+      simhashPairs, simhashPairs64, contamination)
 }

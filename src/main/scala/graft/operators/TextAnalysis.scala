@@ -241,6 +241,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition-ratio quality filter (the Gopher-rules family): per doc,
+    * total vs distinct token counts and the duplicate-token fraction —
+    * high ratios flag degenerate/boilerplate text before training. Pure
+    * per-row array arithmetic (native collection expressions, no lambdas,
+    * no shuffle but the deterministic ORDER BY); the one division runs
+    * over exact integers on both engines. Emitted in micro-units as a
+    * BIGINT too (`rep_micro`) so downstream threshold filters can stay
+    * integer-exact.
+    */
+  val repetition: QueryDef = q(
+    "t07_repetition",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |       len(ws) AS n_tokens,
+      |       len(list_distinct(ws)) AS n_distinct,
+      |       (len(ws) - len(list_distinct(ws))) * 1.0 / len(ws) AS repetition,
+      |       CAST((len(ws) - len(list_distinct(ws))) * 1000000 // len(ws) AS BIGINT) AS rep_micro
+      |FROM w
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")) * lit(1.0) / col("n_tokens"))
+          .as("repetition"),
+        expr("(n_tokens - n_distinct) * 1000000 div n_tokens").as("rep_micro"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality)
+    Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
+      repetition)
 }
