@@ -53,27 +53,46 @@ object Ancestry {
     * materializes each round's small frontier/visited set to executor
     * storage and restarts the plan from it; the recompute-on-executor-loss
     * tradeoff is the standard one for iterative temp state (GraphFrames
-    * does the same). Spec-covered by a depth-30 chain in AncestrySpec.
+    * does the same). Superseded snapshots are freed deterministically via
+    * [[graft.Checkpoints]] one round after their last reader, so live
+    * storage stays O(1) copies instead of O(depth). Spec-covered by a
+    * depth-30 chain in AncestrySpec.
     */
   def descendants(edges: DataFrame, roots: DataFrame, maxDepth: Int): DataFrame = {
-    val rootSet = roots.select("process", "event_id", "vtx").distinct()
-    var visited = rootSet.localCheckpoint()
-    var frontier = visited
+    import graft.Checkpoints
+    val spark = roots.sparkSession
+    val keys = Seq("process", "event_id", "vtx")
+    val (rootSet, rootIds) =
+      Checkpoints.checkpoint(roots.select(keys.map(col): _*).distinct())
+    var visited = rootSet
+    var visitedIds = rootIds
+    var frontier = rootSet
+    var frontierIds = rootIds
     var depth = 0
     var drained = false
     while (depth < maxDepth && !drained) {
-      val next = children(edges, frontier)
-        .join(visited,
-          Seq("process", "event_id", "vtx"), "left_anti")
-        .localCheckpoint()
+      val (next, nextIds) = Checkpoints.checkpoint(
+        children(edges, frontier).join(visited, keys, "left_anti"))
       if (next.isEmpty) {
+        Checkpoints.free(spark, nextIds)
         drained = true
       } else {
-        visited = visited.union(next).localCheckpoint()
-        frontier = next
+        // the union materializes next's rows into the new snapshot, so the
+        // superseded visited/frontier snapshots can be freed — except the
+        // root set, which the final anti-join still reads
+        val (grown, grownIds) = Checkpoints.checkpoint(visited.union(next))
+        val (oldV, oldF) = (visitedIds, frontierIds)
+        visited = grown; visitedIds = grownIds
+        frontier = next; frontierIds = nextIds
+        if (oldF != rootIds && oldF != oldV) Checkpoints.free(spark, oldF)
+        if (oldV != rootIds) Checkpoints.free(spark, oldV)
         depth += 1
       }
     }
-    visited.join(rootSet, Seq("process", "event_id", "vtx"), "left_anti")
+    // the last frontier is not part of the result plan; the final visited
+    // (and the root set) stay pinned until the caller drops the result
+    if (frontierIds != visitedIds && frontierIds != rootIds)
+      Checkpoints.free(spark, frontierIds)
+    visited.join(rootSet, keys, "left_anti")
   }
 }

@@ -253,8 +253,9 @@ object Dedup {
     * ADAPTIVE small-graph path: the confirmed-pair graph is usually tiny
     * relative to the corpus (near-dup pairs, not documents), and the
     * iterative loop pays ~8 scheduled jobs per round regardless of size.
-    * When the edge count is under `localEdgeThreshold` (default 4M edges
-    * ≈ 64 MB of longs — same order as a broadcast threshold), edges are
+    * When the edge count is under `localEdgeThreshold` (default 2M edges
+    * ≈ 32 MB as two primitive long arrays, plus the union-find map's
+    * boxed overhead — sized against the 24g default driver), edges are
     * collected and union-find runs on the driver in milliseconds; the
     * distributed loop engages above it. Both paths produce identical
     * (doc_id, min-id cluster) labels.
@@ -262,8 +263,14 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, localEdgeThreshold: Long = 2000000L,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // normalize ids to LONG up front: callers may pass integer-typed ids,
+    // and both the primitive-array collect below and the cross-path label
+    // type (local vs distributed must agree) depend on a fixed width
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
       .distinct().persist()
     val edgeCount = edges.count()
     if (edgeCount <= localEdgeThreshold) {
@@ -272,7 +279,7 @@ object Dedup {
       // collect into two primitive long arrays: boxed Tuple2 + a boxed-key
       // HashMap would cost ~10× the raw 16 B/edge (the r2 advisor sized
       // this honestly); 2M edges ≈ 32 MB primitive + the map below
-      val rows = edges.toDF("src", "dst").collect()
+      val rows = edges.collect()
       val srcArr = new Array[Long](rows.length)
       val dstArr = new Array[Long](rows.length)
       var i = 0
@@ -306,9 +313,13 @@ object Dedup {
     // lineage truncation per round (localCheckpoint, not just persist):
     // a persisted DataFrame keeps its full logical plan, so driver-side
     // analysis/cache-lookup would walk an O(rounds)-deep tree each round —
-    // same trap fixed in Ancestry.descendants
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).localCheckpoint()
+    // same trap fixed in Ancestry.descendants. Superseded snapshots are
+    // freed one round after their last reader (graft.Checkpoints), keeping
+    // live storage at 2 label copies instead of O(rounds)
+    val spark = pairs.sparkSession
+    var (labels, labelIds) = graft.Checkpoints.checkpoint(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -322,17 +333,18 @@ object Dedup {
           least(col("cluster"), coalesce(col("c_min"), col("cluster")))
             .as("cluster"))
       // pointer jump: cluster := label(cluster)
-      val next = propagated
+      val (next, nextIds) = graft.Checkpoints.checkpoint(propagated
         .join(propagated.select(col("doc_id").as("cluster"),
           col("cluster").as("c_jump")), Seq("cluster"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("c_jump"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
+            .as("cluster")))
       val changed = next.join(
           labels.select(col("doc_id"), col("cluster").as("old")), Seq("doc_id"))
         .filter(col("cluster") < col("old")).count()
-      labels = next
+      // the convergence check above was the old snapshot's last reader
+      graft.Checkpoints.free(spark, labelIds)
+      labels = next; labelIds = nextIds
       converged = changed == 0
       iter += 1
     }
@@ -713,12 +725,17 @@ object Dedup {
           |    i -> concat(ws[i-1],' ',ws[i],' ',ws[i+1],' ',ws[i+2],' ',ws[i+3]))))""".stripMargin))
         .as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val bench = g.filter(col("doc_id") < 50).select("h").distinct()
+    val bench = g.filter(col("doc_id") < 50).select(col("h").as("bh")).distinct()
+    // ONE corpus pass: left-join the broadcast benchmark set to flag each
+    // shingle, then a single conditional aggregate computes total and
+    // contaminated counts together (two independent aggregates would scan
+    // and re-shingle the corpus twice)
     val corpus = g.filter(col("doc_id") >= 50)
-    val sz = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = corpus.join(broadcast(bench), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    hits.join(sz, "doc_id")
+    corpus.join(broadcast(bench), col("h") === col("bh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("bh")).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
       .select(col("doc_id"), col("n_contaminated"), col("n_shingles"),
         (col("n_contaminated") * lit(1.0) / col("n_shingles"))
           .as("contamination"))

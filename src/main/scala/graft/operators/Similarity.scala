@@ -406,13 +406,18 @@ object Similarity {
       .map { case (r, i) =>
         (i.toLong, r.getSeq[Long](1).toArray, r.getLong(2))
       }
+    require(cents.length == k,
+      s"kmeans(k=$k) needs at least k corpus vectors, found ${cents.length} " +
+        "— the centroid contract (ids 0..k-1) cannot be met")
     def assigned: DataFrame = {
-      val argmax = greatest(cents.map { case (cid, cv, csq) =>
+      val scored = cents.map { case (cid, cv, csq) =>
         struct(
           cosCol(call_function("long_dot", col("qv"), typedlit(cv.toSeq)),
             col("sq"), lit(csq)).as("ccos"),
           lit(-cid).as("ncid"))
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq
+      // greatest() needs >= 2 children; k=1 assigns everything to cluster 0
+      val argmax = if (scored.length == 1) scored.head else greatest(scored: _*)
       e.select(col("vec_id"), col("qv"),
         (-argmax.getField("ncid")).cast("long").as("cluster"))
     }

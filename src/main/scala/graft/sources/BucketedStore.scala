@@ -44,6 +44,13 @@ object BucketedStore {
     * design point wants for the hep side specifically, because BFS rounds
     * re-join the same edges table O(depth) times.
     *
+    * Registration OVERWRITES: the target tables (and their warehouse
+    * directories) are dropped first, like every writeBucketed call — so
+    * two stores registered under the same `prefix` shadow each other, and
+    * readers of the first registration break mid-scan. Callers keeping
+    * several stores registered at once own prefix uniqueness (e.g. derive
+    * it from the store name).
+    *
     * @return (particlesTable, edgesTable) catalog names
     */
   def writeHepBucketed(

@@ -57,6 +57,12 @@ class HepCatalog extends TableCatalog with SupportsNamespaces {
   // like local ones — java.io.File would silently see an empty catalog.
   private def fs: org.apache.hadoop.fs.FileSystem = graft.hep.HadoopIo.fsAny(root)
 
+  // A relative catalog path must resolve ONCE, against the filesystem's
+  // working directory, and identically for listing and loadTable — an
+  // unqualified Path handed to the parquet reader could re-anchor against
+  // a different default FS (listing from one location, reading another).
+  private def qualifiedRoot: org.apache.hadoop.fs.Path = fs.makeQualified(root)
+
   private def isStore(dir: org.apache.hadoop.fs.Path): Boolean = {
     val f = fs
     val meta = new org.apache.hadoop.fs.Path(dir, "_meta.json")
@@ -64,15 +70,17 @@ class HepCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** Root may be one store (namespace "default") or a directory of them. */
-  private def namespaces: Seq[String] =
-    if (isStore(root)) Seq("default")
+  private def namespaces: Seq[String] = {
+    val r = qualifiedRoot
+    if (isStore(r)) Seq("default")
     else {
       val f = fs
-      if (!f.exists(root)) Seq.empty
-      else f.listStatus(root)
+      if (!f.exists(r)) Seq.empty
+      else f.listStatus(r)
         .filter(s => s.isDirectory && isStore(s.getPath))
         .map(_.getPath.getName).sorted.toSeq
     }
+  }
 
   private def storeDir(ns: Array[String]): org.apache.hadoop.fs.Path = {
     if (ns.length != 1) throw new NoSuchNamespaceException(ns)
@@ -81,8 +89,9 @@ class HepCatalog extends TableCatalog with SupportsNamespaces {
     if (ns.head.isEmpty || ns.head.startsWith(".") ||
         ns.head.contains('/') || ns.head.contains('\\'))
       throw new NoSuchNamespaceException(ns)
-    val dir = if (isStore(root) && ns.head == "default") root
-      else new org.apache.hadoop.fs.Path(root, ns.head)
+    val r = qualifiedRoot
+    val dir = if (isStore(r) && ns.head == "default") r
+      else new org.apache.hadoop.fs.Path(r, ns.head)
     if (!isStore(dir)) throw new NoSuchNamespaceException(ns)
     dir
   }

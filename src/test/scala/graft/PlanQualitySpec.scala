@@ -127,6 +127,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d10 contamination probes via a broadcast of the benchmark side") {
+    val p = plan("d10_contamination")
+    // the benchmark shingle set is the small dimension: it must broadcast,
+    // so the corpus scan streams through the probe join with no shuffle
+    // before the per-doc aggregate
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t05 corpus count is folded into the plan (broadcast scalar)") {
     val p = plan("t05_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

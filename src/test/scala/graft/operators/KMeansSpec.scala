@@ -53,6 +53,23 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a5 == a6)
   }
 
+  test("k=1 labels the whole corpus cluster 0 (greatest() needs 2 args)") {
+    val m = Similarity.kmeans(seeded, k = 1, iters = 2)
+    val lab = labelsOf(m)
+    assert(lab.size == 30 && lab.values.toSet == Set(0L))
+    assert(m.centroids.length == 1)
+  }
+
+  test("k larger than the corpus fails loudly, not with a short model") {
+    import spark.implicits._
+    val tiny = (0 until 3)
+      .map(i => (i.toLong, Seq.fill(4)(0.1f * (i + 1)))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeans(tiny, k = 10, iters = 1)
+    }
+    assert(e.getMessage.contains("at least k"))
+  }
+
   test("k exceeding natural clusters keeps empty clusters stable") {
     // k=5 over 3 natural clusters: two seeds end up shadowed; the loop
     // must not NPE on empty clusters and must still label every vector
