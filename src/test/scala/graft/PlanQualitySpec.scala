@@ -142,6 +142,29 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q24 as-of join is the single-shuffle window form, not a key join") {
+    val p = plan("q24_asof_join")
+    // union both sides, one window pass per key: exactly one
+    // hash-partitioning exchange (on the key), no join operator at all —
+    // the quadratic key-join + max_by formulation is the oracle's job
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t07 repetition is map-only up to the deterministic sort") {
+    val p = plan("t07_repetition")
+    // per-row collection arithmetic: no hash-partitioning exchange at all
+    // (the ORDER BY plans a range exchange, which is the output contract)
+    assert(!"Exchange hashpartitioning".r.unanchored.matches(p), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("d09 fingerprint aggregate stays a HashAggregate at 64 sums wide") {
+    val p = plan("d09_simhash_hamming64")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
