@@ -27,6 +27,7 @@ object Demo {
       .setProcessString("p p > z , (z > mu+ mu-)")
       .setSignalPdgs(Seq(23))
       .setComEnergy(13600.0, "GeV")
+    p.setDecay(Seq(2212, 2212), Seq(13, -13)): Unit // legacy migration surface
     // streaming-shaped ingest: generator → events (reference event_iter)
     p.eventIter(1 to 12) { (b, i) =>
       val n = 3 + (i % 2)
@@ -35,6 +36,10 @@ object Demo {
         .setMask("final", Array.fill(n)(true))
       b.setEdges(Array.tabulate(n - 1)(j => (j, j + 1)))
       b.setEdgeWeights(Array.fill(n - 1)(1.0))
+      // typed custom datasets: ints and 2-D ride their own columns
+      b.setCustom("hit_ids", Array.tabulate(n)(j => (i * 100 + j).toLong))
+      b.setCustom2d("cov", Array(Array(1.0, 0.1), Array(0.1, 1.0)))
+      ()
     }
     w.close()
 
@@ -65,6 +70,13 @@ object Demo {
         Kinematics.mass(col("sys")).as("sys_mass"),
         Kinematics.pt(col("sys")).as("sys_pt"))
       .orderBy("event_id").show(3)
+    println("DEMO typed custom data of event 11 (dtype-tagged):")
+    ev.custom("hit_ids").show(1, truncate = false)
+    println("DEMO small-files maintenance (compact, one file per chunk):")
+    val (nb, na) = HepMaintenance.compact(spark, dir, ParticlesTable)
+    println(s"DEMO particles files: $nb -> $na")
+    println(s"DEMO still addressable post-compact: event 11 count=" +
+      new HepReader(spark, dir).process("zmumu").event(11).count)
     spark.stop()
   }
 }

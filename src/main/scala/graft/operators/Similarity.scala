@@ -288,6 +288,7 @@ object Similarity {
     */
   def allPairsCosine(emb: DataFrame, threshold: Double,
       blocks: Int = 32): DataFrame = {
+    require(blocks > 0, s"blocks must be positive (got $blocks)")
     val e = withQuant(emb)
     val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qe"),
       col("sq").as("q_sq"), pmod(col("vec_id"), lit(blocks)).cast("int").as("ba"))
