@@ -186,6 +186,35 @@ object Sampling {
       .orderBy("shard", "pack")
   }
 
+  /** Token-budget audit per (source, split): whitespace token totals and
+    * means over the deterministic 80/10/10 assignment — the accounting
+    * that drives training-mixture weights (how many tokens each source
+    * contributes to each split). Pure composition of [[split]] and the
+    * t03 token counter: one scan, one aggregate exchange; the mean
+    * divides two exact BIGINTs, deterministic on both engines.
+    */
+  val tokenBudget: QueryDef = q(
+    "p05_token_budget",
+    """SELECT source,
+      |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       CAST(sum(len(string_split(text, ' '))) * 1000000
+      |            // count(*) AS BIGINT) AS mean_tokens_micro
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY source, split""".stripMargin) { (s, d) =>
+    split(Tables.documents(s, d), col("doc_id"))
+      .withColumn("n_tok", size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div n_docs").as("mean_tokens_micro"))
+      .orderBy("source", "split")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(sampleHash, sampleStratified, sampleSplit, sequencePack)
+    Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget)
 }
