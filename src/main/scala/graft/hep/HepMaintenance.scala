@@ -62,8 +62,18 @@ object HepMaintenance {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
 
-    val writer = (if (partCols.nonEmpty)
-        df.repartition(partCols.map(col): _*) else df.coalesce(1))
+    // restore intra-file ordering after the shuffle: the writer's natural
+    // event_id(+idx) order is what gives parquet row-group min/max stats
+    // their point-lookup skipping power; a bare repartition would
+    // interleave events within the compacted file and widen every
+    // row-group's event_id range to the whole chunk
+    val sortCols = Seq("event_id", "idx").filter(df.columns.contains).map(col)
+    val clustered =
+      if (partCols.nonEmpty) {
+        val r = df.repartition(partCols.map(col): _*)
+        if (sortCols.nonEmpty) r.sortWithinPartitions(sortCols: _*) else r
+      } else df.coalesce(1)
+    val writer = clustered
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
