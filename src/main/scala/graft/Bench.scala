@@ -48,16 +48,36 @@ object Bench {
       val m = math.min(v, p2(k))
       k -> (if (m.isInfinity) -1.0 else m)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // also land the JSON in a file: a stdout tail can truncate mid-object
-    // (r2's BENCH capture lost its last entry), a file write cannot
+    // Locale.ROOT: the f-interpolator honours the JVM default locale, which
+    // could print "0,123" and corrupt the JSON.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$omit,"sf":"$sfDir"}"""
+    }
+    // The harness captures only the last ~2000 chars of stdout and parses the
+    // JSON out of that tail; sbt's own "[success] Total time..." trailer also
+    // lands there. r3's full line (~2.4k chars over 67 queries) overflowed the
+    // window and parsed as null. Keep the stdout line under a hard budget:
+    // slowest-first per-query entries, dropping the fast tail if needed (the
+    // file below always carries the complete map).
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val budget = 1700
+    var keep = bySlowest.length
+    while (keep > 1 && render(bySlowest.take(keep), bySlowest.length - keep).length > budget)
+      keep -= 1
+    println(render(bySlowest.take(keep), bySlowest.length - keep))
+    // Full-precision, full-map JSON always lands in a file as well: a stdout
+    // tail can truncate mid-object, a file write cannot.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
   }
