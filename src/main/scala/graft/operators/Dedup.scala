@@ -370,34 +370,118 @@ object Dedup {
     * sharing any band key are candidates. The band join is an equi-join on
     * (band_idx, band_val) — shuffle carries only band keys and ids.
     */
+  /** DuckDB CTE prefix computing trigram shingles (`tri`), minhash
+    * signatures (`sig` with m0..m7), and LSH band keys (`bands`) — shared
+    * by d03 (candidate pairs) and d11 (sketch-accuracy audit).
+    */
+  private val minhashOracleCtes: String = {
+    val sigCols = (0 until SIGS).map { k =>
+      val src = if (k < 4) "h1" else "h2"
+      val pos = (k % 4) * 8 + 1
+      s"min(substr($src, $pos, 8)) AS m$k"
+    }.mkString(", ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val parts = (0 until SIGS / BANDS).map(r => s"m${b * (SIGS / BANDS) + r}")
+        .mkString("||")
+      s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tri AS (SELECT DISTINCT doc_id,
+       |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+       |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
+       |        FROM w),
+       |hs AS (SELECT doc_id, md5(s) AS h1, md5('s:'||s) AS h2 FROM tri),
+       |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
   val minhashLsh: QueryDef = q(
-    "d03_dedup_minhash_lsh", {
-      val sigCols = (0 until SIGS).map { k =>
-        val src = if (k < 4) "h1" else "h2"
-        val pos = (k % 4) * 8 + 1
-        s"min(substr($src, $pos, 8)) AS m$k"
-      }.mkString(", ")
-      val bandSelects = (0 until BANDS).map { b =>
-        val parts = (0 until SIGS / BANDS).map(r => s"m${b * (SIGS / BANDS) + r}")
-          .mkString("||")
-        s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_val FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |tri AS (SELECT DISTINCT doc_id,
-         |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
-         |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
-         |        FROM w),
-         |hs AS (SELECT doc_id, md5(s) AS h1, md5('s:'||s) AS h2 FROM tri),
-         |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
-         |bands AS ($bandSelects)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a
-         |JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |            AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }) { (s, d) =>
+    "d03_dedup_minhash_lsh",
+    s"""WITH $minhashOracleCtes
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a
+       |JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |            AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     lshCandidates(Tables.documents(s, d).select("doc_id", "text"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Sketch-accuracy AUDIT: for every LSH candidate pair, the minhash
+    * Jaccard estimate (fraction of the 8 signature components that agree)
+    * next to the exact trigram Jaccard. This is the calibration query a
+    * production dedup pipeline runs before picking a banding/threshold:
+    * it quantifies, on the corpus itself, how far the sketch strays from
+    * the truth it gates on.
+    *
+    * Cost shape: the signature aggregate is ONE shuffle whose exchange is
+    * consumed three times (band keys + both payload sides — ReusedExchange
+    * dedupes the md5/explode scan); the exact-Jaccard side touches only
+    * candidate pairs, never the corpus squared. est = k/8 and the Jaccard
+    * division are single IEEE ops on exact integers — bit-identical across
+    * engines. Zero-overlap candidates (a band collision without a shared
+    * shingle) keep jaccard = 0 via the outer join + coalesce.
+    */
+  val minhashEstimate: QueryDef = {
+    val agreeSql = (0 until SIGS)
+      .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    q("d11_minhash_jaccard_est",
+      s"""WITH $minhashOracleCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a
+         |         JOIN bands b ON a.band_idx = b.band_idx
+         |                     AND a.band_val = b.band_val
+         |                     AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |          FROM cand c
+         |          JOIN tri ta ON ta.doc_id = c.doc_a
+         |          JOIN tri tb ON tb.doc_id = c.doc_b AND tb.s = ta.s
+         |          GROUP BY c.doc_a, c.doc_b),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |          CAST($agreeSql AS DOUBLE) / 8.0 AS est_jaccard
+         |        FROM cand c
+         |        JOIN sig sa ON sa.doc_id = c.doc_a
+         |        JOIN sig sb ON sb.doc_id = c.doc_b)
+         |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         |       CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         |         / (sa.n + sb.n - COALESCE(i.inter, 0)) AS jaccard
+         |FROM est e
+         |JOIN sz sa ON sa.doc_id = e.doc_a
+         |JOIN sz sb ON sb.doc_id = e.doc_b
+         |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cand = lshCandidates(base)
+      val sig = minhashSigs(base)
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until SIGS).map(k => col(s"m$k").as(s"a$k")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until SIGS).map(k => col(s"m$k").as(s"b$k")): _*)
+      val agree = (0 until SIGS)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val tri = trigrams(base)
+      val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(tri.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(tri.select(col("doc_id").as("doc_b"), col("s").as("s2")), Seq("doc_b"))
+        .filter(col("s") === col("s2"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val interC = coalesce(col("inter"), lit(0L))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (agree.cast("double") / lit(8.0)).as("est_jaccard"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          (interC.cast("double") / (col("n_a") + col("n_b") - interC))
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** 16-bit SimHash fingerprint per doc from md5 nibbles of each token —
@@ -744,5 +828,5 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
-      simhashPairs, simhashPairs64, contamination)
+      simhashPairs, simhashPairs64, contamination, minhashEstimate)
 }

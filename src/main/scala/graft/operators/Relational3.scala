@@ -146,6 +146,31 @@ object Relational3 {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** Correlated EXISTS / NOT EXISTS subqueries through the SQL-parser
+    * surface: customers holding at least one urgent order and no filled
+    * order. Catalyst decorrelates the pair into a left-semi plus a
+    * left-anti join on `o_custkey` — both shuffle-hash-joinable on the
+    * same key, so at scale the two subquery probes co-partition with the
+    * customer scan instead of re-shuffling per subquery.
+    */
+  val correlatedExists: QueryDef = {
+    val sql =
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin
+    q("q40_correlated_exists", sql) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles, unpivotMetrics)
+    Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles,
+      unpivotMetrics, correlatedExists)
 }

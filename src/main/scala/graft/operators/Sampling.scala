@@ -215,6 +215,54 @@ object Sampling {
       .orderBy("source", "split")
   }
 
+  /** Budgeted language rebalancing — the "mixture weights" operator of a
+    * multilingual corpus: cap the corpus at a T = N/2 row budget spread
+    * UNIFORMLY across languages (each language targets T/K rows; languages
+    * under their share keep everything). Membership stays a pure hash
+    * decision, so the plan is two tiny broadcast aggregates (per-language
+    * counts; corpus totals) feeding a scan-side filter — the corpus itself
+    * never shuffles before the final per-language count.
+    *
+    * The keep rule is INTEGER-EXACT end to end:
+    *   keep  ⇔  bucket · K · n_lang  <  256 · (N div 2)
+    * (bucket = first md5 byte of doc_id) — equivalent to sampling language
+    * s at rate min(1, T/(K·n_s)) in 1/256 granularity, with no
+    * floating-point rate whose last bit could disagree across engines.
+    */
+  val langRebalance: QueryDef = q(
+    "p06_lang_rebalance",
+    """WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |t AS (SELECT count(*) AS n_total, count(DISTINCT lang) AS k_langs
+      |      FROM documents),
+      |kept AS (
+      |  SELECT d.lang, d.doc_id, n.n_lang
+      |  FROM documents d JOIN n USING (lang) CROSS JOIN t
+      |  WHERE (16 * (strpos('0123456789abcdef',
+      |                      substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1)
+      |         + (strpos('0123456789abcdef',
+      |                   substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1))
+      |        * t.k_langs * n.n_lang < 256 * (t.n_total // 2))
+      |SELECT lang, min(n_lang) AS n_lang, count(*) AS n_kept,
+      |       min(doc_id) AS first_doc
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val totals = docs.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("lang")).as("k_langs"))
+    val bucket = expr(
+      "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+    docs.select(col("lang"), col("doc_id"))
+      .join(broadcast(perLang), "lang")
+      .crossJoin(broadcast(totals))
+      .filter(bucket * col("k_langs") * col("n_lang") <
+        lit(256L) * expr("n_total div 2"))
+      .groupBy(col("lang"))
+      .agg(min(col("n_lang")).as("n_lang"), count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget)
+    Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
+      langRebalance)
 }

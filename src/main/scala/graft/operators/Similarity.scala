@@ -443,6 +443,87 @@ object Similarity {
       cents.toIndexedSeq.map(_._2.toIndexedSeq.map(_ / 1.0e6)))
   }
 
+  /** ANN RECALL audit: for each query vector (vec_id < 10), the fraction
+    * of its exact cosine top-3 that the sign-LSH bucketed ANN (s02's
+    * pruning) recovers. This is the evaluation loop every approximate
+    * pipeline ships with — it turns "the ANN is probably fine" into a
+    * measured recall@k on the corpus itself.
+    *
+    * Scale shape: both candidate generators broadcast the tiny query set
+    * against a single corpus scan (exact side = broadcast nested loop over
+    * the queries only; bucketed side = broadcast hash join on the bucket
+    * key), so the corpus is read twice and never shuffled; the recall join
+    * touches 3·|queries| rows. recall = hits/3 is one IEEE divide on exact
+    * small integers — bit-identical across engines.
+    */
+  val annRecall: QueryDef = q(
+    "s05_ann_recall",
+    s"""WITH $oracleNorms,
+       |e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |      FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, embedding, bucket FROM e WHERE vec_id < 10),
+       |edots AS (
+       |  SELECT qv.qid, c.vec_id AS cid,
+       |    CAST(sum(${xiSql("qv")} * ${xiSql("c")}) AS BIGINT) AS dot
+       |  FROM qv, embeddings c, j
+       |  WHERE c.vec_id <> qv.qid
+       |  GROUP BY qv.qid, c.vec_id),
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |    FROM (SELECT qid, cid, $oracleCos AS cos
+       |          FROM edots JOIN norms na ON na.vec_id = qid
+       |                     JOIN norms nb ON nb.vec_id = cid))
+       |  WHERE rn <= 3),
+       |bdots AS (
+       |  SELECT qv.qid, c.vec_id AS cid,
+       |    CAST(sum(${xiSql("qv")} * ${xiSql("c")}) AS BIGINT) AS dot
+       |  FROM qv JOIN e c ON c.bucket = qv.bucket AND c.vec_id <> qv.qid, j
+       |  GROUP BY qv.qid, c.vec_id),
+       |approx AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |    FROM (SELECT qid, cid, $oracleCos AS cos
+       |          FROM bdots JOIN norms na ON na.vec_id = qid
+       |                     JOIN norms nb ON nb.vec_id = cid))
+       |  WHERE rn <= 3)
+       |SELECT x.qid, count(a.cid) AS n_hit,
+       |       CAST(count(a.cid) AS DOUBLE) / 3.0 AS recall
+       |FROM exact x
+       |LEFT JOIN approx a ON a.qid = x.qid AND a.cid = x.cid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.embeddings(s, d))
+      .withColumn("bucket", bucketCol("embedding"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"),
+        col("sq").as("q_sq"), col("bucket").as("qbucket"))
+    val cs = e.select(col("vec_id").as("cid"), col("qv").as("ce"),
+      col("sq").as("c_sq"), col("bucket").as("cbucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    def top3(pairs: DataFrame): DataFrame = pairs
+      .select(col("qid"), col("cid"),
+        cosCol(expr(dotRawSql("qe", "ce")), col("q_sq"), col("c_sq")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "cid")
+    val exact = top3(broadcast(qs).join(cs, col("cid") =!= col("qid")))
+    val approx = top3(broadcast(qs).join(cs,
+      col("qbucket") === col("cbucket") && col("cid") =!= col("qid")))
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    // 3·|queries| rows on each side — broadcast the approx side (post-window
+    // stats are unknown, so Spark would otherwise plan a sort-merge join)
+    exact.join(broadcast(approx),
+        col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("acid")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(3.0)).as("recall"))
+      .orderBy("qid")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup)
+    Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
+      annRecall)
 }

@@ -165,6 +165,28 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("p06 rebalance joins the tiny stats by broadcast, never sort-merge") {
+    val p = plan("p06_lang_rebalance")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "per-language counts and corpus totals must broadcast — a sort-merge " +
+        "join here would shuffle the whole corpus: " + p)
+  }
+
+  test("d11 audit keeps hash aggregation and equi-joins (no all-pairs scan)") {
+    val p = plan("d11_minhash_jaccard_est")
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s05 recall broadcasts the query side on both candidate generators") {
+    val p = plan("s05_ann_recall")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for a 10-row query set: " + p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics of the round-4 operators: p06 language rebalancing, d11
+  * minhash accuracy audit, s05 ANN recall, q40 correlated EXISTS. The
+  * oracle gate checks exact values at sf0.01; these specs pin the
+  * CONTRACTS on sf0.001 — budgets respected, estimates bounded, recall
+  * consistent with its parts, subquery semantics equal to the algebraic
+  * rewrite.
+  */
+class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(name: String) =
+    graft.QueryCatalog.byName(name).run(spark, sf)
+
+  test("p06: per-language kept counts respect the per-language pool and budget") {
+    val docs = graft.Tables.documents(spark, sf)
+    val n = docs.count()
+    val k = docs.select("lang").distinct().count()
+    val rows = run("p06_lang_rebalance").collect()
+    assert(rows.nonEmpty)
+    val totalKept = rows.map(_.getAs[Long]("n_kept")).sum
+    rows.foreach { r =>
+      val nl = r.getAs[Long]("n_lang"); val kept = r.getAs[Long]("n_kept")
+      assert(kept <= nl, s"${r.getString(0)}: kept $kept of pool $nl")
+      // rate law: kept ≈ min(1, 256T/(K·n_l))·n_l within hash-bucket noise
+      val t = n / 2
+      val cap = math.min(256L, (256L * t) / (k * nl) + 1) // threshold buckets
+      assert(kept <= (cap * nl) / 256 + math.max(8, nl / 4),
+        s"kept $kept far above the ${cap}/256 rate on pool $nl")
+    }
+    // a capped language keeps FEWER of its docs than a rare one (rate is
+    // decreasing in pool size) — compare the extremes when they differ
+    val byPool = rows.sortBy(_.getAs[Long]("n_lang"))
+    val (rare, common) = (byPool.head, byPool.last)
+    if (common.getAs[Long]("n_lang") > 2 * rare.getAs[Long]("n_lang")) {
+      val fRare = rare.getAs[Long]("n_kept").toDouble / rare.getAs[Long]("n_lang")
+      val fCommon = common.getAs[Long]("n_kept").toDouble / common.getAs[Long]("n_lang")
+      assert(fRare >= fCommon - 0.25,
+        s"rare lang should keep a no-smaller fraction: $fRare vs $fCommon")
+    }
+    assert(totalKept <= n, "rebalance never grows the corpus")
+  }
+
+  test("d11: audits exactly the d03 candidate pairs with bounded estimates") {
+    val cand = run("d03_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audit = run("d11_minhash_jaccard_est").collect()
+    assert(audit.map(r => (r.getLong(0), r.getLong(1))).toSet == cand,
+      "audit rows = LSH candidate pairs")
+    audit.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val jac = r.getAs[Double]("jaccard")
+      assert(est >= 0.0 && est <= 1.0 && (est * 8).isWhole,
+        s"est must be k/8, got $est")
+      assert(jac >= 0.0 && jac <= 1.0, s"jaccard out of range: $jac")
+      // LSH candidates share a band = 4 agreeing signature slots minimum
+      assert(est >= 0.5, s"a banded candidate agrees on >= 4/8 sigs, got $est")
+    }
+  }
+
+  test("s05: recall is n_hit/3 with n_hit in 0..3, one row per query vector") {
+    val rows = run("s05_ann_recall").collect()
+    val nq = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10).count()
+    assert(rows.length == nq, s"one row per query, got ${rows.length} vs $nq")
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_hit"); val rec = r.getAs[Double]("recall")
+      assert(hit >= 0 && hit <= 3)
+      assert(math.abs(rec - hit / 3.0) < 1e-15)
+    }
+  }
+
+  test("q40: EXISTS/NOT EXISTS equals the semi/anti join rewrite") {
+    val c = graft.Tables.customer(spark, sf)
+    val o = graft.Tables.orders(spark, sf)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val filled = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val expected = c
+      .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(filled, c("c_custkey") === filled("o_custkey"), "left_anti")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val got = run("q40_correlated_exists").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+}
