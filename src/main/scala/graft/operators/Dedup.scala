@@ -414,13 +414,25 @@ object Dedup {
     * it quantifies, on the corpus itself, how far the sketch strays from
     * the truth it gates on.
     *
-    * Cost shape: the signature aggregate is ONE shuffle whose exchange is
-    * consumed three times (band keys + both payload sides — ReusedExchange
-    * dedupes the md5/explode scan); the exact-Jaccard side touches only
-    * candidate pairs, never the corpus squared. est = k/8 and the Jaccard
-    * division are single IEEE ops on exact integers — bit-identical across
-    * engines. Zero-overlap candidates (a band collision without a shared
-    * shingle) keep jaccard = 0 via the outer join + coalesce.
+    * Cost shape — ONE corpus-scale pass, STRICTLY LINEAR pipeline:
+    *   - band rows carry their 8 signature slots through the band
+    *     equi-join, so candidate pairs emerge WITH both sides' signatures
+    *     and the agreement count folds into the pair-dedup aggregate — no
+    *     re-join of the signature table, and with the merge hint both band
+    *     sides reuse one exchange (the sig pipeline runs once);
+    *   - the exact Jaccard then comes from joining the two TEXTS onto the
+    *     (tiny) pair table and intersecting the distinct-trigram arrays
+    *     ROW-LOCALLY (`array_intersect`/`size`) — |pairs| interpreted-
+    *     lambda evaluations, not a corpus pass, and exact string
+    *     semantics matching the oracle.
+    *   A naive cand → candidate-ids → per-side shingle join DAG re-expands
+    *   the unpersisted candidate subtree at every reference (measured 30
+    *   scans / 51 explodes in the AQE-final plan); keeping the pipeline
+    *   linear keeps it at one.
+    * est = k/8 and the Jaccard division are single IEEE ops on exact
+    * integers — bit-identical across engines. A band collision without a
+    * shared shingle yields inter = 0 → jaccard = 0, mirroring the
+    * oracle's outer-join COALESCE.
     */
   val minhashEstimate: QueryDef = {
     val agreeSql = (0 until SIGS)
@@ -453,32 +465,55 @@ object Dedup {
          |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
          |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (s, d) =>
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val cand = lshCandidates(base)
+      // d03's codegen'd signature pipeline, one corpus pass (merge hint:
+      // both band sides reuse the same exchange)
       val sig = minhashSigs(base)
-      val sa = sig.select(col("doc_id").as("doc_a") +:
-        (0 until SIGS).map(k => col(s"m$k").as(s"a$k")): _*)
-      val sb = sig.select(col("doc_id").as("doc_b") +:
+      val rows = SIGS / BANDS
+      val bandArr = array((0 until BANDS).map { b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+            .as("band_val"))
+      }: _*)
+      // band rows CARRY their signature slots so pairs emerge with both
+      // sides' signatures — no later re-join of the signature table
+      val bands = sig.select(
+        col("doc_id") +: explode(bandArr).as("band") +:
+          (0 until SIGS).map(k => col(s"m$k")): _*)
+        .select(col("doc_id") +: col("band.band_idx") +: col("band.band_val") +:
+          (0 until SIGS).map(k => col(s"m$k")): _*)
+      val a = bands.select(col("doc_id").as("doc_a") +: col("band_idx") +:
+        col("band_val") +: (0 until SIGS).map(k => col(s"m$k").as(s"a$k")): _*)
+      val b = bands.select(col("doc_id").as("doc_b") +:
+        col("band_idx").as("bi") +: col("band_val").as("bv") +:
         (0 until SIGS).map(k => col(s"m$k").as(s"b$k")): _*)
       val agree = (0 until SIGS)
         .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
         .reduce(_ + _)
-      val tri = trigrams(base)
-      val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(tri.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-        .join(tri.select(col("doc_id").as("doc_b"), col("s").as("s2")), Seq("doc_b"))
-        .filter(col("s") === col("s2"))
+      // pair dedup (a pair can match on both bands) folds the agreement
+      // count into the same aggregate
+      val pairs = a.hint("merge")
+        .join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+          col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      val interC = coalesce(col("inter"), lit(0L))
-      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .agg(min(agree).as("agree"))
+      // exact side: texts join onto the tiny pair table; distinct-trigram
+      // intersection is row-local array arithmetic over |pairs| rows
+      def triArr(t: String): String =
+        s"""array_distinct(if(size(split($t, ' ')) < 3, array(),
+           |   transform(sequence(1, size(split($t, ' '))-2),
+           |     i -> concat(split($t, ' ')[i-1], ' ', split($t, ' ')[i],
+           |                 ' ', split($t, ' ')[i+1]))))""".stripMargin
+      pairs
+        .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(base.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .withColumn("ta", expr(triArr("text_a")))
+        .withColumn("tb", expr(triArr("text_b")))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("n_a", size(col("ta")))
+        .withColumn("n_b", size(col("tb")))
         .select(col("doc_a"), col("doc_b"),
-          (agree.cast("double") / lit(8.0)).as("est_jaccard"))
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
-          (interC.cast("double") / (col("n_a") + col("n_b") - interC))
+          (col("agree").cast("double") / lit(8.0)).as("est_jaccard"),
+          (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
             .as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
