@@ -185,10 +185,35 @@ object Similarity {
     * on BOTH engines (struct ordering here, `ORDER BY cos DESC, cid` in
     * the oracle).
     */
-  val annIvf: QueryDef = q(
-    "s03_ann_ivf",
-    s"""WITH $oracleNorms,
-       |cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+  /** Nearest-seeded-centroid assignment (vec_id < 8 as centroids): the
+    * centroid table is collected ONCE to the driver (nlist × dim longs —
+    * bounded model state) and embedded as literal arrays, so assignment is
+    * 8 codegen'd `long_dot` expressions + a `greatest(struct…)` argmax per
+    * row: a pure map, NO shuffle for the corpus-wide pass. Ties break
+    * toward the smaller centroid id (negated id in the struct ordering).
+    * Shared by s03 (IVF probe lists) and s06 (SemDeDup clusters).
+    */
+  private def seededAssign(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("qv"), col("sq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    val argmax = greatest(cents.map { case (cid, cv, csq) =>
+      struct(
+        cosCol(call_function("long_dot", col("qv"), typedlit(cv)),
+          col("sq"), lit(csq)).as("ccos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    e.select(col("vec_id"), col("qv"), col("sq"),
+      (-argmax.getField("ncid")).cast("long").as("cid"))
+  }
+
+  /** Oracle CTEs for the seeded-centroid assignment (`assign`: vec_id →
+    * cid). Expects `$oracleNorms` earlier in the WITH chain. Shared by s03
+    * and s06.
+    */
+  private val oracleAssign: String =
+    s"""cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
        |adots AS (
        |  SELECT e.vec_id, c.cid,
        |    CAST(sum(${xiSql("e")} * ${xiSql("c")}) AS BIGINT) AS dot
@@ -201,7 +226,12 @@ object Similarity {
        |assign AS (SELECT vec_id, cid FROM (
        |  SELECT vec_id, cid,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-       |  FROM ascore) WHERE rn = 1),
+       |  FROM ascore) WHERE rn = 1)""".stripMargin
+
+  val annIvf: QueryDef = q(
+    "s03_ann_ivf",
+    s"""WITH $oracleNorms,
+       |$oracleAssign,
        |probes AS (SELECT qid, cid FROM (
        |  SELECT vec_id AS qid, cid,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
@@ -225,21 +255,7 @@ object Similarity {
        |WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin) { (s, d) =>
     val e = withQuant(Tables.embeddings(s, d))
-    // centroid collect: nlist × dim longs — bounded and tiny even at
-    // production nlist; this is the standard "small model state to the
-    // driver, big corpus stays distributed" split
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("qv"), col("sq")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-      .sortBy(_._1)
-    val argmax = greatest(cents.map { case (cid, cv, csq) =>
-      struct(
-        cosCol(call_function("long_dot", col("qv"), typedlit(cv)),
-          col("sq"), lit(csq)).as("ccos"),
-        lit(-cid).as("ncid"))
-    }: _*)
-    val assigned = e.select(col("vec_id"), col("qv"), col("sq"),
-      (-argmax.getField("ncid")).cast("long").as("cid"))
+    val assigned = seededAssign(e)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("pcid"), col("qv").as("cv"), col("sq").as("c_sq"))
     val qs = e.filter(col("vec_id") < 10)
@@ -523,7 +539,51 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus by nearest seeded centroid, then drop every vector
+    * that has a higher-similarity twin (cos > 0.4) with a smaller id
+    * INSIDE ITS OWN CLUSTER. The clustering bounds pair generation to
+    * Σ|cluster|² instead of |corpus|² — the scale move that makes
+    * embedding dedup feasible where d06's exact corpus-wide semantics is
+    * inherently quadratic.
+    *
+    * Plan shape: assignment is the s03 map-only argmax (no shuffle); the
+    * pair join is an equi-join on the cluster id. With nlist = 8 the join
+    * key is deliberately coarse — at production nlist (√n clusters) the
+    * same plan spreads across thousands of keys; AQE skew-split covers
+    * hot clusters either way.
+    */
+  val semDedup: QueryDef = q(
+    "s06_semdedup",
+    s"""WITH $oracleNorms,
+       |$oracleAssign,
+       |pd AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,
+       |    CAST(sum(${xiSql("ea")} * ${xiSql("eb")}) AS BIGINT) AS dot
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id, j
+       |  GROUP BY a.vec_id, b.vec_id, a.cid),
+       |ps AS (
+       |  SELECT va, vb, cid, $oracleCos AS cos
+       |  FROM pd JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb)
+       |SELECT DISTINCT vb AS vec_id, cid
+       |FROM ps WHERE cos > 0.4
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.embeddings(s, d))
+    val assigned = seededAssign(e)
+    val a = assigned.select(col("vec_id").as("va"), col("qv").as("qa"),
+      col("sq").as("sa"), col("cid"))
+    val b = assigned.select(col("vec_id").as("vb"), col("qv").as("qb"),
+      col("sq").as("sb"), col("cid").as("cidb"))
+    a.join(b, col("cid") === col("cidb") && col("va") < col("vb"))
+      .withColumn("cos", cosCol(expr(dotRawSql("qa", "qb")), col("sa"), col("sb")))
+      .filter(col("cos") > 0.4)
+      .select(col("vb").as("vec_id"), col("cid")).distinct()
+      .orderBy("vec_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
-      annRecall)
+      annRecall, semDedup)
 }

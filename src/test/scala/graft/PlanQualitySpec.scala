@@ -187,6 +187,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the corpus must never shuffle for a 10-row query set: " + p)
   }
 
+  test("s06 semdedup pairs only within clusters: equi-join, no all-pairs scan") {
+    val p = plan("s06_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

@@ -80,6 +80,17 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s06: dropped set is a subset of the corpus-wide near-dup pair tails") {
+    // within-cluster pairs above the threshold are a subset of ALL pairs
+    // above it, so every SemDeDup-dropped id must appear as some d06 vec_b
+    val allPairTails = run("d06_dedup_embedding").collect()
+      .map(_.getAs[Long]("vec_b")).toSet
+    val dropped = run("s06_semdedup").collect().map(_.getLong(0))
+    assert(dropped.length == dropped.distinct.length, "one row per dropped id")
+    assert(dropped.forall(allPairTails.contains),
+      "semantic dedup can only drop ids that have a smaller near-dup twin")
+  }
+
   test("q40: EXISTS/NOT EXISTS equals the semi/anti join rewrite") {
     val c = graft.Tables.customer(spark, sf)
     val o = graft.Tables.orders(spark, sf)
