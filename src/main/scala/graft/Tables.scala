@@ -16,6 +16,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Adaptive scan-parallelism guard for CPU-heavy per-row pipelines
+    * (hashing, shingling, quantized vector math).
+    *
+    * A parquet scan cannot split below one row group, so a source written
+    * as few giant row groups (or any unsplittable format — the gzip
+    * problem) yields fewer input partitions than cores and the whole
+    * per-row pipeline runs nearly serial. When that happens — and ONLY
+    * then — redistribute round-robin to the cluster's parallelism before
+    * the heavy work; the rebalance moves raw rows once and is not a keyed
+    * shuffle. At a healthy 100 TB layout (input splits ≫ cores) the guard
+    * is an identity and adds no exchange.
+    */
+  def parallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions.toLong * 4 < target) df.repartition(target)
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -78,7 +78,13 @@ object Dedup {
     *     digests per shingle, not 8 separate hashes — 4× fewer md5 calls
     *     for the same LSH behavior.
     */
-  private def minhashSigs(doc: DataFrame): DataFrame = {
+  private def minhashSigs(doc0: DataFrame): DataFrame = {
+    // double-md5 per shingle is CPU-dense enough that scan parallelism
+    // dominates; the 8-column long partial-agg stays cheap to merge
+    // (contrast simhashFps64, where a 64-column partial-sum shuffle costs
+    // more than the parallelism buys — measured, so that one stays on the
+    // scan's own partitioning)
+    val doc = Tables.parallel(doc0)
     // no transform-lambda and no array_distinct here, unlike trigrams():
     // a min() aggregate is idempotent to duplicate shingles, so the
     // signatures can skip per-doc distinctness entirely, and generating
@@ -131,8 +137,8 @@ object Dedup {
     * distinctness is row-local (array_distinct before the explode), so
     * this is a pure map — no dedup shuffle.
     */
-  private def trigrams(doc: DataFrame): DataFrame =
-    doc.select(col("doc_id"), split(col("text"), " ").as("ws"))
+  private def trigrams(doc0: DataFrame): DataFrame =
+    Tables.parallel(doc0).select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(if(size(ws) < 3, array(),
           |   transform(sequence(1, size(ws)-2),
@@ -183,7 +189,7 @@ object Dedup {
     */
   private[operators] def jaccardPairs(
       docs: DataFrame, jaccardThreshold: Double, dfCap: Int): DataFrame = {
-    val w = docs
+    val w = Tables.parallel(docs)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), expr(
         """array_distinct(if(size(ws) < 3, array(),

@@ -69,8 +69,9 @@ object Similarity {
       |     * sqrt(CAST(nb.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE)))""".stripMargin
 
   /** Adds the quantized vector (`qv`) and its scaled squared norm. */
-  private def withQuant(df: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+  private def withQuant(df0: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df0.sparkSession)
+    val df = Tables.parallel(df0)
     df.withColumn("qv", expr(quantSql("embedding")))
       .withColumn("sq", expr(dotRawSql("qv", "qv")))
   }
