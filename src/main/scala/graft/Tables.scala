@@ -39,6 +39,12 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  // NOTE: fact tables deliberately do NOT route through `parallel` — an
+  // A/B bench showed the round-robin rebalance of a whole fact table costs
+  // more than the serial decode it avoids for scan→agg/join queries (these
+  // move columnar batches, little per-row CPU). The guard pays off only
+  // where per-row work is hash/lambda-dense (see the dedup/similarity
+  // operators).
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
