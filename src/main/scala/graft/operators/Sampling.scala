@@ -262,7 +262,50 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Deterministic REPEAT upsampling — the other half of mixture control
+    * (p06 downsamples over-represented languages; this replicates under-
+    * represented ones). Each language gets an integer repeat factor
+    * `min(3, max(1, n_max div n_lang))`; every doc is emitted once per
+    * epoch 1..factor. The epoch index makes replicas distinguishable
+    * downstream (shuffling into training shards, seeding augmentations)
+    * without any RNG.
+    *
+    * Scale shape: per-language stats broadcast; replication is a row-local
+    * generator (`explode(sequence)`) fused into the scan projection — the
+    * corpus never shuffles, output is produced streaming at factor× read
+    * rate. The only exchange is the final per-language audit aggregate.
+    */
+  val repeatUpsample: QueryDef = q(
+    "p07_repeat_upsample",
+    """WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |m AS (SELECT max(n_lang) AS max_n FROM n),
+      |f AS (SELECT lang, n_lang,
+      |             least(3, greatest(1, max_n // n_lang)) AS factor
+      |      FROM n CROSS JOIN m),
+      |rep AS (SELECT d.doc_id, d.lang, f.factor,
+      |               unnest(range(1, f.factor + 1)) AS epoch
+      |        FROM documents d JOIN f USING (lang))
+      |SELECT lang, CAST(min(factor) AS BIGINT) AS factor,
+      |       count(*) AS n_rows, CAST(sum(epoch) AS BIGINT) AS sum_epoch,
+      |       min(doc_id) AS first_doc
+      |FROM rep GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val m = n.agg(max(col("n_lang")).as("max_n"))
+    val f = n.crossJoin(broadcast(m))
+      .select(col("lang"),
+        least(lit(3L), greatest(lit(1L), expr("max_n div n_lang"))).as("factor"))
+    docs.select(col("lang"), col("doc_id"))
+      .join(broadcast(f), "lang")
+      .select(col("lang"), col("doc_id"), col("factor"),
+        explode(expr("sequence(1L, factor)")).as("epoch"))
+      .groupBy(col("lang"))
+      .agg(min(col("factor")).as("factor"), count(lit(1)).as("n_rows"),
+        sum(col("epoch")).as("sum_epoch"), min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
-      langRebalance)
+      langRebalance, repeatUpsample)
 }

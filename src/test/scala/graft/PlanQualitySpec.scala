@@ -187,6 +187,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the corpus must never shuffle for a 10-row query set: " + p)
   }
 
+  test("p07 upsampling replicates in the scan projection, stats broadcast") {
+    val p = plan("p07_repeat_upsample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "per-language factors must broadcast; the corpus must not shuffle: " + p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("s06 semdedup pairs only within clusters: equi-join, no all-pairs scan") {
     val p = plan("s06_semdedup")
     assert(!p.contains("CartesianProduct"), p)

@@ -80,6 +80,21 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p07: replication law — n_rows = n_lang*factor, epochs sum to the triangle") {
+    val pools = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("p07_repeat_upsample").collect()
+    assert(rows.map(_.getString(0)).toSet == pools.keySet)
+    rows.foreach { r =>
+      val (lang, f, n, se) = (r.getString(0), r.getAs[Long]("factor"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("sum_epoch"))
+      assert(f >= 1 && f <= 3)
+      assert(n == pools(lang) * f, s"$lang: $n rows != ${pools(lang)} * $f")
+      assert(se == pools(lang) * f * (f + 1) / 2, s"$lang epoch sum")
+    }
+  }
+
   test("s06: dropped set is a subset of the corpus-wide near-dup pair tails") {
     // within-cluster pairs above the threshold are a subset of ALL pairs
     // above it, so every SemDeDup-dropped id must appear as some d06 vec_b
