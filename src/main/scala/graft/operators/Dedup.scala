@@ -686,7 +686,16 @@ object Dedup {
     * 16-bit BNLJ which only stays cheap because 2^16 bounds that table.
     * Guaranteed recall (the pigeonhole bound is exact, not
     * probabilistic), candidates linear-ish in corpus under uniform
-    * hashing, and the doc expansion is two equi-joins on fingerprint.
+    * hashing.
+    *
+    * SINGLE-PASS layout: the corpus-scale fingerprint aggregate feeds one
+    * groupBy(simhash) that carries each fingerprint's doc-id LIST; bank
+    * rows keep the list attached, so confirmed fingerprint pairs expand
+    * to doc pairs by exploding the two lists row-locally — no re-join of
+    * the fingerprint table (which previously re-ran the corpus aggregate
+    * per consumer). Equal-fingerprint (hamming-0) doc pairs come from the
+    * bank-0 self-match of the same join rather than a separate diagonal
+    * union, keeping the pipeline strictly linear.
     */
   val simhashPairs64: QueryDef = q(
     "d09_simhash_hamming64",
@@ -704,31 +713,45 @@ object Dedup {
        |WHERE fa.doc_id < fb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val fps = simhashFps64(Tables.documents(s, d))
-    val dfp = fps.select(col("simhash")).distinct()
+    // one small shuffle keyed on the fingerprint: distinct fingerprints
+    // WITH their doc-id lists (bounded: a list holds exact duplicates'
+    // ids). This is the only consumer of the corpus-scale aggregate.
+    val g = fps.groupBy(col("simhash")).agg(collect_list(col("doc_id")).as("ids"))
     def banks(fpCol: String, prefix: String): Column = explode(array(
       (0 until 4).map(k => struct(lit(k).as(s"${prefix}k"),
         shiftright(col(fpCol), k * 16).bitwiseAND(lit(65535L))
           .as(s"${prefix}v"))): _*))
-    val b1 = dfp.select(col("simhash").as("f1"), banks("simhash", "b").as("b"))
-      .select(col("f1"), col("b.bk"), col("b.bv"))
-    val b2 = dfp.select(col("simhash").as("f2"), banks("simhash", "c").as("c"))
-      .select(col("f2"), col("c.ck"), col("c.cv"))
-    // both orientations survive (f1 =!= f2, no ordering): the doc-level
-    // doc_a < doc_b can pair either fingerprint first; a multi-bank
-    // collision yields duplicate candidates → distinct before verifying
-    val cand = b1.join(b2, col("bk") === col("ck") && col("bv") === col("cv") &&
-        col("f1") =!= col("f2"))
-      .select("f1", "f2").distinct()
+    val b1 = g.select(col("simhash").as("f1"), col("ids").as("ids1"),
+      banks("simhash", "b").as("b"))
+      .select(col("f1"), col("ids1"), col("b.bk"), col("b.bv"))
+    val b2 = g.select(col("simhash").as("f2"), col("ids").as("ids2"),
+      banks("simhash", "c").as("c"))
+      .select(col("f2"), col("ids2"), col("c.ck"), col("c.cv"))
+    // f1 <= f2 keeps one orientation of each fingerprint pair (equality =
+    // the hamming-0 self-match); multi-bank agreement would duplicate a
+    // pair, so the join keeps only the FIRST agreeing bank — "every bank
+    // before bk differs" is derivable from the fingerprints themselves,
+    // which makes the dedup a codegen'd predicate instead of an aggregate
+    def bankv(f: Column, j: Int): Column =
+      shiftright(f, j * 16).bitwiseAND(lit(65535L))
+    val firstAgreeingBank = (0 until 4).map { j =>
+      (col("bk") === j) && (0 until j)
+        .map(i => bankv(col("f1"), i) =!= bankv(col("f2"), i))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    val cand = b1.hint("merge")
+      .join(b2, col("bk") === col("ck") && col("bv") === col("cv") &&
+        col("f1") <= col("f2") && firstAgreeingBank)
       .filter(bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3)
-    // equal fingerprints (hamming 0 across distinct docs) pair on the
-    // diagonal, which the f1 =!= f2 join above excludes by construction
-    val close = cand.union(dfp.select(col("simhash").as("f1"),
-      col("simhash").as("f2")))
-    close
-      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("f1")), "f1")
-      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("f2")), "f2")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    // row-local doc expansion: explode both lists; within an equal-
+    // fingerprint group each unordered pair appears twice, so keep x < y
+    // there; across fingerprints each pair appears once — orient it
+    cand
+      .select(col("f1"), col("f2"), explode(col("ids1")).as("x"), col("ids2"))
+      .select(col("f1"), col("f2"), col("x"), explode(col("ids2")).as("y"))
+      .filter(col("f1") =!= col("f2") || col("x") < col("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
         bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }
