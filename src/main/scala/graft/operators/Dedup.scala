@@ -602,15 +602,23 @@ object Dedup {
        |WHERE fa.doc_id < fb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val fps = simhashFps(Tables.documents(s, d))
-    val dfp = fps.select(col("simhash")).distinct()
-    val close = dfp.select(col("simhash").as("f1"))
-      .join(dfp.select(col("simhash").as("f2")),
-        bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3)
+    // one corpus aggregate: distinct fingerprints with their doc-id lists
+    // (the 2^16 bound applies to g's row count, same as the old distinct)
+    val g = fps.groupBy(col("simhash")).agg(collect_list(col("doc_id")).as("ids"))
+    // hamming theta-join over g stays the documented 16-bit BNLJ baseline;
+    // f1 <= f2 keeps one orientation (equality = the hamming-0 diagonal)
+    val close = g.select(col("simhash").as("f1"), col("ids").as("ids1"))
+      .join(g.select(col("simhash").as("f2"), col("ids").as("ids2")),
+        bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3 &&
+          col("f1") <= col("f2"))
+    // row-local doc expansion: within the diagonal keep x < y, across
+    // fingerprints orient with least/greatest — no re-join of fps
     close
-      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("f1")), "f1")
-      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("f2")), "f2")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("f1"), col("f2"), explode(col("ids1")).as("x"), col("ids2"))
+      .select(col("f1"), col("f2"), col("x"), explode(col("ids2")).as("y"))
+      .filter(col("f1") =!= col("f2") || col("x") < col("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
         bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }

@@ -193,10 +193,13 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a window count over the tf relation — the tf aggregate is
+    // computed ONCE (a groupBy+join formulation re-expands the tf subtree
+    // for the document-frequency side)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1))
+        .over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("score_micro",
         expr("CAST(tf * 1000000 * n_total div df AS BIGINT)"))
@@ -232,6 +235,11 @@ object TextAnalysis {
           |   transform(sequence(1, size(ws)-1),
           |     i -> concat(ws[i-1], ' ', ws[i]))))""".stripMargin))
         .as("b"))
+    // df-join form, NOT a posting list: collect_list per bigram would
+    // accumulate an unbounded doc array on hub bigrams ("of the" over a
+    // 100 TB corpus), where the count aggregate keeps O(1) state per key
+    // — boilerplate detection needs exactly those hub keys, so the skew
+    // is inherent and AQE skew-split handles the join side
     val dfreq = bg.groupBy(col("b")).agg(count(lit(1)).as("df"))
     bg.join(dfreq, "b")
       .groupBy(col("doc_id"))
