@@ -206,12 +206,19 @@ object Dedup {
     // A paranoid exact variant would carry (h, s) and join on both.
     val tri = w.select(col("doc_id"), explode(col("arr")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val dfreq = tri.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    // posting-list candidate generation: ONE aggregate per shingle carries
+    // the doc list; the df cap bounds every list at dfCap ids (O(1)-ish
+    // state per key — this is what makes collect_list safe here, unlike a
+    // hub-keyed list), and pairs explode row-locally via codegen Generate
+    // (an earlier lambda-based pair expansion evaluated interpreted and
+    // lost; the two-sided equi-join re-ran the shingle pipeline per side)
+    val g = tri.groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("c"))
       .filter(col("c") <= dfCap)
-    val a = tri.select(col("doc_id").as("doc_a"), col("h"))
-      .join(dfreq.select("h"), "h")
-    val b = tri.select(col("doc_id").as("doc_b"), col("h").as("h2"))
-    val cand = a.join(b, col("h") === col("h2") && col("doc_a") < col("doc_b"))
+    val cand = g
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
