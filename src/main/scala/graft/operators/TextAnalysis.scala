@@ -193,13 +193,15 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // df as a window count over the tf relation — the tf aggregate is
-    // computed ONCE (a groupBy+join formulation re-expands the tf subtree
-    // for the document-frequency side)
+    // df via a second aggregate + join, NOT count() over a term window:
+    // the window form computes tf once but puts every row of a hub term
+    // ("the" over a 100 TB corpus) into ONE window partition — windows
+    // cannot skew-split, where the join side gets AQE skew handling.
+    // Bounded recompute beats an unbounded straggler.
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("term"))
-    tf.withColumn("df", count(lit(1))
-        .over(Window.partitionBy(col("term"))))
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("score_micro",
         expr("CAST(tf * 1000000 * n_total div df AS BIGINT)"))
