@@ -851,6 +851,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark DECONTAMINATION as a removal pipeline: drop every corpus
+    * doc whose contaminated-5-gram fraction meets `threshold` (0.0 drops
+    * on any shared shingle — the conservative eval-hygiene default).
+    * Returns the surviving rows of `docs` with their original columns.
+    *
+    * Same scale shape as the d10 probe: benchmark shingles are distinct-
+    * hashed and broadcast; the corpus streams scan → shingle-explode →
+    * broadcast-join → per-doc conditional aggregate → anti-join back on
+    * doc_id. The corpus shuffles once, keyed on doc_id, only to carry the
+    * drop verdicts.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.0): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(if(size(ws) < 5, array(),
+          |  transform(sequence(1, size(ws)-4),
+          |    i -> concat(ws[i-1],' ',ws[i],' ',ws[i+1],' ',ws[i+2],' ',ws[i+3]))))""".stripMargin))
+        .as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bench = grams(benchmark.select(col("doc_id"), col("text")))
+      .select(col("h").as("bh")).distinct()
+    val verdicts = grams(docs.select(col("doc_id"), col("text")))
+      .join(broadcast(bench), col("h") === col("bh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("bh")).as("n_hit"))
+      .filter(col("n_hit") * lit(1.0) / col("n_shingles") > threshold ||
+        (lit(threshold) === 0.0 && col("n_hit") > 0))
+      .select(col("doc_id"))
+    docs.join(verdicts, Seq("doc_id"), "left_anti")
+  }
+
   /** Benchmark-contamination check (the decontamination pass every
     * training pipeline runs before eval): corpus docs sharing any
     * 5-gram word shingle with the benchmark set (stand-in: doc_id < 50),

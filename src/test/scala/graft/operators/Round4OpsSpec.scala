@@ -106,6 +106,23 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "semantic dedup can only drop ids that have a smaller near-dup twin")
   }
 
+  test("decontaminate: drops exactly the docs the d10 probe flags (threshold 0)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") < 50)
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val flagged = run("d10_contamination").collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.decontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == corpusIds -- flagged,
+      s"decontaminate must drop the probe's flagged set: " +
+        s"dropped=${corpusIds -- survivors} flagged=$flagged")
+    // a benchmark no doc shares 5-grams with drops nothing
+    val noop = Dedup.decontaminate(corpus,
+      bench.withColumn("text", lit("zz yy xx ww vv uu tt")))
+    assert(noop.count() == corpus.count())
+  }
+
   test("q40: EXISTS/NOT EXISTS equals the semi/anti join rewrite") {
     val c = graft.Tables.customer(spark, sf)
     val o = graft.Tables.orders(spark, sf)
