@@ -282,6 +282,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Composite Gopher-style quality gate: one scan-fused pass computing
+    * the t02 surface ratios and the t07 repetition ratio, with pass/fail
+    * thresholds in the Gopher-rules family (Rae et al. 2021, Gopher
+    * appendix A): word-count window, mean word length window, minimum
+    * alphabetic ratio, repetition ceiling. Returns `docs` plus the metric
+    * columns and a `quality_pass` boolean — callers filter or route on it.
+    *
+    * Scale shape: every metric is row-local array/regex arithmetic, so the
+    * whole gate fuses into the scan projection — zero shuffles, streaming
+    * at read rate, which is what lets it front a 100 TB ingest pipeline.
+    */
+  def qualityFilter(docs: DataFrame,
+      minWords: Int = 5, maxWords: Int = 1000000,
+      minMeanWl: Double = 2.0, maxMeanWl: Double = 12.0,
+      minAlphaRatio: Double = 0.5, maxRepetition: Double = 0.5): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nWords = size(ws)
+    val meanWl = (length(col("text")) - (nWords - 1)).cast("double") / nWords
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+        length(col("text"))
+    val repetition =
+      (nWords - size(array_distinct(ws))).cast("double") / nWords
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_wl", meanWl)
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("repetition", repetition)
+      .withColumn("quality_pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_wl").between(minMeanWl, maxMeanWl) &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("repetition") <= maxRepetition)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
       repetition)

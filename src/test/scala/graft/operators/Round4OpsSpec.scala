@@ -106,6 +106,27 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "semantic dedup can only drop ids that have a smaller near-dup twin")
   }
 
+  test("qualityFilter: gate agrees with independently computed metrics; plan is map-only") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = TextAnalysis.qualityFilter(docs, minWords = 10,
+      maxRepetition = 0.6)
+    assert(out.count() == docs.count(), "filter annotates, never drops")
+    out.collect().foreach { r =>
+      val text = r.getAs[String]("text")
+      val words = text.split(" ")
+      assert(r.getAs[Int]("n_words") == words.length)
+      val rep = (words.length - words.distinct.length).toDouble / words.length
+      assert(math.abs(r.getAs[Double]("repetition") - rep) < 1e-9)
+      val expectPass = words.length >= 10 &&
+        r.getAs[Double]("mean_wl") >= 2.0 && r.getAs[Double]("mean_wl") <= 12.0 &&
+        r.getAs[Double]("alpha_ratio") >= 0.5 && rep <= 0.6
+      assert(r.getAs[Boolean]("quality_pass") == expectPass, s"doc ${r.get(0)}")
+    }
+    // map-only: no exchange of any kind in the gate itself
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("decontaminate: drops exactly the docs the d10 probe flags (threshold 0)") {
     val docs = graft.Tables.documents(spark, sf)
     val bench = docs.filter(col("doc_id") < 50)
