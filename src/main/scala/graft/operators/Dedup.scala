@@ -852,7 +852,7 @@ object Dedup {
   }
 
   /** Benchmark DECONTAMINATION as a removal pipeline: drop every corpus
-    * doc whose contaminated-5-gram fraction meets `threshold` (0.0 drops
+    * doc whose contaminated-5-gram fraction exceeds `threshold` (0.0 drops
     * on any shared shingle — the conservative eval-hygiene default).
     * Returns the surviving rows of `docs` with their original columns.
     *
@@ -878,8 +878,7 @@ object Dedup {
       .join(broadcast(bench), col("h") === col("bh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("bh")).as("n_hit"))
-      .filter(col("n_hit") * lit(1.0) / col("n_shingles") > threshold ||
-        (lit(threshold) === 0.0 && col("n_hit") > 0))
+      .filter(col("n_hit") * lit(1.0) / col("n_shingles") > threshold)
       .select(col("doc_id"))
     docs.join(verdicts, Seq("doc_id"), "left_anti")
   }
