@@ -33,14 +33,16 @@ object PipelineDemo {
       .filter(col("doc_id") === col("keeper"))
       .drop("keeper")
     val n2 = exact.count()
-    val deduped = Dedup.deduplicate(exact, jaccardThreshold = 0.6)
+    // persisted: three downstream actions (n3, n4, the split aggregate)
+    // would otherwise each re-run the LSH candidate + verification DAG
+    val deduped = Dedup.deduplicate(exact, jaccardThreshold = 0.6).persist()
     val n3 = deduped.count()
 
     // 3. benchmark decontamination: any shared 5-gram with the held-out
     //    set (stand-in: doc_id < 50) drops the training doc
     val bench = docs.filter(col("doc_id") < 50)
     val train0 = deduped.filter(col("doc_id") >= 50)
-    val clean = Dedup.decontaminate(train0, bench)
+    val clean = Dedup.decontaminate(train0, bench).persist()
     val n4 = clean.count()
 
     // 4. deterministic hash split — stable under reprocessing and retries

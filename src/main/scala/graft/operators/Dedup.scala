@@ -206,15 +206,19 @@ object Dedup {
     // A paranoid exact variant would carry (h, s) and join on both.
     val tri = w.select(col("doc_id"), explode(col("arr")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    // posting-list candidate generation: ONE aggregate per shingle carries
-    // the doc list; the df cap bounds every list at dfCap ids (O(1)-ish
-    // state per key — this is what makes collect_list safe here, unlike a
-    // hub-keyed list), and pairs explode row-locally via codegen Generate
-    // (an earlier lambda-based pair expansion evaluated interpreted and
-    // lost; the two-sided equi-join re-ran the shingle pipeline per side)
-    val g = tri.groupBy(col("h"))
-      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("c"))
+    // posting-list candidate generation with BOUNDED aggregation state:
+    // document frequencies first (count aggregate, O(1) state per key),
+    // hub shingles above the cap are dropped BEFORE any doc-id list is
+    // collected — so collect_list provably holds <= dfCap ids per key
+    // even when a hub shingle appears in every document. Pairs then
+    // explode row-locally via codegen Generate (an earlier lambda-based
+    // expansion evaluated interpreted; a two-sided equi-join re-ran the
+    // shingle pipeline per side).
+    val dfreq = tri.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= dfCap)
+    val g = tri.join(dfreq.select("h"), "h")
+      .groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ids"))
     val cand = g
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
@@ -609,23 +613,19 @@ object Dedup {
        |WHERE fa.doc_id < fb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val fps = simhashFps(Tables.documents(s, d))
-    // one corpus aggregate: distinct fingerprints with their doc-id lists
-    // (the 2^16 bound applies to g's row count, same as the old distinct)
-    val g = fps.groupBy(col("simhash")).agg(collect_list(col("doc_id")).as("ids"))
-    // hamming theta-join over g stays the documented 16-bit BNLJ baseline;
-    // f1 <= f2 keeps one orientation (equality = the hamming-0 diagonal)
-    val close = g.select(col("simhash").as("f1"), col("ids").as("ids1"))
-      .join(g.select(col("simhash").as("f2"), col("ids").as("ids2")),
-        bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3 &&
-          col("f1") <= col("f2"))
-    // row-local doc expansion: within the diagonal keep x < y, across
-    // fingerprints orient with least/greatest — no re-join of fps
+    // the theta-join candidate table holds DISTINCT fingerprints only —
+    // at 16 bits a fingerprint group collects UNRELATED colliding docs,
+    // so carrying doc-id lists here would put the whole corpus's ids on
+    // the broadcast side; docs expand via bounded equi-joins instead
+    val dfp = fps.select(col("simhash")).distinct()
+    val close = dfp.select(col("simhash").as("f1"))
+      .join(dfp.select(col("simhash").as("f2")),
+        bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3)
     close
-      .select(col("f1"), col("f2"), explode(col("ids1")).as("x"), col("ids2"))
-      .select(col("f1"), col("f2"), col("x"), explode(col("ids2")).as("y"))
-      .filter(col("f1") =!= col("f2") || col("x") < col("y"))
-      .select(least(col("x"), col("y")).as("doc_a"),
-        greatest(col("x"), col("y")).as("doc_b"),
+      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("f1")), "f1")
+      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("f2")), "f2")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
         bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }

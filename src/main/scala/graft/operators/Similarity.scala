@@ -469,9 +469,12 @@ object Similarity {
     * Scale shape: both candidate generators broadcast the tiny query set
     * against a single corpus scan (exact side = broadcast nested loop over
     * the queries only; bucketed side = broadcast hash join on the bucket
-    * key), so the corpus is read twice and never shuffled; the recall join
-    * touches 3·|queries| rows. recall = hits/3 is one IEEE divide on exact
-    * small integers — bit-identical across engines.
+    * key), so the corpus itself is never key-shuffled; the scored
+    * (query, candidate) pairs DO shuffle into the per-query top-3 windows
+    * — ≤|queries| partitions, the inherent cost of any per-query ranking
+    * (same shape as s01) — and the recall join touches 3·|queries| rows.
+    * recall = hits/3 is one IEEE divide on exact small integers —
+    * bit-identical across engines.
     */
   val annRecall: QueryDef = q(
     "s05_ann_recall",

@@ -297,11 +297,17 @@ object TextAnalysis {
       minWords: Int = 5, maxWords: Int = 1000000,
       minMeanWl: Double = 2.0, maxMeanWl: Double = 12.0,
       minAlphaRatio: Double = 0.5, maxRepetition: Double = 0.5): DataFrame = {
-    val ws = split(col("text"), " ")
+    // unlike the t02 query (which mirrors its oracle on a lowercase
+    // single-spaced corpus), this gate must hold on real text: words
+    // split on whitespace RUNS and the alphabetic ratio is
+    // case-insensitive, so ALL-CAPS or doubled-space documents are not
+    // spuriously rejected
+    val ws = split(col("text"), "\\s+")
     val nWords = size(ws)
-    val meanWl = (length(col("text")) - (nWords - 1)).cast("double") / nWords
+    val meanWl = expr("aggregate(split(text, '\\\\s+'), 0, (a, x) -> a + length(x))")
+      .cast("double") / nWords
     val alphaRatio =
-      length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
         length(col("text"))
     val repetition =
       (nWords - size(array_distinct(ws))).cast("double") / nWords

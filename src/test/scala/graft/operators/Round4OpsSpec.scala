@@ -113,7 +113,7 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == docs.count(), "filter annotates, never drops")
     out.collect().foreach { r =>
       val text = r.getAs[String]("text")
-      val words = text.split(" ")
+      val words = text.split("\\s+").filter(_.nonEmpty)
       assert(r.getAs[Int]("n_words") == words.length)
       val rep = (words.length - words.distinct.length).toDouble / words.length
       assert(math.abs(r.getAs[Double]("repetition") - rep) < 1e-9)
