@@ -187,6 +187,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the corpus must never shuffle for a 10-row query set: " + p)
   }
 
+  test("d05 posting-list collect runs bounded: df filter sits below the list aggregate") {
+    val p = plan("d05_dedup_ngram_jaccard")
+    // the doc-id list aggregate (ObjectHashAggregate) must be fed by the
+    // df-capped join, never fall back to sort-based aggregation, and the
+    // frequency count itself stays a plain HashAggregate
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("p07 upsampling replicates in the scan projection, stats broadcast") {
     val p = plan("p07_repeat_upsample")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)

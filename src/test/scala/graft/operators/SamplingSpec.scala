@@ -48,4 +48,21 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(full(r.getLong(0)) == r.getString(1))
     }
   }
+
+  test("hashSample nesting: a smaller fraction's sample is a subset of a larger's") {
+    // threshold sampling's defining contract — growing the rate only ADDS
+    // rows (so a pipeline can raise its sampling rate without churning
+    // previously selected data). Checked across the whole fraction grid.
+    val fractions = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val samples = fractions.map { f =>
+      f -> Sampling.hashSample(docs, col("doc_id"), f)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    samples.sliding(2).foreach { case Seq((f1, s1), (f2, s2)) =>
+      assert(s1.subsetOf(s2), s"sample($f1) must nest inside sample($f2)")
+    }
+    // rate endpoints
+    assert(Sampling.hashSample(docs, col("doc_id"), 0.0).count() == 0)
+    assert(Sampling.hashSample(docs, col("doc_id"), 1.0).count() == docs.count())
+  }
 }
