@@ -27,6 +27,15 @@ object Tables {
     * the heavy work; the rebalance moves raw rows once and is not a keyed
     * shuffle. At a healthy 100 TB layout (input splits ≫ cores) the guard
     * is an identity and adds no exchange.
+    *
+    * SCAN-LEVEL ONLY: call this on a freshly loaded table (optionally
+    * projected/filtered — narrow ops keep the scan's partition count),
+    * never on a derived frame. Downstream of any shuffle the partition
+    * count reflects `spark.sql.shuffle.partitions`, so the guard would
+    * fire on corpus-scale intermediates and round-robin them for nothing;
+    * `.rdd` on a post-shuffle plan also forces an RDD lineage conversion
+    * at plan-build time. Library operators therefore do NOT guard their
+    * inputs — the per-query entry points guard their own scans.
     */
   def parallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -61,6 +61,54 @@ object Dedup {
   private val SIGS = 8 // minhash signatures
   private val BANDS = 2 // bands of SIGS/BANDS rows each
 
+  /** Exact-duplicate PRE-COLLAPSE: one row per DISTINCT text, with the
+    * smallest holding doc_id as representative and the copy count.
+    *
+    * This is the skew armor for every fingerprint family downstream
+    * (minhash d03, simhash d09): a real web corpus carries boilerplate
+    * texts with 10⁶–10⁹ EXACT copies, and any per-fingerprint doc-id list
+    * or per-band hot key is unbounded in that multiplicity. Collapsing
+    * first makes all fingerprint work per-DISTINCT-text: aggregation
+    * state here is O(1) per key (min + count — no lists), the signature
+    * pipelines then hash each text once, and duplicate docs re-enter only
+    * at the final expansion joins (streamed, AQE-skew-splittable — never
+    * held in one aggregation buffer).
+    */
+  private[operators] def collapseExact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** doc_id → representative-id map for re-expanding representative-level
+    * results to document level (an equi-join on text — raw rows, no
+    * aggregation state).
+    */
+  private[operators] def repMap(docs: DataFrame, collapsed: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .join(collapsed.select(col("text"), col("rep_id")), "text")
+      .select(col("doc_id"), col("rep_id"))
+
+  /** Expands representative-level pairs (r1, r2 — r1 = r2 encodes the
+    * same-text diagonal) to document-level pairs (doc_a < doc_b), carrying
+    * `payload` columns through.
+    *
+    * PAIR-EXPANSION CONTRACT: the all-pairs output is itself quadratic in
+    * duplicate multiplicity — a text with n exact copies expands to
+    * n·(n−1)/2 rows. That is the query's contract (the oracle states all
+    * pairs), not an engine hazard: the expansion is two streamed
+    * equi-joins on the rep id, so no task ever materializes a duplicate
+    * group in memory; a caller that only needs keep/drop decisions should
+    * use [[deduplicate]] (which never expands the diagonal) or consume
+    * `collapsed` (rep_id, n_copies) directly.
+    */
+  private def expandRepPairs(
+      repPairs: DataFrame, docMap: DataFrame, payload: Seq[String]): DataFrame =
+    repPairs
+      .join(docMap.select(col("rep_id").as("r1"), col("doc_id").as("x")), "r1")
+      .join(docMap.select(col("rep_id").as("r2"), col("doc_id").as("y")), "r2")
+      .filter(col("r1") =!= col("r2") || col("x") < col("y"))
+      .select(least(col("x"), col("y")).as("doc_a") +:
+        greatest(col("x"), col("y")).as("doc_b") +: payload.map(col): _*)
+
   /** Per-doc minhash signature columns m0..m7 over DISTINCT word-trigram
     * shingles.
     *
@@ -78,13 +126,11 @@ object Dedup {
     *     digests per shingle, not 8 separate hashes — 4× fewer md5 calls
     *     for the same LSH behavior.
     */
-  private def minhashSigs(doc0: DataFrame): DataFrame = {
+  private def minhashSigs(doc: DataFrame): DataFrame = {
     // double-md5 per shingle is CPU-dense enough that scan parallelism
-    // dominates; the 8-column long partial-agg stays cheap to merge
-    // (contrast simhashFps64, where a 64-column partial-sum shuffle costs
-    // more than the parallelism buys — measured, so that one stays on the
-    // scan's own partitioning)
-    val doc = Tables.parallel(doc0)
+    // dominates — the QUERY ENTRIES route their scans through
+    // Tables.parallel (scan-level only; guarding here would re-shuffle
+    // derived frames callers pass in, e.g. PipelineDemo's filtered corpus)
     // no transform-lambda and no array_distinct here, unlike trigrams():
     // a min() aggregate is idempotent to duplicate shingles, so the
     // signatures can skip per-doc distinctness entirely, and generating
@@ -138,7 +184,7 @@ object Dedup {
     * this is a pure map — no dedup shuffle.
     */
   private def trigrams(doc0: DataFrame): DataFrame =
-    Tables.parallel(doc0).select(col("doc_id"), split(col("text"), " ").as("ws"))
+    doc0.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(if(size(ws) < 3, array(),
           |   transform(sequence(1, size(ws)-2),
@@ -189,7 +235,7 @@ object Dedup {
     */
   private[operators] def jaccardPairs(
       docs: DataFrame, jaccardThreshold: Double, dfCap: Int): DataFrame = {
-    val w = Tables.parallel(docs)
+    val w = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), expr(
         """array_distinct(if(size(ws) < 3, array(),
@@ -420,7 +466,7 @@ object Dedup {
        |JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |            AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    lshCandidates(Tables.documents(s, d).select("doc_id", "text"))
+    lshCandidates(Tables.parallel(Tables.documents(s, d).select("doc_id", "text")))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -481,7 +527,8 @@ object Dedup {
          |JOIN sz sb ON sb.doc_id = e.doc_b
          |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
          |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (s, d) =>
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = Tables.parallel(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       // d03's codegen'd signature pipeline, one corpus pass (merge hint:
       // both band sides reuse the same exchange)
       val sig = minhashSigs(base)
@@ -797,7 +844,8 @@ object Dedup {
       |JOIN sz sb ON sb.doc_id = doc_b
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    jaccardPairs(Tables.documents(s, d).select("doc_id", "text"), 0.2, 50)
+    jaccardPairs(Tables.parallel(Tables.documents(s, d).select("doc_id", "text")),
+        0.2, 50)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -847,7 +895,8 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     connectedComponents(
-      jaccardPairs(Tables.documents(s, d).select("doc_id", "text"), 0.2, 50))
+      jaccardPairs(Tables.parallel(Tables.documents(s, d).select("doc_id", "text")),
+        0.2, 50))
       .orderBy("doc_id")
   }
 

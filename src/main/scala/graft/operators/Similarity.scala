@@ -69,9 +69,12 @@ object Similarity {
       |     * sqrt(CAST(nb.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE)))""".stripMargin
 
   /** Adds the quantized vector (`qv`) and its scaled squared norm. */
-  private def withQuant(df0: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(df0.sparkSession)
-    val df = Tables.parallel(df0)
+  private def withQuant(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // no Tables.parallel here — the quantization is hash-dense enough that
+    // the guard pays on SCANS, but this is a library-internal step that
+    // also sees derived frames (kMeans loop state, user pipelines); query
+    // entries guard their own scan instead
     df.withColumn("qv", expr(quantSql("embedding")))
       .withColumn("sq", expr(dotRawSql("qv", "qv")))
   }
@@ -98,7 +101,7 @@ object Similarity {
        |  FROM scored)
        |WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin) { (s, d) =>
-    val e = withQuant(Tables.embeddings(s, d))
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
     val cs = e.select(col("vec_id").as("cid"), col("qv").as("ce"),
@@ -147,7 +150,7 @@ object Similarity {
        |  FROM scored)
        |WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin) { (s, d) =>
-    val e = withQuant(Tables.embeddings(s, d))
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
       .withColumn("bucket", bucketCol("embedding"))
     val a = e.select(col("vec_id").as("qid"), col("qv").as("qe"),
       col("sq").as("q_sq"), col("bucket"))
@@ -255,7 +258,7 @@ object Similarity {
        |  FROM scored)
        |WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin) { (s, d) =>
-    val e = withQuant(Tables.embeddings(s, d))
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
     val assigned = seededAssign(e)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("pcid"), col("qv").as("cv"), col("sq").as("c_sq"))
@@ -369,7 +372,7 @@ object Similarity {
        |       (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS centroid
        |FROM sums
        |ORDER BY label, dim""".stripMargin) { (s, d) =>
-    val e = withQuant(Tables.embeddings(s, d))
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
     e.groupBy(col("label"))
       .agg(graft.functions.VecAgg.vecSum(col("qv")).as("sums"),
         count(lit(1)).as("n"))
@@ -514,7 +517,7 @@ object Similarity {
        |FROM exact x
        |LEFT JOIN approx a ON a.qid = x.qid AND a.cid = x.cid
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin) { (s, d) =>
-    val e = withQuant(Tables.embeddings(s, d))
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
       .withColumn("bucket", bucketCol("embedding"))
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qe"),
@@ -574,7 +577,7 @@ object Similarity {
        |SELECT DISTINCT vb AS vec_id, cid
        |FROM ps WHERE cos > 0.4
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val e = withQuant(Tables.embeddings(s, d))
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
     val assigned = seededAssign(e)
     val a = assigned.select(col("vec_id").as("va"), col("qv").as("qa"),
       col("sq").as("sa"), col("cid"))

@@ -299,28 +299,40 @@ object TextAnalysis {
       minAlphaRatio: Double = 0.5, maxRepetition: Double = 0.5): DataFrame = {
     // unlike the t02 query (which mirrors its oracle on a lowercase
     // single-spaced corpus), this gate must hold on real text: words
-    // split on whitespace RUNS and the alphabetic ratio is
+    // split on whitespace RUNS with empty tokens dropped (split keeps a
+    // leading "" on whitespace-initial text, which would inflate n_words
+    // and skew mean_wl/repetition), and the alphabetic ratio is
     // case-insensitive, so ALL-CAPS or doubled-space documents are not
     // spuriously rejected
-    val ws = split(col("text"), "\\s+")
+    val wsSql = "filter(split(text, '\\\\s+'), x -> x != '')"
+    val ws = expr(wsSql)
     val nWords = size(ws)
-    val meanWl = expr("aggregate(split(text, '\\\\s+'), 0, (a, x) -> a + length(x))")
-      .cast("double") / nWords
-    val alphaRatio =
-      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-        length(col("text"))
-    val repetition =
-      (nWords - size(array_distinct(ws))).cast("double") / nWords
+    // 0L accumulator: an INT sum overflows past 2 GiB of word chars.
+    // Zero denominators (empty/whitespace-only text) are guarded to NULL —
+    // ANSI mode refuses the division, and a NaN would compare as larger
+    // than every threshold (Spark NaN ordering), passing gates it must fail
+    val meanWl = when(nWords === 0, lit(null).cast("double")).otherwise(
+      expr(s"aggregate($wsSql, 0L, (a, x) -> a + length(x))")
+        .cast("double") / nWords)
+    val alphaRatio = when(length(col("text")) === 0, lit(null).cast("double"))
+      .otherwise(
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")))
+    val repetition = when(nWords === 0, lit(null).cast("double")).otherwise(
+      (nWords - size(array_distinct(ws))).cast("double") / nWords)
     docs
       .withColumn("n_words", nWords)
       .withColumn("mean_wl", meanWl)
       .withColumn("alpha_ratio", alphaRatio)
       .withColumn("repetition", repetition)
-      .withColumn("quality_pass",
+      // empty/whitespace-only text makes the ratios null (0/0) — such a
+      // document must FAIL the gate explicitly, and boolean readers must
+      // never see a null (a getAs[Boolean] on null NPEs)
+      .withColumn("quality_pass", coalesce(
         col("n_words").between(minWords, maxWords) &&
           col("mean_wl").between(minMeanWl, maxMeanWl) &&
           col("alpha_ratio") >= minAlphaRatio &&
-          col("repetition") <= maxRepetition)
+          col("repetition") <= maxRepetition, lit(false)))
   }
 
   def defs: Seq[QueryDef] =

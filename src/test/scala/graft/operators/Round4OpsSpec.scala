@@ -107,20 +107,36 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("qualityFilter: gate agrees with independently computed metrics; plan is map-only") {
-    val docs = graft.Tables.documents(spark, sf)
+    import spark.implicits._
+    // real corpus plus the edge shapes the gate must survive: leading /
+    // trailing whitespace (split() emits empty tokens there), empty text
+    // and whitespace-only text (zero denominators → explicit fail)
+    val edges = Seq(
+      (100001L, "  leading whitespace here with plenty of ordinary words to pass the gate fine"),
+      (100002L, "trailing whitespace doc with plenty of ordinary words to pass the gate fine   "),
+      (100003L, ""),
+      (100004L, "   \t  ")).toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .unionAll(edges)
     val out = TextAnalysis.qualityFilter(docs, minWords = 10,
       maxRepetition = 0.6)
     assert(out.count() == docs.count(), "filter annotates, never drops")
     out.collect().foreach { r =>
       val text = r.getAs[String]("text")
       val words = text.split("\\s+").filter(_.nonEmpty)
-      assert(r.getAs[Int]("n_words") == words.length)
-      val rep = (words.length - words.distinct.length).toDouble / words.length
-      assert(math.abs(r.getAs[Double]("repetition") - rep) < 1e-9)
-      val expectPass = words.length >= 10 &&
-        r.getAs[Double]("mean_wl") >= 2.0 && r.getAs[Double]("mean_wl") <= 12.0 &&
-        r.getAs[Double]("alpha_ratio") >= 0.5 && rep <= 0.6
-      assert(r.getAs[Boolean]("quality_pass") == expectPass, s"doc ${r.get(0)}")
+      assert(r.getAs[Int]("n_words") == words.length, s"doc ${r.get(0)}")
+      if (words.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("repetition")), s"doc ${r.get(0)}")
+        assert(!r.getAs[Boolean]("quality_pass"),
+          s"empty doc ${r.get(0)} must fail the gate, not null out")
+      } else {
+        val rep = (words.length - words.distinct.length).toDouble / words.length
+        assert(math.abs(r.getAs[Double]("repetition") - rep) < 1e-9)
+        val expectPass = words.length >= 10 &&
+          r.getAs[Double]("mean_wl") >= 2.0 && r.getAs[Double]("mean_wl") <= 12.0 &&
+          r.getAs[Double]("alpha_ratio") >= 0.5 && rep <= 0.6
+        assert(r.getAs[Boolean]("quality_pass") == expectPass, s"doc ${r.get(0)}")
+      }
     }
     // map-only: no exchange of any kind in the gate itself
     val p = out.queryExecution.executedPlan.toString
