@@ -458,6 +458,15 @@ object Dedup {
        |bands AS ($bandSelects)""".stripMargin
   }
 
+  /** d03 runs the band join over DISTINCT texts (the [[collapseExact]]
+    * skew armor): a boilerplate text with 10⁶ exact copies would otherwise
+    * put 10⁶ rows on one (band_idx, band_val) key — the signature pipeline
+    * hashes each text once instead, and duplicate docs re-enter through
+    * the expansion joins. Same-text docs share every band by construction,
+    * so their pairs come from the diagonal — restricted to texts that
+    * produce at least one shingle, since sub-3-word docs emit no bands in
+    * either engine.
+    */
   val minhashLsh: QueryDef = q(
     "d03_dedup_minhash_lsh",
     s"""WITH $minhashOracleCtes
@@ -466,7 +475,19 @@ object Dedup {
        |JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |            AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    lshCandidates(Tables.parallel(Tables.documents(s, d).select("doc_id", "text")))
+    // no Tables.parallel here: the collapse aggregate's exchange already
+    // redistributes to spark.sql.shuffle.partitions BEFORE the md5-heavy
+    // signature pipeline, so a scan-level round-robin would only add a
+    // second full-corpus move
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val collapsed = collapseExact(base)
+    val reps = collapsed.select(col("rep_id").as("doc_id"), col("text"))
+    val repCand = lshCandidates(reps)
+      .select(col("doc_a").as("r1"), col("doc_b").as("r2"))
+    val diag = collapsed
+      .filter(col("n_copies") >= 2 && expr("size(split(text, ' ')) >= 3"))
+      .select(col("rep_id").as("r1"), col("rep_id").as("r2"))
+    expandRepPairs(repCand.union(diag), repMap(base, collapsed), Nil)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -716,6 +737,14 @@ object Dedup {
     sums.select(col("doc_id"), fp.cast("long").as("simhash"))
   }
 
+  /** Per-fingerprint rep-id lists over an (already [[collapseExact]]-ed)
+    * rep frame — d09's one list-carrying aggregate, package-visible so the
+    * skew spec can assert its state stays bounded under duplicate mass.
+    */
+  private[operators] def fpGroups(reps: DataFrame): DataFrame =
+    simhashFps64(reps)
+      .groupBy(col("simhash")).agg(collect_list(col("doc_id")).as("ids"))
+
   /** DuckDB twin of [[simhashFps64]], exposed as CTE `fps64`. */
   private val simhash64Ctes: String = {
     val nibs = (0 until 16)
@@ -750,14 +779,24 @@ object Dedup {
     * probabilistic), candidates linear-ish in corpus under uniform
     * hashing.
     *
-    * SINGLE-PASS layout: the corpus-scale fingerprint aggregate feeds one
-    * groupBy(simhash) that carries each fingerprint's doc-id LIST; bank
+    * SINGLE-PASS layout: the fingerprint aggregate feeds one
+    * groupBy(simhash) that carries each fingerprint's rep-id LIST; bank
     * rows keep the list attached, so confirmed fingerprint pairs expand
-    * to doc pairs by exploding the two lists row-locally — no re-join of
+    * to rep pairs by exploding the two lists row-locally — no re-join of
     * the fingerprint table (which previously re-ran the corpus aggregate
-    * per consumer). Equal-fingerprint (hamming-0) doc pairs come from the
-    * bank-0 self-match of the same join rather than a separate diagonal
-    * union, keeping the pipeline strictly linear.
+    * per consumer).
+    *
+    * SKEW ARMOR ([[collapseExact]] first): fingerprints are computed over
+    * DISTINCT texts only, so the per-fingerprint id list holds one entry
+    * per distinct text — exact-duplicate mass (the 10⁶-copy boilerplate
+    * hazard) can no longer inflate a single aggregation buffer. Post-
+    * collapse, same-fingerprint groups only collect DIFFERENT texts that
+    * collide on all 64 bits, which under uniform hashing is a handful of
+    * near-identical texts, not a corpus fraction. Same-text (hamming-0)
+    * doc pairs re-enter as the diagonal of the expansion joins — streamed,
+    * never held in one buffer (see the pair-expansion contract on
+    * [[expandRepPairs]]); every doc has a fingerprint (an empty text still
+    * hashes its one empty token), so the diagonal is unconditional.
     */
   val simhashPairs64: QueryDef = q(
     "d09_simhash_hamming64",
@@ -774,11 +813,9 @@ object Dedup {
        |JOIN fps64 fb ON fb.simhash = f2
        |WHERE fa.doc_id < fb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val fps = simhashFps64(Tables.documents(s, d))
-    // one small shuffle keyed on the fingerprint: distinct fingerprints
-    // WITH their doc-id lists (bounded: a list holds exact duplicates'
-    // ids). This is the only consumer of the corpus-scale aggregate.
-    val g = fps.groupBy(col("simhash")).agg(collect_list(col("doc_id")).as("ids"))
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val collapsed = collapseExact(base)
+    val g = fpGroups(collapsed.select(col("rep_id").as("doc_id"), col("text")))
     def banks(fpCol: String, prefix: String): Column = explode(array(
       (0 until 4).map(k => struct(lit(k).as(s"${prefix}k"),
         shiftright(col(fpCol), k * 16).bitwiseAND(lit(65535L))
@@ -805,16 +842,20 @@ object Dedup {
       .join(b2, col("bk") === col("ck") && col("bv") === col("cv") &&
         col("f1") <= col("f2") && firstAgreeingBank)
       .filter(bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3)
-    // row-local doc expansion: explode both lists; within an equal-
-    // fingerprint group each unordered pair appears twice, so keep x < y
-    // there; across fingerprints each pair appears once — orient it
-    cand
+    // row-local REP expansion: explode both (short, per-distinct-text)
+    // lists; within an equal-fingerprint group each unordered pair appears
+    // twice, so keep x < y there; across fingerprints each pair appears
+    // once. Same-text doc pairs are the diagonal (hamming 0 by identity).
+    val repPairs = cand
       .select(col("f1"), col("f2"), explode(col("ids1")).as("x"), col("ids2"))
       .select(col("f1"), col("f2"), col("x"), explode(col("ids2")).as("y"))
       .filter(col("f1") =!= col("f2") || col("x") < col("y"))
-      .select(least(col("x"), col("y")).as("doc_a"),
-        greatest(col("x"), col("y")).as("doc_b"),
+      .select(col("x").as("r1"), col("y").as("r2"),
         bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("hamming"))
+    val diag = collapsed.filter(col("n_copies") >= 2)
+      .select(col("rep_id").as("r1"), col("rep_id").as("r2"),
+        lit(0L).as("hamming"))
+    expandRepPairs(repPairs.union(diag), repMap(base, collapsed), Seq("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
