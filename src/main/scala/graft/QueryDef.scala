@@ -25,6 +25,7 @@ object QueryCatalog {
       operators.Relational3.defs ++
       operators.EventOps.defs ++
       operators.Dedup.defs ++
+      operators.Paragraphs.defs ++
       operators.Sampling.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++

@@ -211,6 +211,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d12 paragraph extraction is scan-fused; counts stay hash-aggregated") {
+    val p = plan("d12_paragraph_dedup")
+    // paragraph windows come from a posexplode fused onto the scan
+    // projection (row-local), the occurrence count is a plain count
+    // aggregate on the 64-bit hash — never a list, never sort-based
+    assert(p.contains("Generate posexplode"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("collect_list"), "d12 must not carry id lists: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

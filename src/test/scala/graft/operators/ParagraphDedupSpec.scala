@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Paragraph-level dedup semantics (d12 + the removal transform): fixed
+  * 4-word windows stand in for `\n\n` paragraphs; a paragraph occurrence
+  * is duplicated when its text occurs ≥ 2 times corpus-wide; removal
+  * keeps the first occurrence by (doc_id, pos) and rebuilds the text.
+  */
+class ParagraphDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+
+  private val dir = java.nio.file.Files
+    .createTempDirectory(java.nio.file.Paths.get("target"), "graft-para")
+    .toString
+
+  // paragraph windows are 4 words: P1/P2/P3 are distinct 4-word blocks
+  private val P1 = "alpha beta gamma delta"
+  private val P2 = "epsilon zeta eta theta"
+  private val P3 = "iota kappa lambda mu"
+
+  override def beforeAll(): Unit = {
+    import spark.implicits._
+    Seq(
+      (0L, s"$P1 $P2"), // doc 0: P1 (first occurrence) + unique P2
+      (1L, s"$P1 $P3"), // doc 1: duplicate P1 + unique P3
+      (2L, s"$P1 $P1"), // doc 2: P1 twice (both duplicates)
+      (3L, "nu xi omicron")) // doc 3: one short unique paragraph
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("d12 profile counts duplicate paragraph occurrences corpus-wide") {
+    val rows = graft.QueryCatalog.byName("d12_paragraph_dedup")
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0L) == ((2L, 1L)), "doc 0: P1 duplicated, P2 unique")
+    assert(rows(1L) == ((2L, 1L)), "doc 1: P1 duplicated, P3 unique")
+    assert(rows(2L) == ((2L, 2L)), "doc 2: both windows are P1")
+    assert(rows(3L) == ((1L, 0L)), "doc 3: single unique short paragraph")
+  }
+
+  test("removal keeps the first occurrence and rebuilds surviving text") {
+    val docs = graft.Tables.documents(spark, dir)
+    val out = Paragraphs.dedupParagraphs(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == s"$P1 $P2", "doc 0 holds P1's first occurrence")
+    assert(out(1L) == P3, "doc 1 loses its duplicate P1")
+    assert(!out.contains(2L) || out(2L).isEmpty,
+      "doc 2 was nothing but duplicates")
+    assert(out(3L) == "nu xi omicron")
+    // removed mass: exactly the non-first P1 occurrences (3 of 4)
+    val kept = out.values.map(t => if (t.isEmpty) 0 else t.split(" ").length / 4 +
+      (if (t.split(" ").length % 4 == 0) 0 else 1)).sum
+    assert(kept == 4, s"4 of 7 paragraph occurrences survive, got $kept")
+  }
+
+  test("short final windows keep their words (no padding, no loss)") {
+    import spark.implicits._
+    val occ = Paragraphs.paragraphOcc(
+      Seq((9L, "one two three four five six")).toDF("doc_id", "text"), 4)
+      .orderBy("pos").collect()
+    assert(occ.map(_.getString(2)).toSeq ==
+      Seq("one two three four", "five six"))
+  }
+}
