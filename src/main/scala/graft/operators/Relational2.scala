@@ -86,20 +86,36 @@ object Relational2 {
           |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
   }
 
-  /** HLL sketch distinct counts (approx_count_distinct). Sketches are
-    * engine-specific, so there is no cross-engine oracle — the driver
-    * records the weaker rows-only check; the spec asserts the approximation
-    * lands within rsd of the exact count.
+  /** HLL sketch distinct counts (approx_count_distinct), SELF-GATED: the
+    * raw sketch value is engine-specific (Spark's HLL++ vs DuckDB's HLL
+    * produce different estimates), so the query exposes the DETERMINISTIC
+    * derivative instead — the exact distinct count plus a boolean that the
+    * sketch landed within 3×rsd of it. Both engines compute the gate over
+    * their own sketch; with rsd = 0.02 a miss beyond 3σ on either side is
+    * vanishingly unlikely, which makes the row fully hash-checkable where
+    * it previously had no oracle at all. ApproxDistinctSpec additionally
+    * pins the numeric error bound in-engine.
     */
   val approxDistinct: QueryDef = QueryDef(
     "q30_approx_distinct",
-    None,
+    Some("""SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(*) AS n_rows,
+      |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+      |    <= 0.06 * count(DISTINCT l_partkey) AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin),
     (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          count(lit(1)).as("n_rows"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            lit(0.06) * col("exact_parts")).as("approx_ok"))
         .orderBy("l_returnflag"))
 
   /** Window frames beyond running totals: sliding 3-row average (exact via
