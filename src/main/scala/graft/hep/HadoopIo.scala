@@ -32,8 +32,14 @@ private[graft] object HadoopIo {
     path.getFileSystem(conf)
   }
 
+  /** Sidecar-read counter (test hook: specs assert metadata caching by
+    * counting FS reads, not by timing them).
+    */
+  private[graft] val readCount = new java.util.concurrent.atomic.AtomicLong()
+
   /** Full contents of a (small, metadata-sized) file; None if absent. */
   def readString(spark: SparkSession, path: String): Option[String] = {
+    readCount.incrementAndGet()
     val p = new Path(path)
     val f = fs(spark, path)
     if (!f.exists(p)) None

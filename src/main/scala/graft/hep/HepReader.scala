@@ -45,8 +45,15 @@ final class HepReader(spark: SparkSession, path: String) {
     * through the Hadoop `FileSystem` of the store's path (works on any
     * scheme — a `java.io.File` read would silently miss the sidecar on
     * HDFS/S3 and mis-address every chunk of a non-default store).
+    *
+    * `lazy val`: the sidecar is written once at store creation and never
+    * rewritten, so one FS read per reader is the whole cost — a plain
+    * `def` re-read it on EVERY point lookup (one remote round-trip per
+    * `event(n)`), the same eager-attr-cache rationale as the reference's
+    * `read/hdf.py:437`. Cache-coherence is per reader instance, matching
+    * the reference's per-open-file attribute snapshot.
     */
-  def evtsPerChunk: Int =
+  lazy val evtsPerChunk: Int =
     HadoopIo.readString(spark, s"$path/_meta.json") match {
       case None => DefaultEvtsPerChunk
       case Some(s) =>

@@ -201,4 +201,17 @@ class HepRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PushedFilters"))
     assert(plan.contains("event_id"), "event_id filter should reach the scan")
   }
+
+  test("evtsPerChunk reads the sidecar once per reader, not per lookup") {
+    val r = new HepReader(spark, dir)
+    val proc = r.process("higgs")
+    val before = HadoopIo.readCount.get()
+    val e1 = proc.event(3) // each lookup divides by evtsPerChunk
+    val e2 = proc.event(17)
+    assert(e1.name == "evt-3" && e2.name == "evt-7") // forces key math too
+    val after = HadoopIo.readCount.get()
+    assert(after - before <= 1,
+      s"expected at most one sidecar read across two point lookups, " +
+        s"got ${after - before}")
+  }
 }
