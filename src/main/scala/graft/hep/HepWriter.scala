@@ -30,7 +30,32 @@ final class HepWriter(
     spark: SparkSession,
     path: String,
     evtsPerChunk: Int = DefaultEvtsPerChunk,
-    compression: String = "zstd") {
+    compression: String = "zstd",
+    compressionLevel: Option[Int] = None) {
+
+  /** Codec-level writer options (reference S7 parity: `write/hdf.py:552-564`
+    * exposes h5py's gzip level 1-9). Parquet's codec levels are reached
+    * through the Hadoop conf keys the file-format writer merges from
+    * DataFrameWriter options: zstd takes the numeric level directly
+    * (parquet-hadoop's `parquet.compression.codec.zstd.level`, range
+    * 1-22); Hadoop's zlib codec only exposes the three named levels, so a
+    * 1-9 request maps to the nearest (1-3 → BEST_SPEED, 4-6 → DEFAULT,
+    * 7-9 → BEST_COMPRESSION). Codecs without a level knob ignore it.
+    */
+  private val levelOpts: Map[String, String] = compressionLevel match {
+    case None => Map.empty
+    case Some(l) =>
+      require(l >= 1 && (if (compression == "zstd") l <= 22 else l <= 9),
+        s"compression level $l out of range for codec $compression")
+      compression match {
+        case "zstd" => Map("parquet.compression.codec.zstd.level" -> l.toString)
+        case "gzip" => Map("zlib.compress.level" ->
+          (if (l <= 3) "BEST_SPEED"
+           else if (l <= 6) "DEFAULT_COMPRESSION"
+           else "BEST_COMPRESSION"))
+        case _ => Map.empty
+      }
+  }
 
   // Re-opening an existing store would corrupt it: close() would append a
   // second copy of every process's metadata row, and fresh processes restart
@@ -216,6 +241,7 @@ final class HepWriter(
         // per-dataset gzip/lzf choice (write/hdf.py:552-564); zstd default
         val w = df.write.mode(SaveMode.Append)
           .option("compression", compression)
+          .options(levelOpts)
         (if (partitioned) w.partitionBy("process", "chunk") else w)
           .parquet(s"$path/$table")
       }
@@ -247,10 +273,12 @@ final class HepWriter(
     if (metas.nonEmpty)
       spark.createDataset(metas).write.mode(SaveMode.Append)
         .option("compression", compression)
+        .options(levelOpts)
         .parquet(s"$path/$ProcessesTable")
     // file-level attrs (layout/version/evts_per_chunk, write/hdf.py:571-576)
+    val level = compressionLevel.map(l => s""","compression_level":$l""").getOrElse("")
     val sidecar =
-      s"""{"layout":"graft-hep","version":1,"evts_per_chunk":$evtsPerChunk,"compression":"$compression"}"""
+      s"""{"layout":"graft-hep","version":1,"evts_per_chunk":$evtsPerChunk,"compression":"$compression"$level}"""
     HadoopIo.writeString(spark, s"$path/_meta.json", sidecar)
   }
 }

@@ -186,6 +186,46 @@ class HepRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected gzip-coded files, got: $files")
   }
 
+  test("compression level knob round-trips and reaches the codec") {
+    def writeStore(d: String, level: Int): Long = {
+      val w = new HepWriter(spark, d, evtsPerChunk = 10,
+        compression = "zstd", compressionLevel = Some(level))
+      val p = w.newProcess("lvl")
+      for (e <- 0 until 20) {
+        val b = p.newEvent()
+        // medium-entropy payload: level differences only show on data the
+        // dictionary/RLE encodings don't already flatten
+        val n = 40
+        b.setPmu(Array.tabulate(n)(i =>
+          Pmu(math.sin(e * 37 + i), math.cos(e * 13 + i), i * 0.37, i + e * 0.11)))
+          .setPdg(Array.tabulate(n)(i => (e * 7 + i * 3) % 400))
+          .setStatus(Array.tabulate(n)(i => ((e + i) % 5).toShort))
+        p.commitEvent(b)
+      }
+      w.close()
+      def size(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(size).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      size(new java.io.File(d))
+    }
+    val s1 = writeStore(dir + "-zl1", 1)
+    val s19 = writeStore(dir + "-zl19", 19)
+    // level must actually reach the codec: max-level output is no larger
+    assert(s19 <= s1, s"zstd level ignored: level-19 store $s19 B > level-1 $s1 B")
+    // and a level-9 gzip store round-trips intact
+    val d9 = dir + "-gz9"
+    val w = new HepWriter(spark, d9, evtsPerChunk = 10,
+      compression = "gzip", compressionLevel = Some(9))
+    val p = w.newProcess("g9")
+    val b = p.newEvent()
+    mkEvent(b, n = 5, seedBase = 99L)
+    p.commitEvent(b)
+    w.close()
+    val r = new HepReader(spark, d9)
+    assert(r.process("g9").length == 1)
+    assert(r.process("g9").event(0).count == 5)
+  }
+
   test("key formats match the reference (utils.py:7-14)") {
     assert(Keys.eventKey(7, 1000) == "evt-007")
     assert(Keys.eventKey(1234, 1000) == "evt-234")
