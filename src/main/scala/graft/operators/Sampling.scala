@@ -305,7 +305,70 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Deterministic GLOBAL SHUFFLE into training shards — the "shuffle the
+    * corpus before training" step every LLM pipeline runs. Order must not
+    * correlate with ingest order (source/time locality poisons SGD), must
+    * be reproducible, and must not cost a global sort.
+    *
+    * Two independent md5 slices of the key give the shard (first byte,
+    * mod `numShards` — 256 % numShards == 0 keeps it uniform for the
+    * power-of-two shard counts training uses) and the within-shard sort
+    * key (next 8 hex chars, 32 bits). Scale shape: assignment is a
+    * codegen'd scan-fused map; the ONLY movement is one hash exchange on
+    * the shard id plus an in-partition sort (spillable) — never a global
+    * range sort, no RNG, no driver state; shard count is decoupled from
+    * cluster size, and a straggler retry reproduces its partition
+    * bit-identically.
+    */
+  def shuffleShards(df: DataFrame, key: Column, numShards: Int): DataFrame = {
+    require(numShards > 0 && 256 % numShards == 0,
+      s"numShards must divide 256 for uniform byte-bucket assignment: $numShards")
+    val h = md5(key.cast("string"))
+    df.withColumn("shard",
+        conv(substring(h, 1, 2), 16, 10).cast("long") % numShards)
+      .withColumn("sort_key",
+        conv(substring(h, 3, 8), 16, 10).cast("long"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("sort_key"))
+  }
+
+  /** Writes the shuffled corpus as one directory per shard
+    * (`path/shard=N/`), each shard's files in deterministic `sort_key`
+    * order — the layout a data loader streams sequentially per worker.
+    */
+  def writeTrainingShards(
+      df: DataFrame, key: Column, numShards: Int, path: String): Unit =
+    shuffleShards(df, key, numShards)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** p08: the shard-assignment audit — per-shard row count, token mass,
+    * id checksum, and the sort-key range. This is the balance/determinism
+    * check run before a training job trusts a shard layout: uniform
+    * counts, full coverage, reproducible assignment.
+    */
+  val shardStats: QueryDef = q(
+    "p08_shard_stats",
+    """SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 8 AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |       min(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 8) AS BIGINT)) AS min_key,
+      |       max(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 8) AS BIGINT)) AS max_key
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY shard""".stripMargin) { (s, d) =>
+    shuffleShards(Tables.documents(s, d), col("doc_id"), 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("sort_key")).as("min_key"),
+        max(col("sort_key")).as("max_key"))
+      .orderBy("shard")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
-      langRebalance, repeatUpsample)
+      langRebalance, repeatUpsample, shardStats)
 }
