@@ -590,7 +590,86 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Coarse storage quantization: DECIMAL(18,3) → 1e-3 units (the int8-ish
+    * compression a 100 TB embedding store actually applies; the engine's
+    * own exact path uses 1e-6).
+    */
+  private def quant3Sql(emb: String): String =
+    s"transform($emb, x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,3)) * 1000 AS BIGINT))"
+
+  /** s07: storage-quantization CALIBRATION audit — the s-family analogue
+    * of d11's sketch audit: before a pipeline stores embeddings at a
+    * coarser precision, it measures what that precision costs on the
+    * corpus itself. For every query (vec_id < 10) × corpus pair, cosine
+    * is computed at 1e-6 quantization (the engine's exact path) and at
+    * 1e-3 (storage-coarse), and the per-query profile reports pair count,
+    * how many pairs diverge beyond 1e-3 in cosine, and the max absolute
+    * deviation.
+    *
+    * Determinism across engines: both cosines derive from EXACT integer
+    * dot products (codegen'd `long_dot`), so every double is produced by
+    * the same short IEEE sequence; the aggregates are count (integer) and
+    * max (order-independent) — never a float sum whose reduction order
+    * could differ. Scale shape: query set broadcast, corpus streams once
+    * with both quantizations computed row-locally; one aggregate exchange
+    * keyed on qid.
+    */
+  val quantError: QueryDef = {
+    def xi3(tbl: String): String =
+      s"CAST(CAST(CAST($tbl.embedding[CAST(j.j AS INT)] AS DOUBLE) AS DECIMAL(18,3)) * 1000 AS BIGINT)"
+    val cos3Oracle =
+      """(CAST(dot3 AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        |    / (sqrt(CAST(a3.sq AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        |     * sqrt(CAST(b3.sq AS DOUBLE) / CAST(1000000 AS DOUBLE)))""".stripMargin
+    q("s07_quant_error",
+      s"""WITH $oracleNorms,
+         |n3 AS (
+         |  SELECT vec_id, CAST(sum(${xi3("embeddings")} * ${xi3("embeddings")}) AS BIGINT) AS sq
+         |  FROM embeddings, j GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+         |dots AS (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |    CAST(sum(${xiSql("q")} * ${xiSql("c")}) AS BIGINT) AS dot,
+         |    CAST(sum(${xi3("q")} * ${xi3("c")}) AS BIGINT) AS dot3
+         |  FROM q, embeddings c, j
+         |  WHERE c.vec_id <> q.qid
+         |  GROUP BY q.qid, c.vec_id),
+         |scored AS (
+         |  SELECT qid, cid, abs(($oracleCos) - ($cos3Oracle)) AS d
+         |  FROM dots
+         |  JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+         |  JOIN n3 a3 ON a3.vec_id = qid JOIN n3 b3 ON b3.vec_id = cid)
+         |SELECT qid, count(*) AS n_pairs,
+         |       count(CASE WHEN d > 0.001 THEN 1 END) AS n_divergent,
+         |       max(d) AS max_abs_diff
+         |FROM scored GROUP BY qid ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = Tables.parallel(Tables.embeddings(s, d))
+      graft.functions.GraftFunctions.register(s)
+      val both = e
+        .withColumn("qv", expr(quantSql("embedding")))
+        .withColumn("q3", expr(quant3Sql("embedding")))
+        .withColumn("sq", expr(dotRawSql("qv", "qv")))
+        .withColumn("s3", expr(dotRawSql("q3", "q3")))
+      val qs = both.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"), col("q3").as("qa3"),
+          col("sq").as("na"), col("s3").as("na3"))
+      val cs = both.select(col("vec_id").as("cid"), col("qv").as("ca"),
+        col("q3").as("ca3"), col("sq").as("nb"), col("s3").as("nb3"))
+      val cos6 = cosCol(expr(dotRawSql("qa", "ca")), col("na"), col("nb"))
+      val cos3 = (expr(dotRawSql("qa3", "ca3")).cast("double") / lit(1.0e6)) /
+        (sqrt(col("na3").cast("double") / lit(1.0e6)) *
+          sqrt(col("nb3").cast("double") / lit(1.0e6)))
+      broadcast(qs).join(cs, col("cid") =!= col("qid"))
+        .select(col("qid"), abs(cos6 - cos3).as("d"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("d") > 0.001, 1)).as("n_divergent"),
+          max(col("d")).as("max_abs_diff"))
+        .orderBy("qid")
+    }
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
-      annRecall, semDedup)
+      annRecall, semDedup, quantError)
 }
