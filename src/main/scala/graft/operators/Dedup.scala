@@ -191,22 +191,35 @@ object Dedup {
           |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin))
         .as("s"))
 
-  /** End-to-end near-duplicate REMOVAL pipeline: MinHash+LSH candidate
-    * generation (linear) → exact trigram-Jaccard verification on the
-    * candidates only → keep-min policy (of each confirmed pair, the lower
-    * doc_id survives). Returns the surviving rows of `docs`.
+  /** End-to-end near-duplicate REMOVAL pipeline: exact-duplicate collapse
+    * ([[collapseExact]] — each text's smallest doc_id represents it, every
+    * other exact copy drops by construction) → MinHash+LSH candidate
+    * generation over DISTINCT texts (linear) → exact trigram-Jaccard
+    * verification on the candidates only → keep-min policy (of each
+    * confirmed pair, the lower doc_id survives). Returns the surviving
+    * rows of `docs`.
     *
+    * The collapse is the same skew armor as d03/d09: boilerplate with 10⁶
+    * exact copies contributes ONE row to the band join instead of 10⁶ on
+    * one hot band key. It also strengthens the contract: degenerate exact
+    * duplicates (< 3 words, invisible to the band join) now dedupe too.
     * Every stage is partition-parallel; the only data that moves are
     * (band, id) pairs and the candidate pairs' shingle sets.
     */
   def deduplicate(docs: DataFrame, jaccardThreshold: Double = 0.6): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
+    // not persisted: the candidate pipeline materializes under the
+    // drops.count() action below, and the returned (lazy) plan re-derives
+    // the collapse aggregate once when the caller consumes it — caching it
+    // here would outlive this call (no sound unpersist point)
+    val collapsed = collapseExact(base)
+    val reps = collapsed.select(col("rep_id").as("doc_id"), col("text"))
     // candidates and candidate shingles are reused by several downstream
     // joins — persist so the signature pipeline runs once, not per action
-    val cand = lshCandidates(base).persist()
+    val cand = lshCandidates(reps).persist()
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val ctri = trigrams(base).join(candIds, "doc_id").persist()
+    val ctri = trigrams(reps).join(candIds, "doc_id").persist()
     val sz = ctri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(ctri.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
@@ -224,7 +237,10 @@ object Dedup {
     drops.count() // materialize the (small) drop list, then free the rest
     cand.unpersist()
     ctri.unpersist()
-    docs.join(drops, Seq("doc_id"), "left_anti")
+    // survivors: each text's representative, minus near-dup-dropped reps
+    docs
+      .join(collapsed.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .join(drops, Seq("doc_id"), "left_anti")
   }
 
   /** EXHAUSTIVE Jaccard pairs (doc_a < doc_b): every pair sharing at least

@@ -94,6 +94,17 @@ class DedupSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       reps.map(r => choose2(mult(r))).sum)
   }
 
+  test("deduplicate keeps one representative per duplicated text") {
+    val out = Dedup.deduplicate(docs, jaccardThreshold = 0.95).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    // the 2000-copy hot text survives exactly once, as its smallest id
+    assert(ids.contains(0L) && !ids.exists(i => i > 0 && i < HotCopies))
+    // the unrelated text's duplicate pair collapses to its representative
+    assert(ids.contains(HotCopies + 1) && !ids.contains(HotCopies + 2))
+    // `near` survives unless trigram Jaccard with `hot` reaches 0.95
+    assert(out.length == 2 || out.length == 3)
+  }
+
   test("d03 emits exactly the multiplicity-expanded LSH candidates") {
     val collapsed = Dedup.collapseExact(docs).collect()
     val mult = collapsed.map(r => r.getLong(1) -> r.getLong(2)).toMap
