@@ -439,11 +439,34 @@ object Dedup {
   }
 
   /** Duplicate CLUSTERS: connected components over the Jaccard-confirmed
-    * near-dup pair graph. Docs in no pair are their own singleton cluster
-    * (not returned — join back against the corpus if needed).
+    * near-dup pair graph, computed REP-LEVEL (the [[collapseExact]] skew
+    * armor) and expanded to documents through the label join — LINEAR in
+    * duplicate multiplicity where a pair-level expansion would be
+    * quadratic (a 10⁶-copy text gets 10⁶ label rows, not 10¹² pairs).
+    * Exact-duplicate groups cluster together even when their text is in
+    * no near-dup pair (their membership IS duplication). Docs that are
+    * unique and in no pair are their own singleton cluster (not
+    * returned — join back against the corpus if needed).
     */
-  def duplicateClusters(docs: DataFrame, jaccardThreshold: Double = 0.6): DataFrame =
-    connectedComponents(nearDupPairs(docs, jaccardThreshold))
+  def duplicateClusters(docs: DataFrame, jaccardThreshold: Double = 0.6): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val collapsed = collapseExact(base)
+    val reps = collapsed.select(col("rep_id").as("doc_id"), col("text"))
+    val repLabels = connectedComponents(nearDupPairs(reps, jaccardThreshold))
+    // exact-dup groups whose rep is in no near-dup pair still form a
+    // cluster labeled by the rep; left join keeps pair-component labels
+    // where they exist
+    val dupReps = collapsed.filter(col("n_copies") >= 2)
+      .select(col("rep_id"))
+    val allReps = repLabels.select(col("doc_id").as("rep_id"))
+      .union(dupReps).distinct()
+      .join(repLabels.select(col("doc_id").as("rep_id"), col("cluster")),
+        Seq("rep_id"), "left")
+      .select(col("rep_id"), coalesce(col("cluster"), col("rep_id")).as("cluster"))
+    repMap(base, collapsed)
+      .join(allReps, Seq("rep_id"))
+      .select(col("doc_id"), col("cluster"))
+  }
 
   /** MinHash + LSH candidate pairs: 8 signatures, 2 bands × 4 rows; docs
     * sharing any band key are candidates. The band join is an equi-join on

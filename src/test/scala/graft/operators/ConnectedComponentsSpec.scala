@@ -74,4 +74,17 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 0 and its two copies form one cluster labeled by the smallest id
     assert(c.keySet.intersect(Set(0L, 100000L, 200000L)) == Set(0L, 100000L, 200000L))
   }
+
+  test("sub-3-word exact duplicates cluster despite producing no bands") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny doc"), (2L, "tiny doc"), (3L, "tiny doc"),
+      (4L, "some other unrelated document with several words in it"))
+      .toDF("doc_id", "text")
+    val cl = Dedup.duplicateClusters(docs, jaccardThreshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.view.filterKeys(Set(1L, 2L, 3L)).values.toSet == Set(1L),
+      s"exact-dup group must cluster on its smallest id: $cl")
+    assert(!cl.contains(4L), "unique unpaired doc is not returned")
+  }
 }
