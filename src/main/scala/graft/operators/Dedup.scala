@@ -299,6 +299,13 @@ object Dedup {
 
   /** Jaccard-confirmed near-duplicate pairs (doc_a < doc_b): LSH
     * candidates filtered by exact trigram Jaccard ≥ threshold.
+    *
+    * DUPLICATE POSTURE: pairs are emitted at the granularity of the input
+    * rows. On a raw corpus with exact-duplicate mass, the band join takes
+    * the hot-key hit and the output is quadratic in multiplicity — the
+    * skew-safe callers ([[deduplicate]], [[duplicateClusters]]) pass
+    * DISTINCT texts ([[collapseExact]] first) and re-expand afterwards;
+    * do the same in new call sites.
     */
   def nearDupPairs(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
@@ -556,6 +563,12 @@ object Dedup {
     * integers — bit-identical across engines. A band collision without a
     * shared shingle yields inter = 0 → jaccard = 0, mirroring the
     * oracle's outer-join COALESCE.
+    *
+    * DUPLICATE POSTURE: the audit runs doc-level to mirror its oracle
+    * exactly. Exact duplicates add no calibration information (identical
+    * signatures, identical exact Jaccard), so a production calibration
+    * pass on a skewed corpus should feed this the [[collapseExact]]-ed
+    * representatives — same numbers, hot band keys avoided.
     */
   val minhashEstimate: QueryDef = {
     val agreeSql = (0 until SIGS)

@@ -154,5 +154,34 @@ object Multimodal {
       .orderBy("kind")
   }
 
-  def defs: Seq[QueryDef] = Seq(binaryMeta, decodeAgg)
+  /** m03: the frame-sampling audit — per-video frame counts, offset
+    * checksum, and last offset through the REAL posexplode pipeline
+    * ([[frameSample]], step 64). The oracle states the closed forms
+    * (n = ⌊(len−1)/64⌋+1, Σoffsets = 64·n·(n−1)/2), so the generator's
+    * row-local expansion is verified against arithmetic, not another
+    * generator.
+    */
+  val frameAudit: QueryDef = q(
+    "m03_frame_sample",
+    """WITH v AS (
+      |  SELECT doc_id AS media_id,
+      |         (greatest(octet_length(CAST(text AS BLOB)) - 1, 0) // 64) + 1 AS n
+      |  FROM documents
+      |  WHERE CAST(doc_id % 3 AS INT) = 2)
+      |SELECT media_id,
+      |       CAST(n AS BIGINT) AS n_frames,
+      |       CAST(64 * n * (n - 1) / 2 AS BIGINT) AS offset_sum,
+      |       CAST(64 * (n - 1) AS BIGINT) AS last_offset
+      |FROM v
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    frameSample(mediaFromDocuments(s, d), 64)
+      .filter(col("kind") === "video")
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("byte_offset")).cast("long").as("offset_sum"),
+        max(col("byte_offset")).cast("long").as("last_offset"))
+      .orderBy("media_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(binaryMeta, decodeAgg, frameAudit)
 }
