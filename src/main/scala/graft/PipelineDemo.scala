@@ -1,14 +1,16 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Paragraphs, Sampling, TextAnalysis}
 
 /** Runnable end-to-end training-data curation pipeline — the composition
   * story for the north-star operators: quality gate → exact + near-dup
-  * removal → benchmark decontamination → deterministic split. Every stage
-  * is a pure DataFrame transform, so the same code runs unchanged from
-  * this sf0.001 smoke corpus to a 100 TB ingest (scan-fused gate, LSH
-  * candidate generation, broadcast decontamination probe, hash splits).
+  * removal → paragraph-level dedup → benchmark decontamination →
+  * deterministic split → training shards. Every stage is a pure DataFrame
+  * transform, so the same code runs unchanged from this sf0.001 smoke
+  * corpus to a 100 TB ingest (scan-fused gate, LSH candidate generation,
+  * paragraph-hash counts, broadcast decontamination probe, hash splits,
+  * one-exchange shard shuffle).
   *
   * Run: `runMain graft.PipelineDemo [sfDir]`
   */
@@ -38,21 +40,40 @@ object PipelineDemo {
     val deduped = Dedup.deduplicate(exact, jaccardThreshold = 0.6).persist()
     val n3 = deduped.count()
 
-    // 3. benchmark decontamination: any shared 5-gram with the held-out
+    // 3. paragraph-level dedup (Lee et al.): duplicated paragraphs keep
+    //    their first occurrence only; docs left with no paragraphs drop
+    val paraDeduped = Paragraphs
+      .dedupParagraphs(deduped.select(col("doc_id"), col("text")))
+      .join(deduped.drop("text"), Seq("doc_id"))
+      .persist()
+    val n3b = paraDeduped.count()
+
+    // 4. benchmark decontamination: any shared 5-gram with the held-out
     //    set (stand-in: doc_id < 50) drops the training doc
     val bench = docs.filter(col("doc_id") < 50)
-    val train0 = deduped.filter(col("doc_id") >= 50)
+    val train0 = paraDeduped.filter(col("doc_id") >= 50)
     val clean = Dedup.decontaminate(train0, bench).persist()
     val n4 = clean.count()
 
-    // 4. deterministic hash split — stable under reprocessing and retries
+    // 5. deterministic hash split — stable under reprocessing and retries
     val splits = Sampling.split(clean, col("doc_id"))
       .groupBy("split").count().orderBy("split")
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
 
+    // 6. training shards: one hash exchange, deterministic per-shard order
+    val shardDir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "demo-shards")
+      .toString
+    val train = Sampling.split(clean, col("doc_id"))
+      .filter(col("split") === "train").drop("split")
+    Sampling.writeTrainingShards(train, col("doc_id"), 4, shardDir)
+    val nShards = new java.io.File(shardDir).listFiles()
+      .count(_.getName.startsWith("shard="))
+
     println(s"corpus=$n0 quality_pass=$n1 exact_unique=$n2 " +
-      s"near_dedup=$n3 decontaminated=$n4 splits[$splits]")
-    require(n1 <= n0 && n2 <= n1 && n3 <= n2 && n4 <= n3,
+      s"near_dedup=$n3 para_dedup=$n3b decontaminated=$n4 " +
+      s"splits[$splits] shards=$nShards")
+    require(n1 <= n0 && n2 <= n1 && n3 <= n2 && n3b <= n3 && n4 <= n3b,
       "every stage only removes")
     spark.stop()
   }
