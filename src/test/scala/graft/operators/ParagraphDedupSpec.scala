@@ -72,4 +72,28 @@ class ParagraphDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(occ.map(_.getString(2)).toSeq ==
       Seq("one two three four", "five six"))
   }
+
+  test("property: paragraphs of a dup-free corpus reconstruct every text") {
+    import spark.implicits._
+    // word counts straddling every window-boundary case; texts made unique
+    // with distinct word alphabets so no cross-doc dedup fires
+    val docs = (1 to 23).map { n =>
+      (n.toLong, (1 to n).map(i => s"w$n-$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (p <- Seq(1, 3, 4, 7)) {
+      val occ = Paragraphs.paragraphOcc(docs, p)
+        .groupBy("doc_id")
+        .agg(expr(
+          "array_join(transform(sort_array(collect_list(struct(pos, para))), x -> x.para), ' ')")
+          .as("rebuilt"))
+      val bad = occ.join(docs, "doc_id")
+        .filter(col("rebuilt") =!= col("text")).count()
+      assert(bad == 0, s"paragraph windows of width $p lost or reordered words")
+      // and the removal transform is the identity on a dup-free corpus
+      val out = Paragraphs.dedupParagraphs(docs, p)
+      assert(out.join(docs.select(col("doc_id"), col("text").as("orig")), "doc_id")
+        .filter(col("text") =!= col("orig")).count() == 0)
+      assert(out.count() == 23)
+    }
+  }
 }
