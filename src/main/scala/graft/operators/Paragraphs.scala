@@ -51,6 +51,33 @@ object Paragraphs {
       .select(col("doc_id"), col("pos"), col("col").as("para"),
         xxhash64(col("col")).as("h"))
 
+  /** Paragraph occurrences split on a BOUNDARY REGEX — the production
+    * contract (`\n\n+` for real corpora, per Lee et al.). Same output
+    * shape as [[paragraphOcc]]; empty segments (leading boundary, runs)
+    * are dropped. Row-local, scan-fused, like the window variant.
+    */
+  def paragraphOccBy(docs: DataFrame, boundary: String = "\\n\\n+"): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), boundary)).as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+      .select(col("doc_id"), col("pos"), col("para"),
+        xxhash64(col("para")).as("h"))
+
+  /** Per-doc duplicate-paragraph profile over regex-boundary paragraphs —
+    * the production form of d12 (which pins the window variant to its
+    * oracle). Returns (doc_id, n_paras, n_dup_paras, dup_fraction).
+    */
+  def paragraphProfileBy(docs: DataFrame, boundary: String = "\\n\\n+"): DataFrame = {
+    val occ = paragraphOccBy(docs.select(col("doc_id"), col("text")), boundary)
+    val cnt = occ.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    occ.join(cnt, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("n_occ") >= 2, 1)).as("n_dup_paras"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        (col("n_dup_paras") * lit(1.0) / col("n_paras")).as("dup_fraction"))
+  }
+
   /** Remove all but the FIRST occurrence (smallest (doc_id, pos)) of every
     * duplicated paragraph and rebuild each doc's text from its surviving
     * paragraphs — the Lee et al. removal semantic. A doc whose every
@@ -61,16 +88,28 @@ object Paragraphs {
     * hash — sort-based, spillable, no driver state; the rebuild aggregate
     * is per-doc (bounded by document size).
     */
-  def dedupParagraphs(docs: DataFrame, paraWords: Int = ParaWords): DataFrame = {
-    val occ = paragraphOcc(docs.select(col("doc_id"), col("text")), paraWords)
+  def dedupParagraphs(docs: DataFrame, paraWords: Int = ParaWords): DataFrame =
+    removeDupOccurrences(
+      paragraphOcc(docs.select(col("doc_id"), col("text")), paraWords), " ")
+
+  /** [[dedupParagraphs]] over regex-boundary paragraphs, rebuilding with
+    * the canonical `\n\n` joiner (boundary runs are not preserved —
+    * removal normalizes them, which is the Lee et al. behavior).
+    */
+  def dedupParagraphsBy(docs: DataFrame,
+      boundary: String = "\\n\\n+", joiner: String = "\n\n"): DataFrame =
+    removeDupOccurrences(
+      paragraphOccBy(docs.select(col("doc_id"), col("text")), boundary), joiner)
+
+  private def removeDupOccurrences(occ: DataFrame, joiner: String): DataFrame = {
     val firstOcc = min(struct(col("doc_id"), col("pos")))
       .over(Window.partitionBy(col("h")))
     occ.withColumn("first_occ", firstOcc)
       .filter(struct(col("doc_id"), col("pos")) === col("first_occ"))
       .groupBy(col("doc_id"))
-      .agg(expr(
-        """array_join(transform(sort_array(collect_list(struct(pos, para))),
-          |  x -> x.para), ' ')""".stripMargin).as("text"))
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(pos, para))), x -> x.para)"),
+        joiner).as("text"))
   }
 
   /** d12: per-doc paragraph-duplication profile — total paragraphs,

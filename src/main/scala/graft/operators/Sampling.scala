@@ -320,7 +320,11 @@ object Sampling {
     * cluster size, and a straggler retry reproduces its partition
     * bit-identically.
     */
-  def shuffleShards(df: DataFrame, key: Column, numShards: Int): DataFrame = {
+  /** Pure shard/sort-key ASSIGNMENT (columns only, no movement): what the
+    * audit query reads — stats over the assignment are partition-
+    * independent, so p08 never pays the physical repartition + sort.
+    */
+  def shardAssign(df: DataFrame, key: Column, numShards: Int): DataFrame = {
     require(numShards > 0 && 256 % numShards == 0,
       s"numShards must divide 256 for uniform byte-bucket assignment: $numShards")
     val h = md5(key.cast("string"))
@@ -328,9 +332,12 @@ object Sampling {
         conv(substring(h, 1, 2), 16, 10).cast("long") % numShards)
       .withColumn("sort_key",
         conv(substring(h, 3, 8), 16, 10).cast("long"))
+  }
+
+  def shuffleShards(df: DataFrame, key: Column, numShards: Int): DataFrame =
+    shardAssign(df, key, numShards)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("sort_key"))
-  }
 
   /** Writes the shuffled corpus as one directory per shard
     * (`path/shard=N/`), each shard's files in deterministic `sort_key`
@@ -357,7 +364,11 @@ object Sampling {
       |FROM documents
       |GROUP BY 1
       |ORDER BY shard""".stripMargin) { (s, d) =>
-    shuffleShards(Tables.documents(s, d), col("doc_id"), 8)
+    // shardAssign, not shuffleShards: the audit's aggregates are
+    // partition-independent, so the physical repartition + in-partition
+    // sort would be pure waste here (they're exercised by SamplingSpec
+    // and the shard writer)
+    shardAssign(Tables.documents(s, d), col("doc_id"), 8)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(org.apache.spark.sql.functions.split(col("text"), " "))

@@ -73,6 +73,25 @@ class ParagraphDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("one two three four", "five six"))
   }
 
+  test("regex-boundary paragraphs: the production \\n\\n contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, s"$P1\n\n$P2"),        // P1 first occurrence
+      (1L, s"$P1\n\n\n\n$P3"),    // boundary RUN + duplicate P1
+      (2L, s"\n\n$P2"))           // leading boundary → empty segment dropped
+      .toDF("doc_id", "text")
+    val prof = Paragraphs.paragraphProfileBy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(prof(0L) == ((2L, 2L)), "P1 and P2 both duplicated corpus-wide")
+    assert(prof(1L) == ((2L, 1L)), "doc 1: dup P1 + unique P3")
+    assert(prof(2L) == ((1L, 1L)), "doc 2: single P2 occurrence, duplicated")
+    val out = Paragraphs.dedupParagraphsBy(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == s"$P1\n\n$P2")
+    assert(out(1L) == P3, "doc 1 loses its duplicate P1; runs normalized")
+    assert(!out.contains(2L), "doc 2 was nothing but a duplicate")
+  }
+
   test("property: paragraphs of a dup-free corpus reconstruct every text") {
     import spark.implicits._
     // word counts straddling every window-boundary case; texts made unique
