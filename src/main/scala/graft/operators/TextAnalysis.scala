@@ -335,7 +335,52 @@ object TextAnalysis {
           col("repetition") <= maxRepetition, lit(false)))
   }
 
+  /** t08: trigram NOVELTY — the complement signal to t06's boilerplate
+    * score: what fraction of a doc's distinct trigram shingles appear
+    * NOWHERE else in the corpus (df = 1). High novelty marks original
+    * content; near-zero novelty marks templated/duplicated text that the
+    * dedup family should be pointed at. All integer arithmetic (counts +
+    * one exact-operand division).
+    *
+    * Scale shape: the same bounded inverted-index prefix as d05 —
+    * row-local distinct shingles (no dedup shuffle), an O(1)-state df
+    * count keyed on the 64-bit shingle hash (same collision posture),
+    * occurrence rows re-join the df table on the hash (exchange reuse),
+    * one per-doc aggregate. No lists anywhere.
+    */
+  val novelty: QueryDef = q(
+    "t08_novelty",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+      |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
+      |        FROM w),
+      |df AS (SELECT s, count(*) AS c FROM tri GROUP BY s)
+      |SELECT doc_id, count(*) AS n_tri,
+      |       count(CASE WHEN c = 1 THEN 1 END) AS n_unique,
+      |       count(CASE WHEN c = 1 THEN 1 END) * 1.0 / count(*) AS novelty
+      |FROM tri JOIN df USING (s)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tri = Tables.parallel(Tables.documents(s, d).select("doc_id", "text"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(if(size(ws) < 3, array(),
+          |   transform(sequence(1, size(ws)-2),
+          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin))
+        .as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val dfreq = tri.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    tri.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        count(when(col("c") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_tri"), col("n_unique"),
+        (col("n_unique") * lit(1.0) / col("n_tri")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
-      repetition)
+      repetition, novelty)
 }
