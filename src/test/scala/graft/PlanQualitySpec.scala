@@ -223,6 +223,35 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t08 novelty keeps the d05 shape: hashed shingles, no sort agg, no lists") {
+    val p = plan("t08_novelty")
+    assert(p.contains("xxhash64"), "shingles must travel hashed: " + p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("collect_list"), p)
+  }
+
+  test("s07 quant audit broadcasts the query side; corpus never shuffles") {
+    val p = plan("s07_quant_error")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must stream past a broadcast 10-vector query set: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p08 shard audit is scan → assignment → one keyed exchange") {
+    val p = plan("p08_shard_stats")
+    // the pure column assignment must not pay shuffleShards' physical
+    // repartition: exactly one hash exchange (the per-shard aggregate)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("m03 frame audit: row-local generator, one keyed exchange") {
+    val p = plan("m03_frame_sample")
+    assert(p.contains("Generate posexplode"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

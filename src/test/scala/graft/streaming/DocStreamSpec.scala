@@ -61,4 +61,32 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = spark.table("curated").count()
     assert(n == streamed.size, s"$n rows but ${streamed.size} fingerprints")
   }
+
+  test("watermark-bounded dedup collapses duplicates within the horizon") {
+    import spark.implicits._
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-wm")
+    // three copies of one text inside a 1-minute span, one unique text
+    Seq(
+      (1L, "replayed body", "2026-01-01 00:00:00"),
+      (2L, "replayed body", "2026-01-01 00:00:10"),
+      (3L, "replayed body", "2026-01-01 00:00:40"),
+      (4L, "unique body", "2026-01-01 00:00:20"))
+      .toDF("doc_id", "text", "t_raw")
+      .withColumn("ingest_t", col("t_raw").cast("timestamp")).drop("t_raw")
+      .coalesce(1).write.parquet(d.resolve("in").toString)
+    val schema = spark.read.parquet(d.resolve("in").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(d.resolve("in").toString)
+    val q = DocStream.dedupeWithin(stream, "ingest_t", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("wm_dedup").select("text").collect()
+      .map(_.getString(0)).sorted
+    assert(kept.toSeq == Seq("replayed body", "unique body"),
+      s"expected one survivor per text within the horizon, got ${kept.toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
 }
