@@ -61,6 +61,25 @@ object Dedup {
   private val SIGS = 8 // minhash signatures
   private val BANDS = 2 // bands of SIGS/BANDS rows each
 
+  /** Canonical text normalization for NORMALIZED exact dedup (the pass
+    * between byte-exact d01 and fuzzy d03): lowercase, strip everything
+    * but letters/digits/spaces, collapse whitespace runs, trim. Two docs
+    * differing only in case/punctuation/spacing normalize equal. Pure
+    * per-row column expression — compose with [[collapseExact]] on the
+    * normalized column, or any keyed dedup.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Normalized-exact dedup: one surviving row (smallest doc_id) per
+    * NORMALIZED text. The aggregation state is O(1) per key (min + count,
+    * like [[collapseExact]]); returns (norm_text, keeper, n_copies).
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(normalizeText(col("text")).as("norm_text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
   /** Exact-duplicate PRE-COLLAPSE: one row per DISTINCT text, with the
     * smallest holding doc_id as representative and the copy count.
     *
@@ -126,7 +145,15 @@ object Dedup {
     *     digests per shingle, not 8 separate hashes — 4× fewer md5 calls
     *     for the same LSH behavior.
     */
-  private def minhashSigs(doc: DataFrame): DataFrame = {
+  private def minhashSigs(doc: DataFrame): DataFrame =
+    minhashSigsTuned(doc, SIGS)
+
+  /** [[minhashSigs]] generalized to `numSigs` signature slots: each md5
+    * digest yields four 32-bit slices, so ⌈numSigs/4⌉ digests per shingle
+    * (digest 0 = md5(s), digest 1 = md5("s:"+s) — kept verbatim so the
+    * 8-sig oracle path is byte-identical — digest j≥2 = md5("s<j>:"+s)).
+    */
+  private[operators] def minhashSigsTuned(doc: DataFrame, numSigs: Int): DataFrame = {
     // double-md5 per shingle is CPU-dense enough that scan parallelism
     // dominates — the QUERY ENTRIES route their scans through
     // Tables.parallel (scan-level only; guarding here would re-shuffle
@@ -137,29 +164,50 @@ object Dedup {
     // via explode(sequence) + a plain concat projection keeps the whole
     // row codegen'd where a transform lambda evaluates interpreted
     // (measured faster despite emitting duplicate shingle rows)
+    val nDigests = (numSigs + 3) / 4
     val tri = doc
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), col("ws"), explode(expr(
         "if(size(ws) < 3, array(), sequence(1, size(ws)-2))")).as("i"))
       .select(col("doc_id"),
         expr("concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])").as("s"))
-    val hashed = tri.select(col("doc_id"), md5(col("s")).as("h1"),
-      md5(concat(lit("s:"), col("s"))).as("h2"))
-    val aggs = (0 until SIGS).map { k =>
-      val src = if (k < 4) "h1" else "h2"
+    val digests = (0 until nDigests).map {
+      case 0 => md5(col("s")).as("h0")
+      case 1 => md5(concat(lit("s:"), col("s"))).as("h1")
+      case j => md5(concat(lit(s"s$j:"), col("s"))).as(s"h$j")
+    }
+    val hashed = tri.select(col("doc_id") +: digests: _*)
+    val aggs = (0 until numSigs).map { k =>
+      val src = s"h${k / 4}"
       val pos = (k % 4) * 8 + 1
       min(expr(s"cast(conv(substr($src, $pos, 8), 16, 10) as bigint)")).as(s"ml$k")
     }
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id") +: (0 until SIGS).map(k =>
+      .select(col("doc_id") +: (0 until numSigs).map(k =>
         expr(s"lpad(lower(conv(ml$k, 10, 16)), 8, '0')").as(s"m$k")): _*)
   }
 
   /** LSH candidate pairs (doc_a < doc_b) from the band equi-join. */
-  private[operators] def lshCandidates(doc: DataFrame): DataFrame = {
-    val rows = SIGS / BANDS
-    val sig = minhashSigs(doc)
-    val bandArr = array((0 until BANDS).map { b =>
+  private[operators] def lshCandidates(doc: DataFrame): DataFrame =
+    lshCandidatesTuned(doc, SIGS, BANDS)
+
+  /** [[lshCandidates]] with a USER-TUNED banding: `numBands` bands of
+    * `numSigs / numBands` rows. The (bands, rows) pair is the
+    * recall/precision dial of MinHash LSH — the capture probability of a
+    * pair with Jaccard J is 1 − (1 − J^rows)^bands — and the d11 accuracy
+    * audit exists precisely to calibrate it on the corpus before a
+    * production run commits to a setting. (numSigs, numBands) = (8, 2)
+    * reproduces the registered d03 pipeline exactly. Same scale shape at
+    * any setting: per-row signatures, band equi-join moving only
+    * (band, id) pairs, merge hint so both sides reuse one exchange.
+    */
+  def lshCandidatesTuned(
+      doc: DataFrame, numSigs: Int, numBands: Int): DataFrame = {
+    require(numSigs > 0 && numBands > 0 && numSigs % numBands == 0,
+      s"numBands ($numBands) must divide numSigs ($numSigs)")
+    val rows = numSigs / numBands
+    val sig = minhashSigsTuned(doc, numSigs)
+    val bandArr = array((0 until numBands).map { b =>
       struct(lit(b).as("band_idx"),
         md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
           .as("band_val"))

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The user-facing dedup tuning surface: parameterized LSH banding (the
+  * recall/precision dial d11 calibrates) and canonical text
+  * normalization.
+  */
+class DedupTuningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+    .select("doc_id", "text")
+
+  test("(8,2) banding reproduces the registered d03 candidate set exactly") {
+    val fixed = Dedup.lshCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tuned = Dedup.lshCandidatesTuned(docs, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed == tuned)
+  }
+
+  test("exact duplicates are candidates under every banding") {
+    import spark.implicits._
+    val base = docs.limit(5)
+    val dup = base.select((col("doc_id") + 50000).as("doc_id"), col("text"))
+    val corpus = base.union(dup)
+    for ((sigs, bands) <- Seq((8, 2), (8, 8), (16, 4), (12, 3))) {
+      val cand = Dedup.lshCandidatesTuned(corpus, sigs, bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = base.collect().map(_.getLong(0))
+        .filter(id => corpus.filter(col("doc_id") === id)
+          .head.getString(1).split(" ").length >= 3)
+        .map(id => (id, id + 50000)).toSet
+      assert(expected.subsetOf(cand),
+        s"($sigs,$bands): exact dups ${expected -- cand} not captured")
+    }
+  }
+
+  test("more, narrower bands never lose candidates (recall is monotone)") {
+    // bands of FEWER rows capture strictly more pairs: every 4-row band
+    // match implies its two 2-row halves match. (8,2) = 4-row bands;
+    // (8,4) = 2-row bands over the SAME signature slots.
+    val coarse = Dedup.lshCandidatesTuned(docs, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fine = Dedup.lshCandidatesTuned(docs, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coarse.subsetOf(fine),
+      s"lost pairs at finer banding: ${coarse -- fine}")
+  }
+
+  test("invalid banding is rejected") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatesTuned(docs, 8, 3)
+    }
+  }
+
+  test("normalizeText canonicalizes case, punctuation, and spacing") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO--WORLD"),
+      (4L, "  hello   world  "), (5L, "different entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.normalizedDedup(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("hello world") == ((1L, 4L)),
+      "four variants normalize equal; smallest id survives")
+    assert(out("different entirely") == ((5L, 1L)))
+  }
+}
