@@ -345,8 +345,13 @@ object TextAnalysis {
     * Scale shape: the same bounded inverted-index prefix as d05 —
     * row-local distinct shingles (no dedup shuffle), an O(1)-state df
     * count keyed on the 64-bit shingle hash (same collision posture),
-    * occurrence rows re-join the df table on the hash (exchange reuse),
-    * one per-doc aggregate. No lists anywhere.
+    * occurrence rows re-join the df table on the hash, one per-doc
+    * aggregate. No lists anywhere. The corpus IS shingled twice (df side
+    * + occurrence side — the aggregate sits below its exchange, so the
+    * two subtrees cannot share one): the alternative, a count-over-window
+    * on the hash, scans once but buffers each hash group in the window
+    * sort, which a hub shingle makes unbounded — same deliberate trade as
+    * d05/t05.
     */
   val novelty: QueryDef = q(
     "t08_novelty",
