@@ -213,7 +213,42 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** q41: cohort retention — the standard product-analytics matrix: users
+    * bucketed by FIRST-active day (the cohort), then distinct-user counts
+    * per (cohort, day offset). All integer day arithmetic on the raw
+    * nanosecond LONG, so both engines bucket identically.
+    *
+    * Scale shape: the first-active aggregate is min() per user (O(1)
+    * state); the activity rows re-join it keyed on user_id (AQE-planned,
+    * both sides hash-partitioned on the key); the retention cell count is
+    * a two-key distinct aggregate — partial aggregation applies, no
+    * windows, no lists. The cell matrix itself is tiny (cohorts ×
+    * horizon), whatever the event volume.
+    */
+  val cohortRetention: QueryDef = q(
+    "q41_cohort_retention",
+    """WITH e AS (SELECT user_id,
+      |             epoch_ns(ts) // (86400 * CAST(1000000000 AS BIGINT)) AS day
+      |           FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+      |SELECT cohort, day - cohort AS day_offset,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort, day_offset""".stripMargin) { (s, d) =>
+    val dayNs = 86400L * NS
+    // `div`, not `/`: double division loses integer precision above 2^53
+    // (ts is ~1.7e18 ns) and would mis-bucket boundary events
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"))
+    val f = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    e.join(f, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     windowRunning, hourlyRollup, sessionize, asofJoin, timeRangeJoin,
-    jsonExtract, funnel)
+    jsonExtract, funnel, cohortRetention)
 }
