@@ -291,6 +291,51 @@ object Dedup {
       .join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** INCREMENTAL dedup screen: drops rows of `incoming` that are exact or
+    * near-duplicates (trigram Jaccard ≥ threshold, LSH candidates) of the
+    * `index` corpus or of other incoming rows (keep-min within the
+    * batch). Index rows are never dropped — they are the already-accepted
+    * corpus. This is the batch kernel of streaming ingest dedup
+    * ([[graft.streaming.DocStream.nearDupIngest]]): each micro-batch
+    * screens against the accumulated index, then appends its survivors.
+    *
+    * doc_ids must be unique across index ∪ incoming (the ingest pipeline
+    * owns id assignment). Same skew posture as [[deduplicate]]: exact
+    * copies collapse before any band work, index representatives winning
+    * ties so a re-ingested text always drops.
+    */
+  def deduplicateAgainst(incoming: DataFrame, index: DataFrame,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val all = index.select(col("doc_id"), col("text"))
+      .withColumn("is_new", lit(false))
+      .union(incoming.select(col("doc_id"), col("text"))
+        .withColumn("is_new", lit(true)))
+    // exact collapse over the union; (is_new, doc_id) struct-min makes
+    // index reps win ties, so a new exact copy of an indexed text is
+    // non-representative and drops outright
+    val collapsed = all.groupBy(col("text"))
+      .agg(min(struct(col("is_new"), col("doc_id"))).as("rep"))
+      .select(col("rep.doc_id").as("doc_id"), col("text"),
+        col("rep.is_new").as("is_new"))
+    val flags = collapsed.select(col("doc_id"), col("is_new"))
+    val pairs = nearDupPairs(collapsed.select("doc_id", "text"), jaccardThreshold)
+    val drops = pairs
+      .join(flags.select(col("doc_id").as("doc_a"), col("is_new").as("na")), "doc_a")
+      .join(flags.select(col("doc_id").as("doc_b"), col("is_new").as("nb")), "doc_b")
+      .select(
+        when(col("na") && !col("nb"), col("doc_a"))
+          .when(col("nb") && !col("na"), col("doc_b"))
+          // both new: keep-min (doc_a < doc_b by construction)
+          .when(col("na") && col("nb"), col("doc_b"))
+          .otherwise(lit(null)) // index-index pair: nothing to drop
+          .as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    incoming
+      .join(collapsed.filter(col("is_new")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** EXHAUSTIVE Jaccard pairs (doc_a < doc_b): every pair sharing at least
     * one shingle of document-frequency ≤ dfCap, kept when exact trigram
     * Jaccard ≥ threshold. Same inverted-index shape as the d05 query (and

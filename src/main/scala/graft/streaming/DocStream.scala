@@ -71,4 +71,37 @@ object DocStream {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Incremental NEAR-dup ingest: each micro-batch is screened against
+    * the accumulated index with the full batch kernel
+    * ([[graft.operators.Dedup.deduplicateAgainst]] — exact collapse +
+    * LSH candidates + exact Jaccard verification), survivors append to
+    * both the output and the index. The index carries only (doc_id,
+    * text); at 100 TB the screen is the same linear band join the batch
+    * pipeline runs, amortized per micro-batch, and the index can be
+    * periodically compacted/re-bucketed offline without touching this
+    * loop. Exactly-once per batch via foreachBatch; batches run
+    * sequentially, so batch N+1 sees batch N's survivors.
+    */
+  def nearDupIngest(stream: DataFrame, indexDir: String, outDir: String,
+      jaccardThreshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = graft.hep.HadoopIo.fs(spark, indexDir)
+        val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(indexDir))
+        val index =
+          if (hasIndex) spark.read.parquet(indexDir)
+          else batch.select(col("doc_id"), col("text")).limit(0)
+        val kept = graft.operators.Dedup
+          .deduplicateAgainst(batch, index, jaccardThreshold)
+          .persist()
+        kept.write.mode("append").parquet(outDir)
+        kept.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(indexDir)
+        kept.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -62,6 +62,51 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == streamed.size, s"$n rows but ${streamed.size} fingerprints")
   }
 
+  test("incremental near-dup ingest equals the per-batch batch kernel") {
+    import spark.implicits._
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "neardup-ingest")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven"
+    val aNear = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    val c = "completely unrelated content about engines and oracles here"
+    val f1 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val f2 = Seq((10L, aNear), (11L, c), (12L, b)).toDF("doc_id", "text")
+    f1.coalesce(1).write.parquet(d.resolve("in1").toString)
+    f2.coalesce(1).write.parquet(d.resolve("in2").toString)
+    val in = d.resolve("in").toString
+    new java.io.File(in).mkdirs()
+    def onlyParquet(dir: String): java.io.File =
+      new java.io.File(dir).listFiles().find(_.getName.endsWith(".parquet")).get
+    // two files staged in arrival order; maxFilesPerTrigger=1 forces one
+    // micro-batch per file, so batch 2 must screen against batch 1's index
+    Files.copy(onlyParquet(d.resolve("in1").toString).toPath,
+      java.nio.file.Paths.get(in, "part-0.parquet"))
+    Files.copy(onlyParquet(d.resolve("in2").toString).toPath,
+      java.nio.file.Paths.get(in, "part-1.parquet"))
+    // the file source orders batches by modification time — pin the
+    // arrival order explicitly so the test is filesystem-independent
+    val now = System.currentTimeMillis()
+    new java.io.File(in, "part-0.parquet").setLastModified(now - 60000)
+    new java.io.File(in, "part-1.parquet").setLastModified(now)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = DocStream.nearDupIngest(stream,
+      d.resolve("index").toString, d.resolve("out").toString, 0.6)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(d.resolve("out").toString)
+      .collect().map(_.getLong(0)).toSet
+    // batch composition of the same two arrivals
+    val kept1 = graft.operators.Dedup.deduplicateAgainst(f1, f1.limit(0), 0.6)
+    val kept2 = graft.operators.Dedup.deduplicateAgainst(f2, kept1, 0.6)
+    val batch = (kept1.collect() ++ kept2.collect()).map(_.getLong(0)).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // the exact replay of b never survives; the unique doc always does
+    assert(!streamed.contains(12L) && streamed.contains(11L))
+    org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+
   test("watermark-bounded dedup collapses duplicates within the horizon") {
     import spark.implicits._
     val d = Files.createTempDirectory(
