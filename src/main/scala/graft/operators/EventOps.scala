@@ -248,7 +248,52 @@ object EventOps {
       .orderBy("cohort", "day_offset")
   }
 
+  /** q42: event-transition matrix — per-user consecutive event-type pairs
+    * (the first-order Markov view of behavioral sequences: what users do
+    * NEXT after each action). `lag(event_type)` over the per-user time
+    * order, then counts per (prev, next) cell; `n_users` adds the
+    * distinct-user reach of each transition.
+    *
+    * Determinism: the per-user order is (ts, event_id) — event_id is
+    * unique, so equal-timestamp events order identically in both engines.
+    *
+    * Scale shape: one shuffle keyed on user_id for the window; lag(1)
+    * holds a single-row frame, so window state is O(1) per user however
+    * long the history (the sort within a user streams, spillable). The
+    * transition matrix itself is |types|² cells — partial aggregation
+    * collapses the exploded pairs map-side, and the distinct-user count
+    * re-aggregates (prev, next, user) keys, still bounded by users ×
+    * |types|². A pathologically hot user serializes only their own
+    * partition — inherent to per-user sequencing, noted, and AQE cannot
+    * split a window partition; at 100 TB the mitigation is sessionized
+    * sub-keys, which q23 demonstrates.
+    */
+  val eventTransitions: QueryDef = q(
+    "q42_event_transitions",
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type,
+      |       count(*) AS n_transitions,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM t
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("prev_type", "next_type")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     windowRunning, hourlyRollup, sessionize, asofJoin, timeRangeJoin,
-    jsonExtract, funnel, cohortRetention)
+    jsonExtract, funnel, cohortRetention, eventTransitions)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -379,7 +380,83 @@ object Sampling {
       .orderBy("shard")
   }
 
+  /** p09: curriculum staging — order the corpus "easy → hard" into four
+    * training stages by a difficulty score (here t07's repetition ratio in
+    * micro-units: low-repetition text first) WITHOUT a global sort.
+    *
+    * The naive formulation is `ntile(4) OVER (ORDER BY score)` — a single
+    * total-order window, i.e. a one-partition global range sort that no
+    * 100 TB corpus can pay. This implementation exploits the score being
+    * a BOUNDED integer (0..1e6 by construction): aggregate the corpus to
+    * a per-score histogram (≤1e6 rows however large the corpus, O(1)
+    * state per key), take cumulative counts on that tiny table (the one
+    * window runs over the histogram, not the corpus), pick the three
+    * quartile boundary scores, broadcast them back, and assign
+    *   stage = 1 + (score > q1) + (score > q2) + (score > q3)
+    * as a scan-fused comparison. Ties at a boundary all land in the lower
+    * stage (stages deviate from N/4 by at most the boundary score's tie
+    * mass — the deterministic resolution both engines agree on).
+    *
+    * The audit reports per-stage doc counts, token mass, score range, and
+    * an id checksum, so the oracle pins the exact assignment.
+    */
+  val curriculumStages: QueryDef = q(
+    "p09_curriculum",
+    """WITH sc AS (
+      |  SELECT doc_id,
+      |         CAST((len(string_split(text, ' '))
+      |               - len(list_distinct(string_split(text, ' '))))
+      |              * 1000000 // len(string_split(text, ' ')) AS BIGINT) AS score,
+      |         len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |h AS (SELECT score, count(*) AS c FROM sc GROUP BY score),
+      |cum AS (SELECT score, sum(c) OVER (ORDER BY score) AS cum FROM h),
+      |n AS (SELECT count(*) AS n FROM sc),
+      |qs AS (SELECT min(CASE WHEN cum * 4 >= n THEN score END) AS q1,
+      |              min(CASE WHEN cum * 2 >= n THEN score END) AS q2,
+      |              min(CASE WHEN cum * 4 >= 3 * n THEN score END) AS q3
+      |       FROM cum CROSS JOIN n)
+      |SELECT 1 + CAST(score > q1 AS INT) + CAST(score > q2 AS INT)
+      |         + CAST(score > q3 AS INT) AS stage,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       min(score) AS min_score, max(score) AS max_score,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM sc CROSS JOIN qs
+      |GROUP BY 1
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    // `split` is shadowed by this module's train/val/test splitter
+    val ws = org.apache.spark.sql.functions.split(col("text"), " ")
+    val sc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("""CAST((size(split(text, ' ')) - size(array_distinct(split(text, ' '))))
+                |     * 1000000 div size(split(text, ' ')) AS BIGINT)""".stripMargin)
+          .as("score"),
+        size(ws).cast("long").as("n_tok"))
+    val h = sc.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    // the cumulative window runs over the ≤1e6-row histogram — a single
+    // partition is fine THERE; the corpus itself never sorts
+    val cum = h.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = sc.agg(count(lit(1)).as("n"))
+    val qs = cum.crossJoin(broadcast(n)).agg(
+      min(when(col("cum") * 4 >= col("n"), col("score"))).as("q1"),
+      min(when(col("cum") * 2 >= col("n"), col("score"))).as("q2"),
+      min(when(col("cum") * 4 >= lit(3) * col("n"), col("score"))).as("q3"))
+    sc.crossJoin(broadcast(qs))
+      .select(col("doc_id"), col("n_tok"), col("score"),
+        (lit(1) + (col("score") > col("q1")).cast("int")
+          + (col("score") > col("q2")).cast("int")
+          + (col("score") > col("q3")).cast("int")).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("stage")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
-      langRebalance, repeatUpsample, shardStats)
+      langRebalance, repeatUpsample, shardStats, curriculumStages)
 }

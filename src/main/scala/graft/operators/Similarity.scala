@@ -669,7 +669,57 @@ object Similarity {
     }
   }
 
+  /** s08: blocked exact kNN GRAPH — each vector's 3 nearest neighbors
+    * within its block (the `label` column stands in for the IVF cell /
+    * shard a production pipeline would block on). The kNN graph is the
+    * substrate of graph-based diversity sampling, NN-Descent seeding, and
+    * cluster-repair passes; unlike s01 (few queries × whole corpus) EVERY
+    * vector is a query here, so the all-pairs form is Θ(n²) and blocking
+    * is what makes the graph buildable — pairs are bounded by Σ|block|²,
+    * generated by an equi-join on the block id (AQE skew-splits hot
+    * blocks), never a cross join.
+    *
+    * Plan shape: both join sides read the ONE quantized scan subtree
+    * (ReusedExchange); scoring is the codegen'd `long_dot` on the pair
+    * rows; the per-vector top-3 window engages WindowGroupLimit, trimming
+    * each partition to k rows before the final sort. Cosines derive from
+    * exact integer dots (bit-identical across engines); ties break on the
+    * neighbor id.
+    */
+  val knnGraph: QueryDef = q(
+    "s08_knn_graph",
+    s"""WITH $oracleNorms,
+       |pd AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+       |    CAST(sum(${xiSql("a")} * ${xiSql("b")}) AS BIGINT) AS dot
+       |  FROM embeddings a
+       |  JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id, j
+       |  GROUP BY a.vec_id, b.vec_id, a.label),
+       |ps AS (
+       |  SELECT va, vb, label, $oracleCos AS cos
+       |  FROM pd JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb)
+       |SELECT label, va AS vec_id, rn, vb AS nbr, cos FROM (
+       |  SELECT label, va, vb, cos,
+       |         row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM ps)
+       |WHERE rn <= 3
+       |ORDER BY vec_id, rn""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
+    val a = e.select(col("vec_id").as("va"), col("label"),
+      col("qv").as("qa"), col("sq").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
+      col("qv").as("qb"), col("sq").as("nb"))
+    val w = Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))
+    a.join(b, col("label") === col("lb") && col("va") =!= col("vb"))
+      .withColumn("cos", cosCol(expr(dotRawSql("qa", "qb")), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("label"), col("va").as("vec_id"), col("rn"),
+        col("vb").as("nbr"), col("cos"))
+      .orderBy("vec_id", "rn")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
-      annRecall, semDedup, quantError)
+      annRecall, semDedup, quantError, knnGraph)
 }

@@ -385,7 +385,128 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t09: heavy hitters — the top-10 terms per language with count and
+    * corpus share (the vocabulary skew / Zipf-head audit run before
+    * choosing tokenizer vocabularies or boilerplate stoplists). Ties break
+    * on the term text, so ranks are engine-independent.
+    *
+    * Scale shape: explode → (lang, term) count with map-side partial
+    * aggregation (the only corpus-scale shuffle, keyed on the pair);
+    * per-language totals are a SECOND tiny aggregate over the count table
+    * (K rows out), broadcast back — NOT a sum-over-window, which would
+    * buffer every distinct term of a language inside one window partition.
+    * The top-10 row_number window runs on the counts table and engages
+    * WindowGroupLimit, so each partition pre-trims to 10 rows before the
+    * final per-language sort. Share is integer micro-units (exact BIGINT
+    * floor division, t05's libm-independence rule).
+    */
+  val heavyHitters: QueryDef = q(
+    "t09_heavy_hitters",
+    """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |c AS (SELECT lang, term, count(*) AS n FROM w GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM c GROUP BY 1)
+      |SELECT lang, rn, term, n,
+      |       CAST(n * 1000000 // n_lang AS BIGINT) AS share_micro
+      |FROM (SELECT lang, term, n,
+      |             row_number() OVER (PARTITION BY lang
+      |                                ORDER BY n DESC, term) AS rn
+      |      FROM c) r
+      |JOIN tot USING (lang)
+      |WHERE rn <= 10
+      |ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    val terms = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    val counts = terms.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_lang"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .join(broadcast(totals), "lang")
+      .select(col("lang"), col("rn"), col("term"), col("n"),
+        expr("CAST(n * 1000000 div n_lang AS BIGINT)").as("share_micro"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Pattern redaction — the PII-scrubbing primitive of a curation
+    * pipeline: rewrite every match of each (name, regex, replacement)
+    * rule and report per-rule match counts alongside the redacted text.
+    * Row-local regex work (scan-fused, zero shuffle); rules apply in the
+    * given order, each over the previous rule's output, so overlapping
+    * patterns behave deterministically.
+    *
+    * The default rule set covers the standard structured-PII surface:
+    * emails, international/US phone numbers, IPv4 addresses, and SSNs.
+    * Patterns deliberately stay in the RE2-compatible subset (no
+    * backreferences/lookaround) so the same strings run on Spark (Java
+    * regex) and any RE2-based engine.
+    */
+  val piiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"))
+
+  /** Applies `rules` to `column`: adds `n_<name>` match counts and a
+    * `redacted` column with all rules rewritten, in order.
+    */
+  def redact(df: DataFrame, column: Column,
+      rules: Seq[(String, String, String)] = piiRules): DataFrame = {
+    val counted = rules.foldLeft(df) { case (acc, (name, pat, _)) =>
+      acc.withColumn(s"n_$name",
+        size(regexp_extract_all(column, lit(pat), lit(0))).cast("long"))
+    }
+    counted.withColumn("redacted",
+      rules.foldLeft(column) { case (acc, (_, pat, rep)) =>
+        regexp_replace(acc, pat, rep)
+      })
+  }
+
+  /** t10: redaction audit over `events.props` — per event type, how many
+    * rows matched, total matches, the signed character delta (negative
+    * when the placeholder outgrows the match), and an
+    * order-independent checksum of the rewritten strings (summed md5
+    * slice — the cross-engine hash idiom), so the oracle verifies every
+    * REWRITTEN byte, not just the counts. The registered rule redacts
+    * digit runs (the synthetic corpus carries no real PII — the full PII
+    * rule set is exercised on planted fixtures in TextOpsSpec; this query
+    * proves the rewrite/count/checksum plumbing on data where matches are
+    * dense). Same scan-fused shape as the library call: regex per row,
+    * one tiny aggregate.
+    */
+  val redactionAudit: QueryDef = q(
+    "t10_redaction_audit",
+    """WITH r AS (
+      |  SELECT event_type, props,
+      |         len(regexp_extract_all(props, '[0-9]+')) AS n_num,
+      |         regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+      |  FROM events)
+      |SELECT event_type,
+      |       count(*) AS n_rows,
+      |       count(CASE WHEN n_num > 0 THEN 1 END) AS n_matched,
+      |       CAST(sum(n_num) AS BIGINT) AS n_matches,
+      |       CAST(sum(length(props) - length(redacted)) AS BIGINT) AS chars_delta,
+      |       CAST(sum(CAST('0x' || substr(md5(redacted), 1, 12) AS BIGINT)) AS BIGINT)
+      |         AS redacted_sum
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val r = redact(Tables.events(s, d), col("props"),
+      Seq(("num", "[0-9]+", "<NUM>")))
+    r.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("n_num") > 0, 1)).as("n_matched"),
+        sum(col("n_num")).as("n_matches"),
+        sum(length(col("props")) - length(col("redacted"))).as("chars_delta"),
+        sum(conv(substring(md5(col("redacted")), 1, 12), 16, 10).cast("long"))
+          .as("redacted_sum"))
+      .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
-      repetition, novelty)
+      repetition, novelty, heavyHitters, redactionAudit)
 }

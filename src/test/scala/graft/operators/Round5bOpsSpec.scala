@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Contracts of the round-5b operators: q42 event transitions, t09 heavy
+  * hitters, t10 pattern redaction, p09 curriculum staging, s08 kNN graph.
+  * The oracle gate checks exact values at sf0.01; these pin the invariants
+  * on sf0.001 plus planted fixtures where the corpus lacks the signal
+  * (PII for t10).
+  */
+class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(name: String) =
+    graft.QueryCatalog.byName(name).run(spark, sf)
+
+  test("q42: transition mass = events minus one per active user") {
+    val ev = graft.Tables.events(spark, sf)
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    val rows = run("q42_event_transitions").collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getAs[Long]("n_transitions")).sum
+    // each user's k events yield exactly k-1 consecutive pairs
+    assert(mass === total - users, s"transition mass $mass != $total - $users")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_transitions"))
+    }
+  }
+
+  test("t09: ranks are dense, counts non-increasing, shares bounded") {
+    val rows = run("t09_heavy_hitters").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byRn = rs.sortBy(_.getAs[Int]("rn"))
+      assert(byRn.map(_.getAs[Int]("rn")).toSeq === (1 to byRn.length),
+        s"$lang ranks not dense")
+      val ns = byRn.map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"$lang counts not non-increasing")
+      assert(byRn.length <= 10)
+      val shares = byRn.map(_.getAs[Long]("share_micro"))
+      assert(shares.forall(s => s >= 0 && s <= 1000000))
+      assert(shares.sum <= 1000000, s"$lang top-10 share exceeds the whole")
+    }
+  }
+
+  test("t10 redact: planted PII is counted and rewritten per rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk or call +1-555-123-4567"),
+      (2L, "server 10.0.255.7 leaked ssn 123-45-6789 twice: 123-45-6789"),
+      (3L, "clean text, nothing to scrub")).toDF("id", "text")
+    val r = TextAnalysis.redact(docs, col("text")).collect()
+      .map(x => x.getAs[Long]("id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_email") === 1L)
+    assert(r(1L).getAs[Long]("n_phone") === 1L)
+    assert(r(2L).getAs[Long]("n_ipv4") === 1L)
+    assert(r(2L).getAs[Long]("n_ssn") === 2L)
+    assert(r(3L).getAs[String]("redacted") === "clean text, nothing to scrub")
+    val red1 = r(1L).getAs[String]("redacted")
+    assert(red1.contains("<EMAIL>") && red1.contains("<PHONE>"))
+    assert(!red1.contains("example.co.uk") && !red1.contains("555"))
+    val red2 = r(2L).getAs[String]("redacted")
+    assert(red2.contains("<IP>") && red2.contains("<SSN>"))
+    assert(!red2.contains("123-45-6789") && !red2.contains("10.0.255.7"))
+  }
+
+  test("t10 audit: every row matched (synthetic props always carry a number)") {
+    val rows = run("t10_redaction_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") === r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_matches") >= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("p09: stages partition the corpus with ordered score ranges") {
+    val n = graft.Tables.documents(spark, sf).count()
+    val rows = run("p09_curriculum").collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.map(_.getAs[Int]("stage")).toSeq.forall((1 to 4).contains))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === n)
+    // stage score ranges must be disjoint and increasing
+    rows.zip(rows.tail).foreach { case (lo, hi) =>
+      assert(lo.getAs[Long]("max_score") < hi.getAs[Long]("min_score") ||
+        lo.getAs[Long]("max_score") <= hi.getAs[Long]("min_score"),
+        s"overlapping stage ranges: $lo vs $hi")
+    }
+    // quartile boundaries with ties-to-lower: no stage is empty unless the
+    // score distribution is that degenerate; stage 1 holds at least N/4
+    assert(rows.head.getAs[Long]("n_docs") >= n / 4)
+  }
+
+  test("s08: every vector gets min(3, block-1) neighbors from its own block") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val blockSizes = e.groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    val rows = run("s08_knn_graph").collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    // singleton blocks have no candidate pairs, so their vector is absent
+    assert(byVec.size.toLong === blockSizes.values.filter(_ >= 2).sum,
+      "every vector in a block of >=2 must appear as a query")
+    byVec.foreach { case (v, rs) =>
+      val lbl = rs.head.getAs[Int]("label")
+      val expected = math.min(3L, blockSizes(lbl) - 1)
+      assert(rs.length.toLong === expected, s"vec $v: ${rs.length} != $expected")
+      assert(rs.forall(_.getAs[Int]("label") === lbl))
+      assert(rs.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+      // neighbor list is ranked by descending cosine
+      val byRn = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos"))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
