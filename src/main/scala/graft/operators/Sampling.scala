@@ -399,6 +399,11 @@ object Sampling {
     *
     * The audit reports per-stage doc counts, token mass, score range, and
     * an id checksum, so the oracle pins the exact assignment.
+    *
+    * The corpus IS scanned twice (histogram pass + assignment pass) — the
+    * t08 trade: recomputing a row-local score on a second streaming scan
+    * beats shuffling or pinning the corpus to share one; the total row
+    * count comes from the histogram, not a third scan.
     */
   val curriculumStages: QueryDef = q(
     "p09_curriculum",
@@ -411,7 +416,7 @@ object Sampling {
       |  FROM documents),
       |h AS (SELECT score, count(*) AS c FROM sc GROUP BY score),
       |cum AS (SELECT score, sum(c) OVER (ORDER BY score) AS cum FROM h),
-      |n AS (SELECT count(*) AS n FROM sc),
+      |n AS (SELECT sum(c) AS n FROM h),
       |qs AS (SELECT min(CASE WHEN cum * 4 >= n THEN score END) AS q1,
       |              min(CASE WHEN cum * 2 >= n THEN score END) AS q2,
       |              min(CASE WHEN cum * 4 >= 3 * n THEN score END) AS q3
@@ -439,7 +444,8 @@ object Sampling {
     val cum = h.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("score"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = sc.agg(count(lit(1)).as("n"))
+    // corpus total from the HISTOGRAM, not a third corpus scan
+    val n = h.agg(sum(col("c")).as("n"))
     val qs = cum.crossJoin(broadcast(n)).agg(
       min(when(col("cum") * 4 >= col("n"), col("score"))).as("q1"),
       min(when(col("cum") * 2 >= col("n"), col("score"))).as("q2"),

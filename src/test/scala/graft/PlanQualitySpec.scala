@@ -252,6 +252,65 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
 
+  test("s08 kNN graph: block equi-join, pre-trimmed top-k, one reused scan") {
+    // ReusedExchange materializes in the AQE-final plan — execute first
+    val df = QueryCatalog.byName("s08_knn_graph").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pairs must come from the block equi-join, never all-pairs: " + p)
+    // the top-3 window must pre-trim partitions before the final sort
+    assert(p.contains("WindowGroupLimit"), p)
+    // block join: either the small side broadcasts (this scale) or both
+    // shuffled sides reuse the one quantized subtree (parallel-guard scale)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ReusedExchange"), p)
+    // quantization must sit BELOW the join — long_dot on the pair rows is
+    // the only per-pair work; a transform() above the join would recompute
+    // the 64-element quantization per candidate pair (plans print top-down,
+    // so lines BEFORE the first join node are post-join operators)
+    assert(!p.linesIterator.takeWhile(!_.contains("Join")).exists(_.contains("transform(embedding")),
+      "quantization transform() must not run above the join: " + p)
+  }
+
+  test("t09 heavy hitters: WindowGroupLimit top-k, totals broadcast not windowed") {
+    val p = plan("t09_heavy_hitters")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastExchange"),
+      "per-language totals must broadcast back: " + p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join on lang would shuffle the counts table for a " +
+        "K-row total relation: " + p)
+  }
+
+  test("t10 redaction is scan-fused: regex per row, one aggregate exchange") {
+    val p = plan("t10_redaction_audit")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("p09 curriculum never sorts the corpus; boundaries broadcast") {
+    val p = plan("p09_curriculum")
+    // the single-partition exchange is the HISTOGRAM's cumulative window —
+    // the corpus-side assignment must be a broadcast cross of 1-row stats
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // no global range sort of the corpus: rangepartitioning only for the
+    // 4-row output ORDER BY (on stage), never on score
+    assert(!"rangepartitioning\\(score".r.unanchored.matches(p),
+      "corpus must not range-sort on score: " + p)
+  }
+
+  test("q42 transitions: lag window then partial-aggregated counts") {
+    val p = plan("q42_event_transitions")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // one corpus shuffle for the window key + the two aggregate exchanges
+    assert(!p.contains("Join"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
