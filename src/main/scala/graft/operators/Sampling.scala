@@ -462,7 +462,54 @@ object Sampling {
       .orderBy("stage")
   }
 
+  /** Per-group deterministic cap: keep at most `cap` rows per value of
+    * `group`, selected by hash rank — a uniform without-replacement sample
+    * of each group, reproducible across runs and engines (the Common-Crawl
+    * "domain cap" move: no single domain may dominate the corpus).
+    *
+    * Scale shape: ranking partitions by the group key; the `rn <= cap`
+    * filter directly above the window engages WindowGroupLimit, so each
+    * task keeps a running top-`cap` per group instead of buffering a hot
+    * domain's full row set before trimming.
+    */
+  def groupCap(df: DataFrame, group: Column, key: Column, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+  }
+
+  /** p10: source-cap audit — every source capped at 10 docs; reports the
+    * kept count and id checksum next to the uncapped total, so the oracle
+    * pins the exact hash-ranked selection. Two tiny aggregates (kept side
+    * pre-trimmed by WindowGroupLimit) joined by broadcast.
+    */
+  val sourceCap: QueryDef = q(
+    "p10_source_cap",
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |           AS rn
+      |  FROM documents),
+      |k AS (SELECT source, count(*) AS n_kept,
+      |             CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+      |      FROM r WHERE rn <= 10 GROUP BY source),
+      |t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+      |SELECT source, n_total, n_kept, kept_id_sum
+      |FROM t JOIN k USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val kept = groupCap(docs.select(col("source"), col("doc_id")),
+        col("source"), col("doc_id"), 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    totals.join(broadcast(kept), "source")
+      .select("source", "n_total", "n_kept", "kept_id_sum")
+      .orderBy("source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
-      langRebalance, repeatUpsample, shardStats, curriculumStages)
+      langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap)
 }

@@ -719,7 +719,61 @@ object Similarity {
       .orderBy("vec_id", "rn")
   }
 
+  /** s09: embedding-diversity rebalance — p06's integer-exact budget rule
+    * applied to a LEARNED stratum: vectors are assigned to their seeded
+    * centroid (the s03/s06 map-only argmax), then each cluster is capped
+    * at a uniform share of an N/2 budget,
+    *   keep ⇔ bucket(vec_id) · K · n_cid < 256 · (N div 2),
+    * so over-dense regions of embedding space are downsampled and sparse
+    * ones kept whole — the diversity-sampling step run before training on
+    * near-duplicate-heavy corpora (cheap stand-in for cluster-balanced
+    * data selection à la DoReMi-style mixture tuning, on geometry instead
+    * of provenance).
+    *
+    * Scale shape: assignment is a scan-fused argmax over broadcast
+    * centroid literals (no shuffle); per-cluster counts and the corpus
+    * totals are two tiny broadcast aggregates; membership is a pure hash
+    * predicate — the corpus never shuffles before the final per-cluster
+    * audit aggregate. Every quantity is integer-exact, so both engines
+    * agree bit-for-bit.
+    */
+  val diversityRebalance: QueryDef = q(
+    "s09_diversity_rebalance",
+    s"""WITH $oracleNorms,
+       |$oracleAssign,
+       |n AS (SELECT cid, count(*) AS n_cid FROM assign GROUP BY cid),
+       |t AS (SELECT count(*) AS n_total, count(DISTINCT cid) AS k_cls
+       |      FROM assign),
+       |kept AS (
+       |  SELECT a.cid, a.vec_id, n.n_cid
+       |  FROM assign a JOIN n USING (cid) CROSS JOIN t
+       |  WHERE (16 * (strpos('0123456789abcdef',
+       |                      substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1)) - 1)
+       |         + (strpos('0123456789abcdef',
+       |                   substr(md5(CAST(a.vec_id AS VARCHAR)), 2, 1)) - 1))
+       |        * t.k_cls * n.n_cid < 256 * (t.n_total // 2))
+       |SELECT cid, min(n_cid) AS n_cid, count(*) AS n_kept,
+       |       min(vec_id) AS first_vec
+       |FROM kept GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
+    val assigned = seededAssign(e).select(col("vec_id"), col("cid"))
+    val perC = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_cid"))
+    val totals = assigned.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("cid")).as("k_cls"))
+    val bucket = expr(
+      "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+    assigned
+      .join(broadcast(perC), "cid")
+      .crossJoin(broadcast(totals))
+      .filter(bucket * col("k_cls") * col("n_cid") <
+        lit(256L) * expr("n_total div 2"))
+      .groupBy(col("cid"))
+      .agg(min(col("n_cid")).as("n_cid"), count(lit(1)).as("n_kept"),
+        min(col("vec_id")).as("first_vec"))
+      .orderBy("cid")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
-      annRecall, semDedup, quantError, knnGraph)
+      annRecall, semDedup, quantError, knnGraph, diversityRebalance)
 }

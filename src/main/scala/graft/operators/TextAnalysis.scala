@@ -506,7 +506,53 @@ object TextAnalysis {
       .orderBy("event_type")
   }
 
+  /** Per-doc blocklist hit profile: token hits (with multiplicity) against
+    * a term blocklist, plus an integer-exact rate flag
+    * `hits * 20 >= n_tokens` (≥5% of tokens blocklisted) — the wordlist
+    * content filter every curation pipeline runs before training. Row-local
+    * array arithmetic; no shuffle.
+    */
+  def blocklistProfile(df: DataFrame, terms: Seq[String]): DataFrame = {
+    val ws = split(col("text"), " ")
+    df.withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("n_hits",
+        expr(s"size(filter(split(text, ' '), x -> x IN (${inList(terms)})))")
+          .cast("long"))
+      .withColumn("flagged", col("n_hits") * 20 >= col("n_tokens"))
+  }
+
+  /** t11: blocklist filter audit — per language, how many docs the 5%-rate
+    * wordlist filter flags and the hit mass. The blocklist itself is a
+    * 3-term demo set drawn from the corpus vocabulary (a real pipeline
+    * plugs its own list into [[blocklistProfile]]); all arithmetic is
+    * integer counts and one exact rate comparison, so the oracle match is
+    * bit-for-bit. Scan-fused per-row work, one aggregate exchange.
+    */
+  val blocklistAudit: QueryDef = q(
+    "t11_blocklist_audit",
+    """WITH h AS (
+      |  SELECT lang,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '),
+      |             x -> x IN ('slow', 'error', 'merge'))) AS n_hits
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |       count(CASE WHEN n_hits * 20 >= n_tokens THEN 1 END) AS n_flagged,
+      |       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+      |       max(n_hits) AS max_hits
+      |FROM h
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    blocklistProfile(Tables.documents(s, d), Seq("slow", "error", "merge"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("flagged"), 1)).as("n_flagged"),
+        sum(col("n_hits")).as("total_hits"),
+        max(col("n_hits")).as("max_hits"))
+      .orderBy("lang")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
-      repetition, novelty, heavyHitters, redactionAudit)
+      repetition, novelty, heavyHitters, redactionAudit, blocklistAudit)
 }

@@ -311,6 +311,29 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
+  test("p10 source cap pre-trims with WindowGroupLimit; aggregates broadcast-join") {
+    val p = plan("p10_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      "the cap filter must pre-trim each task's per-group rows: " + p)
+    assert(!p.contains("SortMergeJoin"),
+      "two K-row aggregates must broadcast-join: " + p)
+  }
+
+  test("t11 blocklist audit is scan-fused: no join, one aggregate exchange") {
+    val p = plan("t11_blocklist_audit")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("s09 diversity rebalance: map-only assignment, stats broadcast") {
+    val p = plan("s09_diversity_rebalance")
+    assert(!p.contains("SortMergeJoin"),
+      "per-cluster counts and totals must broadcast; the corpus must not " +
+        "shuffle for the membership predicate: " + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

@@ -98,6 +98,55 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[Long]("n_docs") >= n / 4)
   }
 
+  test("p10: every source keeps min(cap, total), selection reproducible") {
+    val docs = graft.Tables.documents(spark, sf)
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("p10_source_cap").collect()
+    assert(rows.length === totals.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_total") === totals(src))
+      assert(r.getAs[Long]("n_kept") === math.min(10L, totals(src)))
+    }
+    // hash-rank selection is a pure function of the ids: a rerun agrees
+    val again = run("p10_source_cap").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("kept_id_sum")).toMap
+    rows.foreach { r =>
+      assert(again(r.getAs[String]("source")) === r.getAs[Long]("kept_id_sum"))
+    }
+  }
+
+  test("t11 blocklistProfile: exact hits, multiplicity counted, 5% rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "slow slow error fast data line part key row value value value " +
+        "table scan merge sort group join the a big small batch window " +
+        "stream filter hash order query"),  // 4 hits / 29 tokens >= 5%
+      (2L, "fast data line part key row value table scan sort group join " +
+        "the a big small batch window stream filter")) // 0 hits / 20
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistProfile(docs, Seq("slow", "error", "merge"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_hits") === 4L) // slow twice + error + merge
+    assert(r(1L).getAs[Long]("n_tokens") === 29L)
+    assert(r(1L).getAs[Boolean]("flagged"))
+    assert(r(2L).getAs[Long]("n_hits") === 0L)
+    assert(!r(2L).getAs[Boolean]("flagged"))
+  }
+
+  test("s09: cluster budgets respected, totals cover the corpus") {
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    val rows = run("s09_diversity_rebalance").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_cid")).sum === nVecs,
+      "per-cluster pools must cover every vector")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_cid"))
+      assert(r.getAs[Long]("n_kept") >= 1L)
+    }
+  }
+
   test("s08: every vector gets min(3, block-1) neighbors from its own block") {
     val e = graft.Tables.embeddings(spark, sf)
     val blockSizes = e.groupBy("label").count().collect()
