@@ -143,5 +143,123 @@ object Paragraphs {
         .orderBy("doc_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(paragraphProfile)
+  /** Span window width (tokens) and winnowing window (hashes) for the
+    * substring-level profile. Guarantee threshold: shared runs of
+    * ≥ SpanWords + WinnowS − 1 = 23 tokens are always detected.
+    */
+  val SpanWords = 16
+  val WinnowS = 8
+
+  /** WINNOWED span fingerprints — the substring-level granularity of Lee
+    * et al. 2022, made alignment-robust the standard public way
+    * (Schleimer, Wilkerson & Aiken, SIGMOD 2003 "Winnowing: Local
+    * Algorithms for Document Fingerprinting"):
+    *
+    *   1. every [[SpanWords]]-token window at stride 1 is hashed (md5);
+    *   2. over each run of [[WinnowS]] consecutive window hashes, the
+    *      minimum hash is SELECTED (first position on ties);
+    *   3. a document's fingerprints are the selected hashes.
+    *
+    * Fixed-stride windows on both sides miss duplicates whose offsets
+    * differ by a non-multiple of the stride; winnowing's selection is a
+    * pure function of local CONTENT, so two copies of a run of
+    * ≥ SpanWords + WinnowS − 1 tokens contain a full hash window inside
+    * the run on both sides and select the SAME minimum — the Schleimer
+    * guarantee, alignment-free. Expected density ≈ 2/(WinnowS+1) of all
+    * windows, so fingerprint volume is ~linear in token count scaled down
+    * 4-5×.
+    *
+    * Everything here is ROW-LOCAL array arithmetic (windows, hashes,
+    * argmin selection all inside one projection, fused into the scan);
+    * cross-engine determinism comes from md5 (identical hex in both
+    * engines) and lexicographic min over fixed-width hex strings. Docs
+    * shorter than [[SpanWords]] contribute one whole-doc fingerprint.
+    * One row out per SELECTED fingerprint occurrence.
+    */
+  def spanFingerprints(docs: DataFrame, width: Int = SpanWords,
+      winnow: Int = WinnowS): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        s"""transform(
+           |  if(size(ws) >= $width,
+           |     transform(sequence(1, size(ws) - ${width - 1}),
+           |       i -> concat_ws(' ', slice(ws, i, $width))),
+           |     array(concat_ws(' ', ws))),
+           |  w -> md5(w))""".stripMargin).as("hs"))
+      .select(col("doc_id"), col("hs"), expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(hs) - ${winnow - 1}, 1)),
+           |  j -> j - 1 + array_position(slice(hs, j, $winnow),
+           |                              array_min(slice(hs, j, $winnow)))))"""
+          .stripMargin).as("sel"))
+      .select(col("doc_id"),
+        explode(expr("transform(sel, i -> element_at(hs, cast(i as int)))"))
+          .as("fp"))
+
+  /** Per-doc duplicate-span profile: winnowed fingerprints whose hash
+    * occurs ≥ 2 times corpus-wide (cross-doc boilerplate runs AND
+    * intra-doc repetition). Same bounded shape as d12: count aggregate
+    * keyed on the fingerprint (O(1) state, no lists), occurrences
+    * re-join the count.
+    */
+  def spanProfile(docs: DataFrame, width: Int = SpanWords,
+      winnow: Int = WinnowS): DataFrame = {
+    val occ = spanFingerprints(docs.select(col("doc_id"), col("text")),
+      width, winnow)
+    val cnt = occ.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+    occ.join(cnt, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        count(when(col("n_occ") >= 2, 1)).as("n_dup_fp"))
+      .select(col("doc_id"), col("n_fp"), col("n_dup_fp"),
+        (col("n_dup_fp") * lit(1.0) / col("n_fp")).as("dup_fraction"))
+  }
+
+  /** Gate form: drop documents whose duplicated-fingerprint fraction
+    * exceeds `maxDupFraction` — the curation filter that removes
+    * template/mirror pages wholesale where per-span excision would shred
+    * the text.
+    */
+  def dropSpanDuplicates(docs: DataFrame, maxDupFraction: Double,
+      width: Int = SpanWords, winnow: Int = WinnowS): DataFrame = {
+    val keep = spanProfile(docs, width, winnow)
+      .filter(col("dup_fraction") <= maxDupFraction)
+      .select(col("doc_id"))
+    docs.join(keep, "doc_id")
+  }
+
+  /** d13: substring-level duplication profile over winnowed
+    * [[SpanWords]]-token window fingerprints ([[WinnowS]]-hash selection
+    * windows). The oracle mirrors the full winnowing computation.
+    */
+  val spanDedup: QueryDef = QueryDef(
+    "d13_span_dedup",
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |hx AS (SELECT doc_id,
+       |         list_transform(
+       |           CASE WHEN len(ws) >= $SpanWords
+       |                THEN list_transform(range(1, len(ws) - ${SpanWords - 1} + 1),
+       |                       i -> array_to_string(ws[CAST(i AS INT):CAST(i + ${SpanWords - 1} AS INT)], ' '))
+       |                ELSE [array_to_string(ws, ' ')] END,
+       |           x -> md5(x)) AS hs
+       |       FROM w),
+       |se AS (SELECT doc_id, hs,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(hs) - ${WinnowS - 1}, 1) + 1),
+       |           j -> j - 1 + list_position(hs[CAST(j AS INT):CAST(j + ${WinnowS - 1} AS INT)],
+       |                  list_aggregate(hs[CAST(j AS INT):CAST(j + ${WinnowS - 1} AS INT)], 'min')))) AS sel
+       |       FROM hx),
+       |fp AS (SELECT doc_id, unnest(list_transform(sel, i -> hs[CAST(i AS INT)])) AS fp
+       |       FROM se),
+       |c AS (SELECT fp, count(*) AS n_occ FROM fp GROUP BY fp)
+       |SELECT doc_id, count(*) AS n_fp,
+       |       count(CASE WHEN n_occ >= 2 THEN 1 END) AS n_dup_fp,
+       |       count(CASE WHEN n_occ >= 2 THEN 1 END) * 1.0 / count(*) AS dup_fraction
+       |FROM fp JOIN c USING (fp)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin),
+    (s, d) => spanProfile(Tables.documents(s, d).select("doc_id", "text"))
+      .orderBy("doc_id"))
+
+  def defs: Seq[QueryDef] = Seq(paragraphProfile, spanDedup)
 }

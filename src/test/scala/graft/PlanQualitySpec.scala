@@ -334,6 +334,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d13 winnowed spans: selection is scan-fused, counts stay hash-aggregated") {
+    val p = plan("d13_span_dedup")
+    // windows, hashes, and the argmin selection are all row-local array
+    // lambdas inside one projection; the corpus-wide count is a plain
+    // aggregate on the fingerprint — never a list, never sort-based
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

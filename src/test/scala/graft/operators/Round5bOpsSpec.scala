@@ -147,6 +147,32 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d13 winnowed spans: a shifted shared run is caught; clean docs stay clean") {
+    import spark.implicits._
+    // a 24-token boilerplate run shared by docs 1 and 2 at DIFFERENT
+    // offsets (1 vs 5 tokens in, deliberately NOT congruent mod the
+    // winnow window) — paragraph-aligned and fixed-stride dedup both miss
+    // this; the Schleimer winnowing guarantee (runs >= 16+8-1 = 23 tokens
+    // always share a selected fingerprint) must not
+    val boiler = (1 to 24).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 $boiler tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8"),
+      (2L, s"y1 y2 y3 y4 y5 $boiler z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),
+      (3L, (1 to 40).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val prof = Paragraphs.spanProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(prof(1L).getAs[Long]("n_dup_fp") > 0, prof(1L).toString)
+    assert(prof(2L).getAs[Long]("n_dup_fp") > 0, prof(2L).toString)
+    assert(prof(3L).getAs[Long]("n_dup_fp") === 0L, prof(3L).toString)
+    // the gate drops only the duplicated carriers at a strict threshold
+    val kept = Paragraphs.dropSpanDuplicates(docs, 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+    // winnowing density: selected fingerprints ~= 2/(S+1) of the ~40
+    // windows per doc, never the full window set
+    assert(prof(3L).getAs[Long]("n_fp") < 25L, prof(3L).toString)
+  }
+
   test("s08: every vector gets min(3, block-1) neighbors from its own block") {
     val e = graft.Tables.embeddings(spark, sf)
     val blockSizes = e.groupBy("label").count().collect()
