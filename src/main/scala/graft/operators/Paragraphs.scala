@@ -258,7 +258,10 @@ object Paragraphs {
        |FROM fp JOIN c USING (fp)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin),
-    (s, d) => spanProfile(Tables.documents(s, d).select("doc_id", "text"))
+    (s, d) => spanProfile(
+      // scan-level parallel guard: ~n md5 evaluations per doc make this
+      // the hash-densest per-row pipeline in the suite
+      Tables.parallel(Tables.documents(s, d).select("doc_id", "text")))
       .orderBy("doc_id"))
 
   def defs: Seq[QueryDef] = Seq(paragraphProfile, spanDedup)
