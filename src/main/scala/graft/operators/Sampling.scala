@@ -509,7 +509,78 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Data-selection importance weights in the DSIR family (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance Resampling"
+    * — public knowledge): score every corpus document by how much its
+    * hashed-n-gram feature mass looks like a TARGET domain versus the raw
+    * corpus. DSIR's score is Σ_f log(p_target(f)/p_raw(f)); logs are not
+    * correctly-rounded across libm implementations (the t05 rule), so the
+    * engine uses the rational surrogate
+    *   affinity_micro = Σ_f target_count(f) · 1e6  div  Σ_f raw_count(f)
+    * over the document's bigram occurrences — monotone in target mass
+    * against raw mass, integer-exact, hence bit-identical across engines.
+    * Downstream, importance RESAMPLING is the existing hash machinery
+    * (rank or threshold on the score: [[hashSample]]/[[groupCap]]/p09).
+    *
+    * Scale shape: one bigram explode feeds BOTH count aggregates (target
+    * side is a filtered re-aggregate, O(1) state per key); the target
+    * profile — a small high-quality domain by construction — broadcasts;
+    * the raw-count join is t06's df-join shape (hub bigrams are inherent
+    * and AQE-skew-handled). Per-doc aggregate carries two counters.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        org.apache.spark.sql.functions.split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("is_target"), explode(expr(
+        """if(size(ws) < 2, array(),
+          |   transform(sequence(1, size(ws)-1),
+          |     i -> concat(ws[i-1], ' ', ws[i])))""".stripMargin)).as("b"))
+    val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("r_cnt"))
+    val tgt = bg.filter(col("is_target"))
+      .groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))
+    bg.join(raw, "b")
+      .join(broadcast(tgt), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("t_cnt"), lit(0L))).as("target_mass"),
+        sum(col("r_cnt")).as("raw_mass"))
+      .select(col("doc_id"), col("n_bigrams"), col("target_mass"),
+        col("raw_mass"),
+        expr("CAST(target_mass * 1000000 div raw_mass AS BIGINT)")
+          .as("affinity_micro"))
+  }
+
+  /** p11: importance-weight profile with `source = 'src0'` as the target
+    * domain — every doc scored, ordered output pins the exact weights.
+    */
+  val importanceAudit: QueryDef = q(
+    "p11_importance_weights",
+    """WITH w AS (SELECT doc_id, source = 'src0' AS is_target,
+      |             string_split(text, ' ') AS ws
+      |           FROM documents),
+      |bg AS (SELECT doc_id, is_target,
+      |         unnest(list_transform(range(1, greatest(len(ws)-1, 0)+1),
+      |           i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1])) AS b
+      |       FROM w),
+      |raw AS (SELECT b, count(*) AS r_cnt FROM bg GROUP BY b),
+      |tgt AS (SELECT b, count(*) AS t_cnt FROM bg WHERE is_target GROUP BY b)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(coalesce(t_cnt, 0)) AS BIGINT) AS target_mass,
+      |       CAST(sum(r_cnt) AS BIGINT) AS raw_mass,
+      |       CAST(sum(coalesce(t_cnt, 0)) * 1000000
+      |            // CAST(sum(r_cnt) AS BIGINT) AS BIGINT) AS affinity_micro
+      |FROM bg JOIN raw USING (b) LEFT JOIN tgt USING (b)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    importanceWeights(
+      Tables.documents(s, d).select("doc_id", "source", "text"),
+      col("source") === "src0")
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
-      langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap)
+      langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
+      importanceAudit)
 }

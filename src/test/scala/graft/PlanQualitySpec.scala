@@ -346,6 +346,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("p11 importance: target profile broadcasts, counts stay hash-aggregated") {
+    val p = plan("p11_importance_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the target-domain profile must broadcast: " + p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

@@ -173,6 +173,56 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prof(3L).getAs[Long]("n_fp") < 25L, prof(3L).toString)
   }
 
+  test("d13 winnowing guarantee: random >=23-token shared runs at random offsets") {
+    import spark.implicits._
+    // Schleimer guarantee: any shared run of >= W+S-1 tokens is detected
+    // whatever the alignment. Deterministic pseudo-random trials: distinct
+    // vocabularies per doc pair, run lengths 23..40, offsets 0..12
+    val rng = new scala.util.Random(20260813L)
+    val cases = (0 until 12).map { t =>
+      val runLen = 23 + rng.nextInt(18)
+      val off1 = rng.nextInt(13); val off2 = rng.nextInt(13)
+      val run = (1 to runLen).map(i => s"r${t}_$i").mkString(" ")
+      val pre1 = (1 to off1).map(i => s"a${t}_$i").mkString(" ")
+      val pre2 = (1 to off2).map(i => s"b${t}_$i").mkString(" ")
+      val post1 = (1 to 6).map(i => s"c${t}_$i").mkString(" ")
+      val post2 = (1 to 9).map(i => s"d${t}_$i").mkString(" ")
+      Seq((t * 2L, s"$pre1 $run $post1".trim),
+          (t * 2L + 1, s"$pre2 $run $post2".trim))
+    }
+    val docs = cases.flatten.toDF("doc_id", "text")
+    val prof = Paragraphs.spanProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_fp")).toMap
+    cases.flatten.foreach { case (id, text) =>
+      assert(prof(id) > 0,
+        s"doc $id missed its shared run (guarantee violated): $text")
+    }
+  }
+
+  test("p11: affinity bounded, target docs self-covered and higher-scoring") {
+    val docs = graft.Tables.documents(spark, sf)
+    val targets = docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = run("p11_importance_weights").collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      val a = r.getAs[Long]("affinity_micro")
+      assert(a >= 0 && a <= 1000000, r.toString)
+      assert(r.getAs[Long]("raw_mass") >= r.getAs[Long]("n_bigrams"), r.toString)
+    }
+    val (t, o) = rows.partition(r => targets(r.getAs[Long]("doc_id")))
+    // a target doc's own occurrences are in the target profile
+    t.foreach { r =>
+      assert(r.getAs[Long]("target_mass") >= r.getAs[Long]("n_bigrams"), r.toString)
+    }
+    if (t.nonEmpty && o.nonEmpty) {
+      def mean(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getAs[Long]("affinity_micro")).sum.toDouble / rs.length
+      assert(mean(t) > mean(o),
+        s"target-domain docs must score higher on average: ${mean(t)} vs ${mean(o)}")
+    }
+  }
+
   test("s08: every vector gets min(3, block-1) neighbors from its own block") {
     val e = graft.Tables.embeddings(spark, sf)
     val blockSizes = e.groupBy("label").count().collect()
