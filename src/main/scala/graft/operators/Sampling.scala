@@ -527,6 +527,10 @@ object Sampling {
     * profile — a small high-quality domain by construction — broadcasts;
     * the raw-count join is t06's df-join shape (hub bigrams are inherent
     * and AQE-skew-handled). Per-doc aggregate carries two counters.
+    *
+    * Docs with no features (< 2 tokens) contribute no bigram rows and are
+    * ABSENT from the profile — callers resampling on the score must
+    * left-join the corpus if featureless docs should be kept by default.
     */
   def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
     val bg = docs

@@ -223,6 +223,26 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p11 edge: featureless docs are absent; weights are pure functions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tgt", "alpha beta gamma alpha beta"),
+      (2L, "raw", "alpha beta delta"),
+      (3L, "raw", "solo")).toDF("doc_id", "source", "text")
+    val w = Sampling.importanceWeights(docs, col("source") === "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!w.contains(3L), "a 1-token doc has no bigrams and no row")
+    // doc1 bigrams: (alpha beta)x2, (beta gamma), (gamma alpha) — all its
+    // own, so target_mass covers them plus doc2's shared (alpha beta)
+    assert(w(1L).getAs[Long]("n_bigrams") === 4L)
+    assert(w(1L).getAs[Long]("target_mass") === 2L + 2L + 1L + 1L)
+    // doc2: (alpha beta) hits the target profile twice; (beta delta) zero
+    assert(w(2L).getAs[Long]("n_bigrams") === 2L)
+    assert(w(2L).getAs[Long]("target_mass") === 2L)
+    assert(w(1L).getAs[Long]("affinity_micro") >
+      w(2L).getAs[Long]("affinity_micro"))
+  }
+
   test("s08: every vector gets min(3, block-1) neighbors from its own block") {
     val e = graft.Tables.embeddings(spark, sf)
     val blockSizes = e.groupBy("label").count().collect()
