@@ -124,6 +124,58 @@ object EventStream {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** One emitted behavioral transition (the streaming form of the batch
+    * q42 matrix cell contribution).
+    */
+  final case class Transition(
+      user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming event-transition extraction — q42's incremental twin: per
+    * user, every consecutive (prev, next) event-type pair is emitted as it
+    * becomes known; downstream a grouped count maintains the live Markov
+    * matrix. State per user is ONE row (last event's ts/id/type); events
+    * inside a micro-batch are sorted by (ts, event_id) — the same order
+    * the batch window uses — and cross-batch continuity comes from the
+    * carried last event. Same event-time TTL eviction as [[sessionize]]:
+    * after a user is idle past the watermark + TTL their state drops (the
+    * transition spanning that idle gap is the one emission sacrificed for
+    * bounded state — at 100 TB, unbounded user registries are the failure
+    * mode, not a missing stale-gap edge).
+    */
+  def transitions(events: Dataset[Ev]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    val ttlMs = StateTtlMs
+
+    def update(
+        userId: Long, batch: Iterator[EvT],
+        state: GroupState[(Long, Long, String)]): Iterator[Transition] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var (lastTs, lastId, lastType) =
+          state.getOption.getOrElse((Long.MinValue, 0L, null: String))
+        val out = Seq.newBuilder[Transition]
+        batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          if (lastType != null) out += Transition(userId, lastType, e.event_type)
+          lastTs = e.ts; lastId = e.event_id; lastType = e.event_type
+        }
+        state.update((lastTs, lastId, lastType))
+        state.setTimeoutTimestamp(
+          math.max(lastTs / 1000000L + ttlMs, state.getCurrentWatermarkMs() + 1))
+        out.result().iterator
+      }
+    }
+
+    events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("et", "2 hours")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming exact dedup: drops events whose `event_id` was already seen,
     * with state BOUNDED by the watermark — the streaming form of the batch
     * `d01` exact dedup. `dropDuplicatesWithinWatermark` keeps a key's state

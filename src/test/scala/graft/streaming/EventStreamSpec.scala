@@ -80,6 +80,59 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming transitions equal the batch q42 matrix across two batches") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev].collect().toSeq
+    // split by TIME (not arbitrarily): the operator's contract is ordered
+    // per-user arrival across micro-batches; the carried last-event state
+    // must stitch the cross-batch transitions
+    val cut = evs.map(_.ts).sorted.apply(evs.length / 2)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    input.addData(evs.filter(_.ts < cut))
+    val q = EventStream.transitions(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("transitions").start()
+    q.processAllAvailable()
+    input.addData(evs.filter(_.ts >= cut))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("transitions")
+      .groupBy("prev_type", "next_type").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.QueryCatalog.byName("q42_event_transitions")
+      .run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+        r.getAs[Long]("n_transitions")).toMap
+
+    // The ONE documented divergence: at the batch-2 boundary the engine
+    // evicts users whose last event is older than watermark₁ − TTL
+    // (watermark₁ = max batch-1 event time − 2 h; TTL = 2 h), losing
+    // exactly the cross-cut edge of those users. Compute that set and
+    // assert the streamed matrix equals batch MINUS precisely those edges.
+    val maxTs1 = evs.filter(_.ts < cut).map(_.ts).max
+    val evictNs = maxTs1 - (2L * 3600 + EventStream.StateTtlMs / 1000) *
+      1000000000L
+    val byUser = evs.groupBy(_.user_id)
+    val lost = byUser.values.flatMap { us =>
+      val (pre, post) = us.sortBy(e => (e.ts, e.event_id)).partition(_.ts < cut)
+      if (pre.nonEmpty && post.nonEmpty && pre.last.ts < evictNs)
+        Some((pre.last.event_type, post.head.event_type))
+      else None
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = batch.map { case (k, n) =>
+      k -> (n - lost.getOrElse(k, 0L))
+    }.filter(_._2 > 0)
+    assert(lost.values.sum > 0,
+      "fixture must exercise at least one eviction or the test is vacuous")
+    assert(streamed == expected)
+  }
+
   test("stream-static enrichment equals the batch join") {
     val dim = graft.Tables.customer(spark, sfDir)
       .select("c_custkey", "c_mktsegment")
