@@ -293,7 +293,57 @@ object EventOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** q43: recursive day spine + activity audit — a RECURSIVE CTE (Spark
+    * 4.1's `WITH RECURSIVE` surface) generates every calendar day between
+    * the corpus's first and last event, then a left join reports each
+    * day's event count and gap flag. The spine is how real reporting
+    * handles zero-activity periods, which plain GROUP BY silently skips.
+    *
+    * Scale shape: the recursion runs on the DAY RANGE (bounds from one
+    * tiny min/max aggregate), never on event rows — depth = days spanned,
+    * rows = one per day; the per-day counts are an ordinary partial
+    * aggregate; the spine⋈counts join is a broadcast of the day table.
+    */
+  val activitySpine: QueryDef = q(
+    "q43_activity_spine",
+    """WITH RECURSIVE
+      |bounds AS (SELECT min(epoch_ns(ts) // 86400000000000) AS d0,
+      |                  max(epoch_ns(ts) // 86400000000000) AS d1
+      |           FROM events),
+      |spine(day) AS (
+      |  SELECT d0 FROM bounds
+      |  UNION ALL
+      |  SELECT day + 1 FROM spine, bounds WHERE day < d1),
+      |act AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |               count(*) AS n_events
+      |        FROM events GROUP BY 1)
+      |SELECT s.day, CAST(coalesce(act.n_events, 0) AS BIGINT) AS n_events,
+      |       coalesce(act.n_events, 0) = 0 AS is_gap
+      |FROM spine s LEFT JOIN act ON act.day = s.day
+      |ORDER BY s.day""".stripMargin) { (s, d) =>
+    daySpine(Tables.events(s, d))
+  }
+
+  /** The q43 computation over any frame with a raw-ns `ts` column. */
+  def daySpine(events: DataFrame): DataFrame = {
+    events.createOrReplaceTempView("events_rec")
+    events.sparkSession.sql("""WITH RECURSIVE
+      |bounds AS (SELECT min(ts div 86400000000000) AS d0,
+      |                  max(ts div 86400000000000) AS d1
+      |           FROM events_rec),
+      |spine(day) AS (
+      |  SELECT d0 FROM bounds
+      |  UNION ALL
+      |  SELECT day + 1 FROM spine, bounds WHERE day < d1),
+      |act AS (SELECT ts div 86400000000000 AS day, count(*) AS n_events
+      |        FROM events_rec GROUP BY 1)
+      |SELECT s.day, CAST(coalesce(act.n_events, 0) AS BIGINT) AS n_events,
+      |       coalesce(act.n_events, 0) = 0 AS is_gap
+      |FROM spine s LEFT JOIN act ON act.day = s.day
+      |ORDER BY s.day""".stripMargin)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     windowRunning, hourlyRollup, sessionize, asofJoin, timeRangeJoin,
-    jsonExtract, funnel, cohortRetention, eventTransitions)
+    jsonExtract, funnel, cohortRetention, eventTransitions, activitySpine)
 }

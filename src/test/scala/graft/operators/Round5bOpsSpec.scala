@@ -243,6 +243,23 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       w(2L).getAs[Long]("affinity_micro"))
   }
 
+  test("q43: the recursive spine surfaces zero-activity days GROUP BY skips") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // events on days 100 and 102 — day 101 has NO rows, so a plain
+    // GROUP BY emits two rows; the recursive spine must emit three
+    val ev = Seq(100L * dayNs + 5, 100L * dayNs + 9, 102L * dayNs + 1)
+      .toDF("ts")
+    val rows = EventOps.daySpine(ev).collect()
+    assert(rows.map(_.getAs[Long]("day")).toSeq === Seq(100L, 101L, 102L))
+    assert(rows.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 0L, 1L))
+    assert(rows.map(_.getAs[Boolean]("is_gap")).toSeq === Seq(false, true, false))
+    // the registered corpus has full coverage: every spine day is active
+    val corpus = run("q43_activity_spine").collect()
+    assert(corpus.length === 30)
+    assert(corpus.forall(!_.getAs[Boolean]("is_gap")))
+  }
+
   test("s08: every vector gets min(3, block-1) neighbors from its own block") {
     val e = graft.Tables.embeddings(spark, sf)
     val blockSizes = e.groupBy("label").count().collect()
