@@ -299,10 +299,18 @@ object EventOps {
     * day's event count and gap flag. The spine is how real reporting
     * handles zero-activity periods, which plain GROUP BY silently skips.
     *
-    * Scale shape: the recursion runs on the DAY RANGE (bounds from one
-    * tiny min/max aggregate), never on event rows — depth = days spanned,
-    * rows = one per day; the per-day counts are an ordinary partial
-    * aggregate; the spine⋈counts join is a broadcast of the day table.
+    * Scale shape: the day bounds come from ONE min/max aggregate whose
+    * 2-long result is collected on the driver (same bounded-driver-action
+    * class as the CC edge threshold) and spliced into the recursive SQL as
+    * literals — so each recursion step is O(1) arithmetic on the previous
+    * spine row, and the events table is scanned exactly once (for the
+    * per-day counts). Anchoring the recursion on the `bounds` RELATION
+    * instead would make Spark re-evaluate that full-table aggregate every
+    * iteration (depth = days spanned → thousands of scans over years of
+    * history); the literal splice is what keeps the loop invariant out of
+    * the loop. PlanQualitySpec pins the single-scan property structurally.
+    * The DuckDB oracle keeps the self-contained `bounds` CTE — it states
+    * the same semantics and DuckDB materializes non-recursive CTEs once.
     */
   val activitySpine: QueryDef = q(
     "q43_activity_spine",
@@ -324,17 +332,46 @@ object EventOps {
     daySpine(Tables.events(s, d))
   }
 
-  /** The q43 computation over any frame with a raw-ns `ts` column. */
+  /** The q43 computation over any frame with a raw-ns `ts` column.
+    *
+    * The day bounds are hoisted OUT of the recursion: one min/max aggregate,
+    * its 2-long result collected and inlined as literals, so the recursive
+    * step never touches the events table (see [[activitySpine]] scaladoc).
+    */
   def daySpine(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    // Bounded driver action: exactly one row of two longs — the recursion
+    // anchor, not data.
+    val b = events
+      .agg(min(expr("ts div 86400000000000")).as("d0"),
+        max(expr("ts div 86400000000000")).as("d1"))
+      .collect()(0)
+    if (b.isNullAt(0)) {
+      // no events → empty spine with the contract schema
+      return spark.sql(
+        """SELECT CAST(NULL AS BIGINT) AS day,
+          |       CAST(NULL AS BIGINT) AS n_events,
+          |       CAST(NULL AS BOOLEAN) AS is_gap
+          |WHERE FALSE""".stripMargin)
+    }
+    val (d0, d1) = (b.getLong(0), b.getLong(1))
+    val n = d1 - d0 + 1
     events.createOrReplaceTempView("events_rec")
-    events.sparkSession.sql("""WITH RECURSIVE
-      |bounds AS (SELECT min(ts div 86400000000000) AS d0,
-      |                  max(ts div 86400000000000) AS d1
-      |           FROM events_rec),
-      |spine(day) AS (
-      |  SELECT d0 FROM bounds
+    // Doubling recursion: generation k covers [d0, d0 + 2^k) by exploding
+    // each previous-generation day into (day, day + span). Depth is
+    // ceil(log2 n) — a decade-long spine is 12 iterations, not 3650 — and
+    // each Spark recursion iteration is a whole job, so log-depth is what
+    // keeps the fixed per-iteration cost from dominating. Only the last
+    // generation (span >= n) survives the outer filter; earlier partial
+    // generations are discarded, so no duplicate days.
+    spark.sql(s"""WITH RECURSIVE
+      |spine0(day, span) AS (
+      |  SELECT CAST($d0 AS BIGINT) AS day, CAST(1 AS BIGINT) AS span
       |  UNION ALL
-      |  SELECT day + 1 FROM spine, bounds WHERE day < d1),
+      |  SELECT day + off, span * 2
+      |  FROM spine0 LATERAL VIEW explode(array(CAST(0 AS BIGINT), span)) AS off
+      |  WHERE span < $n),
+      |spine AS (SELECT day FROM spine0 WHERE span >= $n AND day <= $d1),
       |act AS (SELECT ts div 86400000000000 AS day, count(*) AS n_events
       |        FROM events_rec GROUP BY 1)
       |SELECT s.day, CAST(coalesce(act.n_events, 0) AS BIGINT) AS n_events,

@@ -355,6 +355,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q43 recursive spine scans the events table exactly once") {
+    // The recursion anchor is a pair of inlined literals (bounds collected
+    // once on the driver) — the recursive step must be pure spine
+    // arithmetic, never a re-scan of the events relation. Before the fix,
+    // the bounds aggregate sat INSIDE the recursion and Spark re-evaluated
+    // the full-table scan on every iteration (depth = days spanned).
+    val p = plan("q43_activity_spine")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"expected exactly one events scan (the per-day counts), got $scans: " + p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
