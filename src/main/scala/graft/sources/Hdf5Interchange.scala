@@ -30,9 +30,10 @@ class Hdf5Interchange extends TableProvider with DataSourceRegister {
   private def unavailable: Nothing = throw new UnsupportedOperationException(
     "HDF5 read support is not available in this build: no JVM HDF5 " +
       "library is present (offline environment). Convert the heparchy " +
-      "file to a graft-hep parquet store with the interchange contract " +
-      "in docs/hdf5-interchange.md, then open it with graft.hep.HepReader " +
-      "or the 'hep' catalog (graft.sources.HepCatalog).")
+      "file with tools/hdf5_to_parquet.py (the executable form of the " +
+      "interchange contract in docs/hdf5-interchange.md; needs h5py + " +
+      "pyarrow), then open the store with graft.hep.HepReader or the " +
+      "'hep' catalog (graft.sources.HepCatalog).")
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     unavailable
