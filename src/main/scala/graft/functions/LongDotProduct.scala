@@ -75,6 +75,23 @@ object GraftFunctions {
         "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     if (missing("vec_sum"))
       spark.udf.register("vec_sum", VecAgg.vecSum)
+    // Spark ships Bloom-filter expressions for its runtime-filter rewrite
+    // but does not expose them in the function registry; graft's
+    // incremental-ingest screen (Dedup.IndexScreen) uses them as a
+    // broadcastable pre-filter, so surface the same pair to SQL/expr().
+    if (missing("bloom_filter_agg"))
+      registry.createOrReplaceTempFunction(
+        "bloom_filter_agg",
+        exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0)
+          .toAggregateExpression(),
+        "built-in")
+    if (missing("might_contain"))
+      registry.createOrReplaceTempFunction(
+        "might_contain",
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+        "built-in")
   }
 }
 

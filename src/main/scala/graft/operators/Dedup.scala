@@ -205,15 +205,7 @@ object Dedup {
       doc: DataFrame, numSigs: Int, numBands: Int): DataFrame = {
     require(numSigs > 0 && numBands > 0 && numSigs % numBands == 0,
       s"numBands ($numBands) must divide numSigs ($numSigs)")
-    val rows = numSigs / numBands
-    val sig = minhashSigsTuned(doc, numSigs)
-    val bandArr = array((0 until numBands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
-          .as("band_val"))
-    }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandArr).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    val bands = bandKeys(doc, numSigs, numBands)
     val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi"),
       col("band_val").as("bv"))
@@ -225,6 +217,23 @@ object Dedup {
       .join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
         col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** (doc_id, band_idx, band_val) LSH band keys — the shared kernel of
+    * [[lshCandidatesTuned]]'s equi-join and the [[IndexScreen]] band
+    * bloom. Per-row signature computation, zero shuffle.
+    */
+  private[operators] def bandKeys(
+      doc: DataFrame, numSigs: Int, numBands: Int): DataFrame = {
+    val rows = numSigs / numBands
+    val sig = minhashSigsTuned(doc, numSigs)
+    val bandArr = array((0 until numBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+          .as("band_val"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bandArr).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
   }
 
   /** Distinct word-trigram shingles per doc: (doc_id, s). Per-doc
@@ -334,6 +343,154 @@ object Dedup {
       .join(collapsed.filter(col("is_new")).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Broadcastable Bloom screen of an accepted index, for the
+    * screened [[deduplicateAgainst]] overload: `textBloom` holds
+    * xxhash64(text) of every index document (the exact path), `bandBloom`
+    * holds xxhash64(band_idx, band_val) of every index LSH band key (the
+    * near-dup candidate path). Bloom filters have NO false negatives, so
+    * both screens are recall-preserving by construction; false positives
+    * only admit extra work, never a wrong answer.
+    *
+    * Build ONCE per index generation ([[buildIndexScreen]] — two aggregate
+    * scans), then reuse across every micro-batch: this is what removes the
+    * per-batch full-index shuffle from incremental ingest. `fpp` is the
+    * sizing knob: the filters carry ~1.44·log2(1/fpp) bits per item, so
+    * fpp=0.01 ≈ 9.6 bits/doc — a 1e9-document index screens from ~1.2 GB
+    * of broadcast state, and a LOWER fpp buys fewer spurious index probes
+    * at linearly more bits. Null blooms encode an EMPTY index.
+    */
+  final case class IndexScreen(
+      textBloom: Array[Byte],
+      bandBloom: Array[Byte],
+      fpp: Double)
+
+  /** Builds the [[IndexScreen]] blooms with Spark's native
+    * `bloom_filter_agg` (one partial-aggregated pass each; band keys are
+    * computed over exact-collapsed texts, so duplicate skew in the index
+    * costs hash lookups, not signature work). `expectedDocs` need not be
+    * exact — it sizes the filters for the TARGET fpp; undersizing degrades
+    * fpp, never correctness. Spark caps a single bloom aggregate via
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 64 Mbit
+    * ≈ 6.7M docs at 1%): raise it for larger indexes.
+    */
+  def buildIndexScreen(index: DataFrame, expectedDocs: Long,
+      fpp: Double = 0.01): IndexScreen = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    def nBits(n: Long): Long =
+      math.max(64L, math.ceil(-n.toDouble * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    val textBloom = index
+      .agg(expr(s"bloom_filter_agg(xxhash64(text), ${expectedDocs}L, " +
+        s"${nBits(expectedDocs)}L)"))
+      .head.getAs[Array[Byte]](0)
+    val collapsed = collapseExact(index.select(col("doc_id"), col("text")))
+      .select(col("rep_id").as("doc_id"), col("text"))
+    val nBandKeys = expectedDocs * BANDS
+    val bandBloom = bandKeys(collapsed, SIGS, BANDS)
+      .agg(expr(s"bloom_filter_agg(xxhash64(band_idx, band_val), " +
+        s"${nBandKeys}L, ${nBits(nBandKeys)}L)"))
+      .head.getAs[Array[Byte]](0)
+    IndexScreen(textBloom, bandBloom, fpp)
+  }
+
+  // the registered might_contain (GraftFunctions) with the bloom inlined
+  // as a binary literal — the task-binary broadcast of the screen
+  private def mightContain(bloom: Array[Byte], hash: Column): Column =
+    call_function("might_contain", lit(bloom), hash)
+
+  /** [[deduplicateAgainst]] with a pre-built [[IndexScreen]] — the 100 TB
+    * shape of incremental ingest. The unscreened overload unions every
+    * batch with the FULL index and exact-collapses the union: one
+    * full-index shuffle per micro-batch, which a large accepted corpus
+    * cannot afford. Here the index is never shuffled:
+    *
+    *   1. in-batch exact keep-min — a batch-sized aggregate;
+    *   2. exact-vs-index: reps whose text hash hits `textBloom` (the
+    *      probable hits — for a mostly-novel stream, almost nobody) are
+    *      confirmed by ONE scan of the index against the broadcast probe
+    *      set: scan, not shuffle, and ONLY when the bloom fired — a
+    *      bounded batch-sized `isEmpty` gates the leg, so an all-novel
+    *      batch never reads a single index byte;
+    *   3. near-dup-vs-index: survivors compute their band keys (row-local)
+    *      and probe `bandBloom`. A document with zero band hits provably
+    *      has zero LSH candidates in the index (bloom: no false
+    *      negatives), so only the RISKY residue enters the LSH leg
+    *      against the index — and when the residue is empty (checked with
+    *      a bounded isEmpty — the screen's whole point), the index leg is
+    *      skipped entirely;
+    *   4. in-batch near-dups are found batch-locally either way.
+    *
+    * Result parity with the unscreened overload is spec-enforced
+    * (including planted bloom false positives); every candidate the
+    * unscreened path finds shares a band with an index doc, whose key is
+    * in `bandBloom` by construction, so the screen admits it.
+    */
+  def deduplicateAgainst(incoming: DataFrame, index: DataFrame,
+      screen: IndexScreen, jaccardThreshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    // 1. in-batch exact keep-min over distinct texts
+    val inReps = incoming.select(col("doc_id"), col("text"))
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+
+    if (screen.textBloom == null) // empty index: pure in-batch dedup
+      return incoming
+        .join(inReps.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(nearDupPairs(inReps, jaccardThreshold)
+          .select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+
+    // 2. exact path: bloom screen, then confirm probable hits with one
+    //    broadcast-probe scan of the index — skipped outright (no index
+    //    scan in the plan) when no batch text fires the bloom
+    val maybeExact = inReps
+      .filter(mightContain(screen.textBloom, xxhash64(col("text"))))
+    val fresh =
+      if (maybeExact.isEmpty) inReps // bounded driver check (batch-sized)
+      else {
+        val hitTexts = index.select(col("text"))
+          .join(broadcast(maybeExact.select(col("text"))), Seq("text"),
+            "left_semi")
+          .distinct()
+        inReps.join(broadcast(hitTexts), Seq("text"), "left_anti")
+      }
+
+    // 4. in-batch near-dups (fresh is distinct-text: skew armor holds)
+    val inDrops = nearDupPairs(fresh, jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    // 3. band-bloom risk screen for the index leg
+    val risky = fresh.join(
+      bandKeys(fresh, SIGS, BANDS)
+        .filter(mightContain(screen.bandBloom,
+          xxhash64(col("band_idx"), col("band_val"))))
+        .select("doc_id").distinct(),
+      Seq("doc_id"), "left_semi")
+    val idxDrops =
+      if (risky.isEmpty) inDrops.limit(0) // bounded driver check (limit 1)
+      else {
+        val idxReps = collapseExact(index.select(col("doc_id"), col("text")))
+          .select(col("rep_id").as("doc_id"), col("text"))
+        // drop the fresh side of fresh-index pairs (index never drops);
+        // risky-risky pairs are already covered by the in-batch leg
+        val ia = idxReps.select(col("doc_id").as("doc_a"), lit(true).as("a_idx"))
+        val ib = idxReps.select(col("doc_id").as("doc_b"), lit(true).as("b_idx"))
+        nearDupPairs(idxReps.unionByName(risky), jaccardThreshold)
+          .join(ia, Seq("doc_a"), "left").join(ib, Seq("doc_b"), "left")
+          .select(
+            when(coalesce(col("a_idx"), lit(false)) &&
+                !coalesce(col("b_idx"), lit(false)), col("doc_b"))
+              .when(coalesce(col("b_idx"), lit(false)) &&
+                !coalesce(col("a_idx"), lit(false)), col("doc_a"))
+              .otherwise(lit(null)).as("doc_id"))
+          .filter(col("doc_id").isNotNull).distinct()
+      }
+
+    incoming
+      .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(inDrops.unionByName(idxDrops).distinct(), Seq("doc_id"), "left_anti")
   }
 
   /** EXHAUSTIVE Jaccard pairs (doc_a < doc_b): every pair sharing at least
