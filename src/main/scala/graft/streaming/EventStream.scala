@@ -136,7 +136,14 @@ object EventStream {
     * matrix. State per user is ONE row (last event's ts/id/type); events
     * inside a micro-batch are sorted by (ts, event_id) — the same order
     * the batch window uses — and cross-batch continuity comes from the
-    * carried last event. Same event-time TTL eviction as [[sessionize]]:
+    * carried last event. Sequencing REQUIRES materializing one user's
+    * slice of one micro-batch (`batch.toSeq.sortBy`): that memory is
+    * bounded by per-user per-trigger volume, the correct contract for
+    * state-ful sequencing — but a single-user firehose concentrates its
+    * whole trigger in one task (inherent to any per-key ordering,
+    * exactly as the batch q42 window does; cap trigger size via
+    * `maxOffsetsPerTrigger`-style source limits if one key can dominate
+    * a trigger). Same event-time TTL eviction as [[sessionize]]:
     * after a user is idle past the watermark + TTL their state drops (the
     * transition spanning that idle gap is the one emission sacrificed for
     * bounded state — at 100 TB, unbounded user registries are the failure

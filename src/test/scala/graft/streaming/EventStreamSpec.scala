@@ -133,6 +133,40 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == expected)
   }
 
+  test("transitions: one dominant user concentrating a trigger sequences exactly") {
+    // the documented hot-key caveat: one user contributes ~99% of a
+    // micro-batch; its whole slice materializes in one task and must
+    // still sequence exactly (n-1 transitions, in (ts, event_id) order)
+    import spark.implicits._
+    val hot = (0 until 2000).map { i =>
+      EventStream.Ev(10000L + i, 1000000000L * (i + 1), 7L,
+        if (i % 3 == 0) "click" else if (i % 3 == 1) "view" else "purchase",
+        1.0)
+    }
+    val cold = Seq(
+      EventStream.Ev(30000L, 1500000000L, 8L, "click", 1.0),
+      EventStream.Ev(30001L, 2500000000L, 8L, "purchase", 1.0))
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    input.addData(scala.util.Random.shuffle(hot ++ cold))
+    val q = EventStream.transitions(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hotuser").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hotuser")
+    assert(got.filter(col("user_id") === 7L).count() === hot.size - 1L)
+    // exact sequencing, not just the count: the (click,view,purchase)
+    // rotation admits only rotation-consecutive pairs
+    val pairs = got.filter(col("user_id") === 7L)
+      .groupBy("prev_type", "next_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set("click" -> "view", "view" -> "purchase",
+      "purchase" -> "click"))
+    assert(got.filter(col("user_id") === 8L).count() === 1L)
+  }
+
   test("stream-static enrichment equals the batch join") {
     val dim = graft.Tables.customer(spark, sfDir)
       .select("c_custkey", "c_mktsegment")
