@@ -4,9 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Paragraphs, Sampling, TextAnalysis}
 
 /** Runnable end-to-end training-data curation pipeline — the composition
-  * story for the north-star operators: quality gate → exact + near-dup
-  * removal → paragraph-level dedup → benchmark decontamination →
-  * deterministic split → training shards. Every stage is a pure DataFrame
+  * story for the north-star operators: quality gate + classifier gate →
+  * exact + near-dup removal → paragraph-level dedup → benchmark
+  * decontamination → deterministic split → training shards. Every stage is a pure DataFrame
   * transform, so the same code runs unchanged from this sf0.001 smoke
   * corpus to a 100 TB ingest (scan-fused gate, LSH candidate generation,
   * paragraph-hash counts, broadcast decontamination probe, hash splits,
@@ -21,9 +21,13 @@ object PipelineDemo {
     val docs = Tables.documents(spark, sfDir)
     val n0 = docs.count()
 
-    // 1. Gopher-style quality gate: scan-fused, annotates then filters
-    val quality = TextAnalysis.qualityFilter(docs, minWords = 5)
-      .filter(col("quality_pass"))
+    // 1. Gopher-style quality gate: scan-fused, annotates then filters —
+    //    then the hashed-n-gram linear classifier as a second scan-fused
+    //    gate (both are row-local projections, so Catalyst fuses the two
+    //    gates into ONE pass over the corpus)
+    val quality = TextAnalysis.classifierScore(
+        TextAnalysis.qualityFilter(docs, minWords = 5))
+      .filter(col("quality_pass") && col("label") === "keep")
       .select(docs.columns.map(col): _*)
     val n1 = quality.count()
 

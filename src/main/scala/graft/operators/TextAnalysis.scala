@@ -552,7 +552,95 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Number of hash buckets in the demo classifier's weight table. A
+    * production fastText/CCNet-style model uses 2^20+ buckets; the lookup
+    * below is bucket-count-agnostic (the weight array ships in the task
+    * binary as a literal — fine to a few MB; past that, switch the
+    * element_at to a broadcast map-side join on `b`).
+    */
+  val ClsBuckets = 512
+  val ClsBias = -37L
+
+  /** The literal weight fixture: a seeded affine-congruential profile in
+    * [-998, 998]. A trained model drops in as any other IndexedSeq[Long]
+    * of micro-units — the scoring plan is identical.
+    */
+  val clsWeights: IndexedSeq[Long] =
+    (0 until ClsBuckets).map(i => ((i.toLong * 2654435761L + 1013904223L) % 1997L) - 998L)
+
+  // row-local feature extraction: 'u:'-prefixed unigrams plus
+  // 'b:'-prefixed word bigrams, exactly mirroring the oracle CTEs
+  private val clsFeatsSql: String =
+    """concat(
+      |  transform(split(text, ' '), x -> concat('u:', x)),
+      |  CASE WHEN size(split(text, ' ')) < 2 THEN cast(array() as array<string>)
+      |       ELSE transform(sequence(1, size(split(text, ' ')) - 1),
+      |              i -> concat('b:', element_at(split(text, ' '), i), ' ',
+      |                          element_at(split(text, ' '), i + 1))) END)"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  /** Hashed-n-gram linear quality classifier (the fastText / CCNet / DCLM
+    * family, public constructions): each unigram and word-bigram feature
+    * hashes into one of [[ClsBuckets]] weight buckets
+    * (md5 → 24-bit int → mod), and the document score is
+    * `bias + Σ w[bucket(f)]` in exact BIGINT micro-units — no floats, so
+    * the margin reproduces bit-for-bit on any engine and the keep/drop
+    * decision is deterministic under retries.
+    *
+    * Scale shape: feature extraction, hashing, and the weight lookup are
+    * ONE row-local array-aggregate fused into the scan projection (the
+    * weights ride along as a literal array in the task binary — nothing
+    * is broadcast, nothing shuffles). At 100 TB this streams at read
+    * rate, exactly like [[qualityFilter]], and composes with it as a
+    * second gate (see PipelineDemo).
+    */
+  def classifierScore(df: DataFrame,
+      weights: IndexedSeq[Long] = clsWeights, bias: Long = ClsBias): DataFrame = {
+    require(weights.nonEmpty, "empty weight table")
+    val warr = weights.mkString("array(", "L, ", "L)")
+    val bucket =
+      s"cast(cast(conv(substr(md5(f), 1, 6), 16, 10) as bigint) % ${weights.size} as int)"
+    df.withColumn("n_feats", expr(s"cast(size($clsFeatsSql) as bigint)"))
+      .withColumn("score_micro",
+        expr(s"aggregate($clsFeatsSql, ${bias}L, (a, f) -> a + element_at($warr, $bucket + 1))"))
+      .withColumn("label",
+        when(col("score_micro") >= 0, lit("keep")).otherwise(lit("drop")))
+  }
+
+  /** t12: the classifier over `documents`, full-oracle (the DuckDB side
+    * re-derives every feature, bucket, and weight from the same literal
+    * fixture and must agree on every margin bit).
+    */
+  val classifier: QueryDef = q(
+    "t12_classifier_score", {
+      val wtValues = clsWeights.zipWithIndex
+        .map { case (w, i) => s"($i, $w)" }.mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |feats AS (
+         |  SELECT doc_id, 'u:' || unnest(ws) AS f FROM w
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-1, 0)+1),
+         |    i -> 'b:'||ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1])) AS f FROM w),
+         |wt(b, wgt) AS (VALUES $wtValues),
+         |s AS (SELECT doc_id,
+         |        CAST('0x'||substr(md5(f),1,6) AS BIGINT) % $ClsBuckets AS b
+         |      FROM feats),
+         |agg AS (SELECT doc_id, count(*) AS n_feats, sum(wgt) AS wsum
+         |        FROM s JOIN wt USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST($ClsBias + coalesce(wsum, 0) AS BIGINT) AS score_micro,
+         |  CASE WHEN $ClsBias + coalesce(wsum, 0) >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    classifierScore(Tables.documents(s, d))
+      .select("doc_id", "n_feats", "score_micro", "label")
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
-      repetition, novelty, heavyHitters, redactionAudit, blocklistAudit)
+      repetition, novelty, heavyHitters, redactionAudit, blocklistAudit,
+      classifier)
 }

@@ -367,6 +367,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly one events scan (the per-day counts), got $scans: " + p)
   }
 
+  test("t12 classifier is scan-fused: no join, no mid-plan exchange") {
+    val p = plan("t12_classifier_score")
+    // feature hashing + the literal weight lookup are one row-local
+    // array-aggregate in the scan projection: the weight table must NOT
+    // appear as a join (the oracle's formulation), and the only exchange
+    // is the ORDER BY's range partitioning — at 100 TB this gate streams
+    // at read rate
+    assert(!p.contains("Join"), p)
+    assert(!"Exchange hashpartitioning".r.unanchored.matches(p), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
