@@ -177,24 +177,30 @@ object Paragraphs {
     * One row out per SELECTED fingerprint occurrence.
     */
   def spanFingerprints(docs: DataFrame, width: Int = SpanWords,
-      winnow: Int = WinnowS): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), expr(
+      winnow: Int = WinnowS): DataFrame = {
+    // every non-text input column rides along unchanged (doc_id, and e.g.
+    // an event-time column for the streaming twin in DocStream) — the
+    // winnowing arithmetic itself stays row-local in one projection chain
+    val keep = docs.columns.filterNot(_ == "text").map(col)
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("hs", expr(
         s"""transform(
            |  if(size(ws) >= $width,
            |     transform(sequence(1, size(ws) - ${width - 1}),
            |       i -> concat_ws(' ', slice(ws, i, $width))),
            |     array(concat_ws(' ', ws))),
-           |  w -> md5(w))""".stripMargin).as("hs"))
-      .select(col("doc_id"), col("hs"), expr(
+           |  w -> md5(w))""".stripMargin))
+      .withColumn("sel", expr(
         s"""array_distinct(transform(
            |  sequence(1, greatest(size(hs) - ${winnow - 1}, 1)),
            |  j -> j - 1 + array_position(slice(hs, j, $winnow),
            |                              array_min(slice(hs, j, $winnow)))))"""
-          .stripMargin).as("sel"))
-      .select(col("doc_id"),
+          .stripMargin))
+      .select(keep :+
         explode(expr("transform(sel, i -> element_at(hs, cast(i as int)))"))
-          .as("fp"))
+          .as("fp"): _*)
+  }
 
   /** Per-doc duplicate-span profile: winnowed fingerprints whose hash
     * occurs ≥ 2 times corpus-wide (cross-doc boilerplate runs AND

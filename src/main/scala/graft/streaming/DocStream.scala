@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming corpus curation — the ingest-time form of the batch
   * curation pipeline (`graft.PipelineDemo`): documents land continuously
@@ -68,6 +69,110 @@ object DocStream {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** One winnowed span occurrence with its event time (watermark rides
+    * on `et`).
+    */
+  final case class SpanOccT(doc_id: Long, fp: String, et: java.sql.Timestamp)
+
+  /** One flagged span: `is_dup` marks an occurrence whose fingerprint was
+    * seen in an earlier trigger (within the state horizon) or at least
+    * twice within this trigger.
+    */
+  final case class SpanFlag(doc_id: Long, fp: String, is_dup: Boolean)
+
+  /** Streaming SPAN-level dedup flags — the incremental twin of the batch
+    * d13 winnowed-substring profile ([[graft.operators.Paragraphs]]),
+    * matching the transitions/nearDupIngest pattern: the SAME row-local
+    * winnowing code computes fingerprints ([[Paragraphs.spanFingerprints]]
+    * carries the event-time column through), and cross-batch duplicate
+    * state lives in `flatMapGroupsWithState` keyed on the fingerprint.
+    *
+    * Contract (pinned in DocStreamSpec):
+    *   - WITHIN a trigger the flags equal the batch profile exactly — a
+    *     fingerprint occurring ≥ 2 times in the trigger flags ALL its
+    *     occurrences, first included, exactly like d13's corpus-wide
+    *     `n_occ >= 2`;
+    *   - ACROSS triggers the first occurrence was already emitted (and
+    *     possibly acted on) before any duplicate arrived, so only the
+    *     later occurrences flag — the inherent stream/batch asymmetry
+    *     every first-wins ingest has;
+    *   - state per distinct fingerprint is ONE long (last-seen ms) and is
+    *     evicted on an event-time timeout once the watermark passes
+    *     last-seen + [[EventStream.StateTtlMs]] — a span recurring after
+    *     that horizon is NOT flagged (the emission sacrificed for bounded
+    *     state; the periodic batch d13 sweep owns the long tail, the same
+    *     lambda split as [[dedupeWithin]]).
+    *
+    * Scale shape: fingerprint density is ≈ 2/(winnow+1) per token, so the
+    * fp-keyed state shuffle moves ~0.4 rows/token of (doc_id, fp, et) —
+    * never the text, which stays in the document lane ([[ingest]]) and
+    * re-joins decisions by doc_id. A trigger's occurrences of ONE
+    * fingerprint materialize in its state call (bounded by per-fp
+    * per-trigger volume — the hot-key caveat [[EventStream.transitions]]
+    * documents).
+    */
+  def spanFlags(docs: DataFrame, tsCol: String, horizon: String = "2 hours",
+      width: Int = graft.operators.Paragraphs.SpanWords,
+      winnow: Int = graft.operators.Paragraphs.WinnowS): Dataset[SpanFlag] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlMs = EventStream.StateTtlMs
+
+    def update(fp: String, batch: Iterator[SpanOccT],
+        state: GroupState[Long]): Iterator[SpanFlag] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val occ = batch.toSeq
+        val seenBefore = state.exists
+        val dupHere = occ.size >= 2
+        val lastMs = math.max(occ.map(_.et.getTime).max,
+          state.getOption.getOrElse(Long.MinValue))
+        state.update(lastMs)
+        state.setTimeoutTimestamp(
+          math.max(lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+        occ.iterator.map(o => SpanFlag(o.doc_id, fp, seenBefore || dupHere))
+      }
+    }
+
+    graft.operators.Paragraphs.spanFingerprints(
+        docs.select(col("doc_id"), col(tsCol).cast("timestamp").as("et"),
+          col("text")), width, winnow)
+      .withWatermark("et", horizon)
+      .select(col("doc_id"), col("fp"), col("et"))
+      .as[SpanOccT]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Per-document curation decisions from [[spanFlags]]: each trigger
+    * appends (doc_id, n_fp, n_dup_fp, dup_fraction, keep) to
+    * `profileDir` — the streaming form of the batch
+    * [[graft.operators.Paragraphs.dropSpanDuplicates]] gate. Decisions
+    * are doc_id-keyed so the text never rides the fp shuffle; pair with
+    * [[ingest]] on the document lane and join downstream.
+    */
+  def spanDedupIngest(docs: DataFrame, tsCol: String, profileDir: String,
+      maxDupFraction: Double, horizon: String = "2 hours",
+      width: Int = graft.operators.Paragraphs.SpanWords,
+      winnow: Int = graft.operators.Paragraphs.WinnowS): org.apache.spark.sql.streaming.StreamingQuery =
+    spanFlags(docs, tsCol, horizon, width, winnow).toDF()
+      .writeStream
+      .foreachBatch { (flags: DataFrame, _: Long) =>
+        flags.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fp"),
+            count(when(col("is_dup"), 1)).as("n_dup_fp"))
+          .withColumn("dup_fraction",
+            col("n_dup_fp") * lit(1.0) / col("n_fp"))
+          .withColumn("keep", col("dup_fraction") <= maxDupFraction)
+          .write.mode("append").parquet(profileDir)
+        ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

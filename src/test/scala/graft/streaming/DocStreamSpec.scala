@@ -107,6 +107,112 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
   }
 
+  private def tokens(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("streaming span dedup: one trigger equals the batch d13 profile") {
+    import spark.implicits._
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "span-stream")
+    val boiler = tokens("b", 30) // ≥ SpanWords+WinnowS-1: guaranteed shared fp
+    val rows = Seq(
+      (1L, boiler),
+      (2L, tokens("p", 5) + " " + boiler),
+      (3L, tokens("u", 30)),
+      (4L, tokens("v", 30)))
+    rows.toDF("doc_id", "text")
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .coalesce(1).write.parquet(d.resolve("in").toString)
+    val schema = spark.read.parquet(d.resolve("in").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(d.resolve("in").toString)
+    val q = DocStream.spanDedupIngest(stream, "ts",
+      d.resolve("profile").toString, maxDupFraction = 0.5)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(d.resolve("profile").toString)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_fp"), r.getAs[Long]("n_dup_fp"),
+          r.getAs[Boolean]("keep")))).toMap
+    val batchProfile = graft.operators.Paragraphs
+      .spanProfile(rows.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_fp"), r.getAs[Long]("n_dup_fp"),
+          r.getAs[Double]("dup_fraction") <= 0.5))).toMap
+    // within one trigger the streamed decisions ARE the batch profile:
+    // n_occ >= 2 flags every occurrence, first included
+    assert(streamed === batchProfile)
+    assert(streamed(1L)._2 > 0 && streamed(2L)._2 > 0,
+      "the planted boilerplate run must flag in both carriers")
+    assert(streamed(3L)._2 === 0L && streamed(4L)._2 === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+
+  test("span dedup across triggers: later copies flag, the first does not") {
+    import spark.implicits._
+    val boiler = tokens("c", 30)
+    def occ(id: Long, sec: Int, text: String) = (id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d"), text)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)](
+        spark)
+    val q = DocStream.spanFlags(
+        input.toDF().toDF("doc_id", "ts", "text"), "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spanflags").start()
+    input.addData(occ(1L, 0, boiler))
+    q.processAllAvailable()
+    input.addData(occ(2L, 30, boiler), occ(3L, 30, tokens("w", 30)))
+    q.processAllAvailable()
+    q.stop()
+    val byDoc = spark.table("spanflags")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), count(when(col("is_dup"), 1)).as("nd"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1's spans were emitted (unflagged) before any duplicate existed —
+    // the inherent first-wins asymmetry; doc 2 repeats every span of doc 1
+    // in a LATER trigger, so all of them flag via carried state
+    assert(byDoc(1L)._2 === 0L)
+    assert(byDoc(2L)._1 === byDoc(2L)._2 && byDoc(2L)._2 > 0L)
+    assert(byDoc(3L)._2 === 0L)
+  }
+
+  test("span dedup eviction: a span recurring past the TTL is forgotten") {
+    import spark.implicits._
+    val boiler = tokens("e", 30)
+    def at(id: Long, t: String, text: String) =
+      (id, java.sql.Timestamp.valueOf(t), text)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)](
+        spark)
+    val q = DocStream.spanFlags(
+        input.toDF().toDF("doc_id", "ts", "text"), "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spanevict").start()
+    // t0: the span lands; state timeout = t0 + 2 h (StateTtlMs)
+    input.addData(at(1L, "2026-01-01 00:00:00", boiler))
+    q.processAllAvailable()
+    // +10 h advances the watermark to +8 h (2 h horizon) — past the timeout
+    input.addData(at(2L, "2026-01-01 10:00:00", tokens("x", 30)))
+    q.processAllAvailable()
+    // next trigger fires the timeout for doc 1's fingerprints (keys with
+    // no data in the trigger), removing their state
+    input.addData(at(3L, "2026-01-01 10:01:00", tokens("y", 30)))
+    q.processAllAvailable()
+    // the SAME span returns after eviction: state is gone, so it does NOT
+    // flag — the documented emission sacrificed for bounded state
+    input.addData(at(4L, "2026-01-01 10:02:00", boiler))
+    q.processAllAvailable()
+    q.stop()
+    val dupDocs = spark.table("spanevict")
+      .filter(col("is_dup")).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dupDocs.isEmpty,
+      s"span recurring past TTL must be forgotten, but flagged: $dupDocs")
+  }
+
   test("watermark-bounded dedup collapses duplicates within the horizon") {
     import spark.implicits._
     val d = Files.createTempDirectory(
