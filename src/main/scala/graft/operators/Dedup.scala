@@ -400,6 +400,39 @@ object Dedup {
   private def mightContain(bloom: Array[Byte], hash: Column): Column =
     call_function("might_contain", lit(bloom), hash)
 
+  /** Bitwise OR of two serialized Bloom filters (Spark sketch V1 format —
+    * what `bloom_filter_agg` emits). This is what makes the screen
+    * MAINTAINABLE incrementally: after a micro-batch's survivors append
+    * to the index, a batch-sized [[buildIndexScreen]] over just those
+    * survivors merges into the carried screen — the full index is never
+    * re-scanned to keep the screen current. Requires both filters sized
+    * identically (same `expectedDocs`/fpp at build time — the deployment
+    * fixes a capacity once); incompatible sizes fail loudly rather than
+    * silently degrade recall.
+    */
+  def mergeBlooms(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a == null) return b
+    if (b == null) return a
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    try fa.mergeInPlace(fb)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        "bloom merge requires identically-sized filters (build every " +
+          "screen with the SAME expectedDocs capacity and fpp)", e)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+
+  /** [[mergeBlooms]] over both legs of two [[IndexScreen]]s. */
+  def mergeScreens(a: IndexScreen, b: IndexScreen): IndexScreen =
+    IndexScreen(mergeBlooms(a.textBloom, b.textBloom),
+      mergeBlooms(a.bandBloom, b.bandBloom), math.max(a.fpp, b.fpp))
+
   /** [[deduplicateAgainst]] with a pre-built [[IndexScreen]] — the 100 TB
     * shape of incremental ingest. The unscreened overload unions every
     * batch with the FULL index and exact-collapses the union: one

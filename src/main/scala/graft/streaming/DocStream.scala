@@ -209,4 +209,58 @@ object DocStream {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** [[nearDupIngest]] with the Bloom screen kept current incrementally —
+    * the 100 TB shape of the ingest loop. Per micro-batch:
+    *
+    *   1. the batch screens against the carried
+    *      [[graft.operators.Dedup.IndexScreen]] (all-novel batches never
+    *      read an index byte — DedupScreenSpec);
+    *   2. survivors append to the output and the index, exactly as the
+    *      unscreened loop;
+    *   3. a batch-sized [[graft.operators.Dedup.buildIndexScreen]] over
+    *      JUST the survivors merges into the carried screen
+    *      ([[graft.operators.Dedup.mergeScreens]] — a bitwise OR), so
+    *      keeping the screen current costs O(batch), never an index scan.
+    *
+    * `capacityDocs` fixes the bloom sizing once for the deployment (all
+    * merged filters must be identically sized); size it for the index's
+    * TARGET cardinality — overfilling degrades the false-positive rate
+    * (extra confirm work), never correctness. On restart the screen
+    * rebuilds from the index once (two aggregate scans), then stays
+    * incremental.
+    */
+  def nearDupIngestScreened(stream: DataFrame, indexDir: String,
+      outDir: String, capacityDocs: Long, jaccardThreshold: Double = 0.6,
+      fpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery = {
+    val screenRef = new java.util.concurrent.atomic.AtomicReference[
+      graft.operators.Dedup.IndexScreen](null)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = graft.hep.HadoopIo.fs(spark, indexDir)
+        val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(indexDir))
+        val index =
+          if (hasIndex) spark.read.parquet(indexDir)
+          else batch.select(col("doc_id"), col("text")).limit(0)
+        val screen = Option(screenRef.get()).getOrElse {
+          if (hasIndex) // restart: one rebuild from the index, then incremental
+            graft.operators.Dedup.buildIndexScreen(index, capacityDocs, fpp)
+          else graft.operators.Dedup.IndexScreen(null, null, fpp)
+        }
+        val kept = graft.operators.Dedup
+          .deduplicateAgainst(batch, index, screen, jaccardThreshold)
+          .persist()
+        kept.write.mode("append").parquet(outDir)
+        kept.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(indexDir)
+        val batchScreen = graft.operators.Dedup.buildIndexScreen(
+          kept.select(col("doc_id"), col("text")), capacityDocs, fpp)
+        screenRef.set(graft.operators.Dedup.mergeScreens(screen, batchScreen))
+        kept.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -110,6 +110,81 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def tokens(prefix: String, n: Int): String =
     (0 until n).map(i => s"$prefix$i").mkString(" ")
 
+  test("screened incremental ingest equals the unscreened loop, screen merged per batch") {
+    import spark.implicits._
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "screened-ingest")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val aNear = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    val b = "one two three four five six seven eight nine ten eleven"
+    val c = "completely unrelated content about engines and oracles here"
+    // batch 1 seeds; batch 2 mixes near-dup-of-1 + novel; batch 3 replays
+    // batch-2 content exactly (exercises the MERGED screen's text leg —
+    // doc 20's fingerprint entered the screen incrementally, not via a
+    // full rebuild) plus one more novel doc
+    val batches = Seq(
+      Seq((1L, a), (2L, b)),
+      Seq((10L, aNear), (11L, c)),
+      Seq((20L, c), (21L, "entirely fresh closing content nine words long exactly")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(d.resolve(s"stage$i").toString)
+    }
+    def stagedInput(sub: String): String = {
+      val in = d.resolve(sub).toString
+      new java.io.File(in).mkdirs()
+      val now = System.currentTimeMillis()
+      batches.indices.foreach { i =>
+        val f = new java.io.File(d.resolve(s"stage$i").toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(in, s"part-$i.parquet")
+        Files.copy(f.toPath, dst.toPath)
+        dst.setLastModified(now - (batches.size - i) * 60000)
+      }
+      in
+    }
+    def run(sub: String)(
+        start: org.apache.spark.sql.DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Set[Long] = {
+      val in = stagedInput(sub)
+      val schema = spark.read.parquet(in).schema
+      val q = start(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in))
+      q.awaitTermination()
+      spark.read.parquet(d.resolve(s"$sub-out").toString)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val plain = run("plain")(s => DocStream.nearDupIngest(
+      s, d.resolve("plain-index").toString, d.resolve("plain-out").toString, 0.6))
+    val screened = run("scr")(s => DocStream.nearDupIngestScreened(
+      s, d.resolve("scr-index").toString, d.resolve("scr-out").toString,
+      capacityDocs = 64L, jaccardThreshold = 0.6))
+    assert(screened === plain, s"screened $screened != unscreened $plain")
+    // the scenario itself: near-dup and exact replays die, novelty lives
+    assert(screened === Set(1L, 2L, 11L, 21L))
+    org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+
+  test("bloom merge ORs membership; mismatched sizes fail loudly") {
+    import spark.implicits._
+    val s1 = graft.operators.Dedup.buildIndexScreen(
+      Seq((1L, "first corpus text body")).toDF("doc_id", "text"), 64L)
+    val s2 = graft.operators.Dedup.buildIndexScreen(
+      Seq((2L, "second corpus text body")).toDF("doc_id", "text"), 64L)
+    val m = graft.operators.Dedup.mergeScreens(s1, s2)
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(m.textBloom))
+    def h(t: String): Long = Seq(t).toDF("text")
+      .select(xxhash64(col("text"))).head.getLong(0)
+    assert(bf.mightContainLong(h("first corpus text body")))
+    assert(bf.mightContainLong(h("second corpus text body")))
+    val other = graft.operators.Dedup.buildIndexScreen(
+      Seq((3L, "third text")).toDF("doc_id", "text"), 4096L)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.mergeScreens(s1, other)
+    }
+    assert(e.getMessage.contains("identically-sized"))
+  }
+
   test("streaming span dedup: one trigger equals the batch d13 profile") {
     import spark.implicits._
     val d = Files.createTempDirectory(
