@@ -639,8 +639,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t13: LM-fluency scoring — the CCNet-family filter (Wenzek et al.
+    * 2020 score documents by LM perplexity; the MLE form of that signal
+    * is the mean conditional bigram probability). Per occurrence i:
+    * `p_micro = floor(1e6 · c2(w_{i-1} w_i) / c1(w_{i-1}))` where c2 is
+    * the corpus-wide bigram OCCURRENCE count and c1 the prefix occurrence
+    * count (c1 = Σ_x c2(w x), so Σ_x P(x|w) = 1 exactly); the document
+    * score is the floor-mean of its occurrences. All BIGINT — no logs, no
+    * libm — so the score reproduces bit-for-bit (1e6·c2 stays inside
+    * BIGINT to ~10^12 bigram occurrences, past the 100 TB design point
+    * per shard). Distinct from t06, which measures DOCUMENT-frequency
+    * commonality of distinct bigrams; this is the occurrence-level
+    * language-model likelihood. A reference-corpus model (CCNet trains on
+    * Wikipedia) drops in by substituting the c2 table.
+    *
+    * Scale shape: the c2 count table (the trained LM — CCNet trains its
+    * LM once, too) is MATERIALIZED via localCheckpoint: vocabulary-sized,
+    * not corpus-sized, and without it every reference re-expands the
+    * corpus explode (pruning makes the exchanges non-identical, so
+    * exchange reuse cannot deduplicate them — measured 6 Generates in the
+    * AQE-final plan). With it the corpus explodes exactly twice (count
+    * pass + probe pass, the t05/t06 family shape), c1 re-aggregates the
+    * materialized table, and the probe joins are hub-skewed by nature
+    * (that's the signal) and AQE-skew-handled. Docs without bigrams score
+    * the -1 sentinel.
+    */
+  val lmFluency: QueryDef = q(
+    "t13_lm_fluency",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |occ AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, greatest(len(ws)-1, 0)+1),
+      |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1])) AS b
+      |        FROM w),
+      |c2 AS (SELECT b, count(*) AS n2 FROM occ GROUP BY b),
+      |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(n2) AS n1
+      |       FROM c2 GROUP BY 1),
+      |sc AS (SELECT doc_id, CAST(n2 * 1000000 // n1 AS BIGINT) AS p_micro
+      |       FROM occ JOIN c2 USING (b)
+      |       JOIN c1 ON split_part(occ.b, ' ', 1) = c1.w1),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |          CAST(sum(p_micro) // count(*) AS BIGINT) AS fluency_micro
+      |        FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(fluency_micro, -1) AS BIGINT) AS fluency_micro
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val occ = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """if(size(ws) < 2, array(),
+          |   transform(sequence(1, size(ws)-1),
+          |     i -> concat(ws[i-1], ' ', ws[i])))""".stripMargin)).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val c2 = occ.groupBy(col("b")).agg(count(lit(1)).as("n2"))
+      .localCheckpoint()
+    val c1 = c2.withColumn("w1", substring_index(col("b"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    val agg = occ.join(c2, "b").join(c1, "w1")
+      .select(col("doc_id"),
+        expr("CAST(n2 * 1000000 div n1 AS BIGINT)").as("p_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("CAST(sp div n_bigrams AS BIGINT)").as("fluency_micro"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("fluency_micro"), lit(-1L)).as("fluency_micro"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
       repetition, novelty, heavyHitters, redactionAudit, blocklistAudit,
-      classifier)
+      classifier, lmFluency)
 }

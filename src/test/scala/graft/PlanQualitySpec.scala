@@ -379,6 +379,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("t13 LM fluency: O(1)-state counts, c1 from the c2 table, no lists") {
+    val p = plan("t13_lm_fluency")
+    // both LM count tables are hash aggregates (bounded state per key,
+    // hub bigrams included) and nothing accumulates per-key lists
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("collect_list"), p)
+    // the c2 LM table is materialized (localCheckpoint → it enters the
+    // plan as a scan, not a re-expanded corpus subtree), so the corpus
+    // explodes at most twice: the count pass ran at definition time and
+    // only the probe pass remains in THIS plan
+    assert("Generate explode".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
