@@ -51,15 +51,19 @@ object DocStream {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
-  /** Full streaming curation: per-row quality gate, then exact dedup.
-    * Composes the SAME operator code as the batch pipeline
-    * (`TextAnalysis.qualityFilter`), so stream and batch answers agree by
+  /** Full streaming curation: the per-row Gopher-rules gate AND the
+    * hashed-n-gram classifier gate (both stateless scan projections —
+    * Catalyst fuses them into one pass), then exact dedup. Composes the
+    * SAME operator code as the batch pipeline (`TextAnalysis
+    * .qualityFilter` + `TextAnalysis.classifierScore`, exactly
+    * PipelineDemo's stage 1), so stream and batch answers agree by
     * construction — asserted in DocStreamSpec.
     */
   def curate(docs: DataFrame): DataFrame =
     dedupeExact(
-      graft.operators.TextAnalysis.qualityFilter(docs)
-        .filter(col("quality_pass"))
+      graft.operators.TextAnalysis.classifierScore(
+          graft.operators.TextAnalysis.qualityFilter(docs))
+        .filter(col("quality_pass") && col("label") === "keep")
         .select(docs.columns.map(col): _*))
 
   /** foreachBatch append sink (exactly-once-per-batch parquet appends),

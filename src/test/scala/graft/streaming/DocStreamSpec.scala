@@ -49,8 +49,9 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSet
 
     val all = spark.read.parquet(docsDir)
-    val batch = graft.operators.TextAnalysis.qualityFilter(all)
-      .filter(col("quality_pass"))
+    val batch = graft.operators.TextAnalysis.classifierScore(
+        graft.operators.TextAnalysis.qualityFilter(all))
+      .filter(col("quality_pass") && col("label") === "keep")
       .select(xxhash64(col("text")).as("fp")).distinct()
       .collect().map(_.getLong(0)).toSet
 
