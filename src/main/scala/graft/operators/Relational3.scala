@@ -170,7 +170,33 @@ object Relational3 {
     }
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT through the SQL
+    * parser — per-customer top-2 orders, the "top-N per entity via
+    * LATERAL" idiom. Catalyst decorrelates the limited lateral into a
+    * ranked window over the join (no per-row subquery re-execution), so
+    * at scale this is ONE orders shuffle + WindowGroupLimit, not
+    * |customer| point queries — exactly the plan the q08 DataFrame form
+    * builds by hand, now reachable from SQL. Identical text runs on
+    * DuckDB.
+    */
+  val lateralTopN: QueryDef = {
+    val sql =
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+    q("q44_lateral_topn", sql) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
   def defs: Seq[QueryDef] =
     Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles,
-      unpivotMetrics, correlatedExists)
+      unpivotMetrics, correlatedExists, lateralTopN)
 }

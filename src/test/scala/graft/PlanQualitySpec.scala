@@ -394,6 +394,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
   }
 
+  test("q44 LATERAL top-N decorrelates to WindowGroupLimit, no per-row subquery") {
+    val p = plan("q44_lateral_topn")
+    // the limited lateral must become a ranked window over ONE orders
+    // pass (WindowGroupLimit pre-trims before the rank filter), never a
+    // nested-loop re-execution per customer row
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
