@@ -165,6 +165,41 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
   }
 
+  test("index compaction shrinks files, preserves content, keeps screening") {
+    import spark.implicits._
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "index-compact")
+    val idx = d.resolve("index").toString
+    // simulate a long-lived ingest loop: many tiny append batches
+    (0 until 12).foreach { i =>
+      Seq((i.toLong, s"accepted document number $i with its own words here"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(idx)
+    }
+    val contentBefore = spark.read.parquet(idx)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (before, after) = DocStream.compactIndex(spark, idx)
+    assert(before >= 12 && after < before && after >= 1,
+      s"expected compaction, got $before -> $after")
+    val contentAfter = spark.read.parquet(idx)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(contentAfter === contentBefore)
+    // the compacted index still screens: an exact replay dies, novelty lives
+    val index = spark.read.parquet(idx)
+    val screen = graft.operators.Dedup.buildIndexScreen(index, 64L)
+    val batch = Seq(
+      (100L, "accepted document number 3 with its own words here"),
+      (101L, "wholly new closing document content for the compaction test"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .deduplicateAgainst(batch, index, screen, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(101L))
+    // absent directory is a no-op
+    assert(DocStream.compactIndex(spark, d.resolve("missing").toString) === ((0, 0)))
+    org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+
   test("bloom merge ORs membership; mismatched sizes fail loudly") {
     import spark.implicits._
     val s1 = graft.operators.Dedup.buildIndexScreen(
