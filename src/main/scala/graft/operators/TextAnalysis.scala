@@ -685,7 +685,15 @@ object TextAnalysis {
       |  CAST(coalesce(fluency_micro, -1) AS BIGINT) AS fluency_micro
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
+    lmFluencyScore(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Library form of t13: (doc_id, n_bigrams, fluency_micro) per input
+    * document (the scale notes live on [[lmFluency]]). Substitute a
+    * reference-corpus model by pre-computing the c2 table and joining it
+    * in place of this self-corpus MLE.
+    */
+  def lmFluencyScore(docs: DataFrame): DataFrame = {
     val occ = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
@@ -708,7 +716,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("fluency_micro"), lit(-1L)).as("fluency_micro"))
-      .orderBy("doc_id")
   }
 
   def defs: Seq[QueryDef] =

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Contracts of the round-6 operators beyond the oracle gate: t12
+  * classifier scoring (custom weights, degenerate documents), t13 LM
+  * fluency (probability bounds, short-document sentinel), q44 lateral
+  * top-N cardinality. The oracle checks exact values at sf0.01; these pin
+  * the library-function invariants on planted fixtures.
+  */
+class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("t12 classifierScore: degenerate docs score deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),                 // split('') -> [""]: one 'u:' feature
+      (2L, "word"),             // one unigram, no bigram
+      (3L, "word word"),        // two unigrams + one bigram
+      (4L, "word word"))        // identical text -> identical score
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs)
+      .select("doc_id", "n_feats", "score_micro").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 === 1L)
+    assert(out(2L)._1 === 1L)
+    assert(out(3L)._1 === 3L)
+    assert(out(3L) === out(4L), "same text must score identically")
+    // score decomposition: doc3 = doc2's unigram twice + the bigram + bias
+    val biasless2 = out(2L)._2 - TextAnalysis.ClsBias
+    val bigramW = out(3L)._2 - TextAnalysis.ClsBias - 2 * biasless2
+    assert(bigramW >= -998L && bigramW <= 998L,
+      s"implied bigram weight $bigramW outside the fixture range")
+  }
+
+  test("t12 classifierScore: custom weights change the margin, not the plumbing") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val allPos = TextAnalysis.classifierScore(docs,
+      weights = IndexedSeq.fill(8)(5L), bias = 0L).select("score_micro")
+      .head.getLong(0)
+    // 3 unigrams + 2 bigrams = 5 features, every bucket weighs 5
+    assert(allPos === 25L)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.classifierScore(docs, weights = IndexedSeq.empty)
+    }
+    assert(e.getMessage.contains("empty weight table"))
+  }
+
+  test("t13 fluency: per-doc scores bounded by MLE probability, sentinel for short docs") {
+    val rows = graft.QueryCatalog.byName("t13_lm_fluency")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val f = r.getAs[Long]("fluency_micro")
+      if (n == 0L) assert(f === -1L, s"short doc must carry the sentinel")
+      else assert(f >= 0L && f <= 1000000L,
+        s"MLE mean probability must sit in [0, 1e6] micro-units, got $f")
+    }
+    // a repeated phrase is maximally fluent under its own MLE model
+    // (every transition is the only continuation of its prefix = 1e6);
+    // a one-word doc carries the sentinel; branching prefixes split mass
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "ra ra ra ra ra ra"),
+      (2L, "ra"),
+      (3L, "go left"),
+      (4L, "go right"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmFluencyScore(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((5L, 1000000L)))
+    assert(got(2L) === ((0L, -1L)))
+    // P(left|go) = P(right|go) = 1/2 exactly
+    assert(got(3L) === ((1L, 500000L)) && got(4L) === ((1L, 500000L)))
+  }
+
+  test("q44: at most two orders per customer, ranked correctly") {
+    val rows = graft.QueryCatalog.byName("q44_lateral_topn")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
+    assert(byCust.values.forall(_.length <= 2))
+    byCust.values.filter(_.length == 2).foreach { rs =>
+      assert(rs(0).getAs[Double]("o_totalprice") >=
+        rs(1).getAs[Double]("o_totalprice"))
+    }
+  }
+}
