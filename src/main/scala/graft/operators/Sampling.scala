@@ -583,8 +583,91 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** p12: TEMPERATURE mixture weights (the α = 0.5 mixing rule of the
+    * GPT-3/PaLM data recipes: sample source s proportionally to n_s^α —
+    * α = 1 reproduces the corpus, α = 0 is p06's uniform rebalance, √n is
+    * the standard compromise that lifts small sources without letting a
+    * giant one dominate). INTEGER-EXACT end to end:
+    *
+    *   - w_s = isqrt(n_s) via corrected floor-sqrt: the double sqrt is
+    *     within ±1 of the true integer root for n < 2^52 (exact double
+    *     representation + correctly-rounded sqrt), and the two CASE
+    *     corrections pin it exactly — no libm bit can leak into w;
+    *   - share_micro = w·1e6 div Σw;
+    *   - the kept-docs rule works at 1/256 hash granularity like p06,
+    *     with the budget target split as
+    *     `share·(B div 1e6) + share·(B mod 1e6) div 1e6` (an exact
+    *     identity) so every intermediate stays far inside BIGINT even at
+    *     10^15-document corpora — the naive `256·B·w` product overflows
+    *     at the 100 TB design point;
+    *   - keep ⇔ md5-bucket(doc_id) < min(256, 256·target div n_s).
+    *
+    * Scale shape: two broadcast stat relations (per-lang weights and the
+    * 1-row totals) over one corpus scan; the corpus never shuffles before
+    * the per-lang count aggregate.
+    */
+  val temperatureMix: QueryDef = q(
+    "p12_temperature_mix",
+    """WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_lang,
+      |        CASE WHEN (r0+1)*(r0+1) <= n_lang THEN r0+1
+      |             WHEN r0*r0 > n_lang THEN r0-1 ELSE r0 END AS w_sqrt
+      |      FROM (SELECT lang, n_lang,
+      |              CAST(floor(sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT) AS r0
+      |            FROM n)),
+      |t AS (SELECT (SELECT sum(w_sqrt) FROM w) AS total_w,
+      |             (SELECT count(*) // 2 FROM documents) AS b),
+      |sh AS (SELECT lang, n_lang, w_sqrt,
+      |         CAST(w_sqrt * 1000000 // t.total_w AS BIGINT) AS share_micro,
+      |         least(256, 256 * (w_sqrt * 1000000 // t.total_w * (t.b // 1000000)
+      |                  + (w_sqrt * 1000000 // t.total_w) * (t.b % 1000000) // 1000000)
+      |               // n_lang) AS thresh
+      |       FROM w, t),
+      |kept AS (
+      |  SELECT d.lang, d.doc_id
+      |  FROM documents d JOIN sh USING (lang)
+      |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+      |        < sh.thresh)
+      |SELECT sh.lang, sh.n_lang, sh.w_sqrt, sh.share_micro,
+      |       count(k.doc_id) AS n_kept, min(k.doc_id) AS first_doc
+      |FROM sh LEFT JOIN kept k USING (lang)
+      |GROUP BY sh.lang, sh.n_lang, sh.w_sqrt, sh.share_micro
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("r0",
+        expr("CAST(floor(sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_sqrt", expr(
+        """CASE WHEN (r0+1)*(r0+1) <= n_lang THEN r0+1
+          |     WHEN r0*r0 > n_lang THEN r0-1 ELSE r0 END""".stripMargin))
+      .drop("r0")
+    val totals = perLang.agg(sum(col("w_sqrt")).as("total_w"))
+      .crossJoin(docs.agg(expr("count(*) div 2").as("b")))
+    val sh = perLang.crossJoin(broadcast(totals))
+      .withColumn("share_micro", expr("w_sqrt * 1000000 div total_w"))
+      .withColumn("thresh", expr(
+        """least(256, 256 * (share_micro * (b div 1000000)
+          |  + share_micro * (b % 1000000) div 1000000) div n_lang)"""
+          .stripMargin))
+      .select("lang", "n_lang", "w_sqrt", "share_micro", "thresh")
+    val bucket = expr(
+      "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+    // aggregate the kept rows per lang BEFORE the stats join: the
+    // per-lang count is map-side-combined over the corpus, and the final
+    // join is tiny⋈tiny broadcast — never a lang-keyed corpus join
+    val keptAgg = docs.select(col("lang"), col("doc_id"))
+      .join(broadcast(sh.select("lang", "thresh")), "lang")
+      .filter(bucket < col("thresh"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+    sh.join(broadcast(keptAgg), Seq("lang"), "left")
+      .select(col("lang"), col("n_lang"), col("w_sqrt"), col("share_micro"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("first_doc"))
+      .orderBy("lang")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
       langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
-      importanceAudit)
+      importanceAudit, temperatureMix)
 }

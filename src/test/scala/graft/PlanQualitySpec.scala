@@ -404,6 +404,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("p12 temperature mix broadcasts the stat relations, corpus never pre-shuffles") {
+    val p = plan("p12_temperature_mix")
+    // the per-lang weight/threshold table and the totals are tiny
+    // broadcast relations; the corpus's only exchanges are its own
+    // count aggregate and the final per-lang aggregate
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

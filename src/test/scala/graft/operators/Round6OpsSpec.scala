@@ -83,6 +83,49 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) === ((1L, 500000L)) && got(4L) === ((1L, 500000L)))
   }
 
+  test("p12: corrected isqrt is exact over adversarial inputs") {
+    import spark.implicits._
+    // perfect squares, off-by-one neighbours, and large values near the
+    // double-precision edge — the corrections must pin the exact root
+    val ns = (1L to 2000L) ++
+      Seq(1L << 40, (1L << 40) - 1, (1L << 40) + 1,
+        (1L << 51) - 1, 999999999999L) ++
+      (1L to 100L).map(i => i * i) ++ (1L to 100L).map(i => i * i - 1)
+    val got = ns.toDF("n")
+      .withColumn("r0", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        """CASE WHEN (r0+1)*(r0+1) <= n THEN r0+1
+          |     WHEN r0*r0 > n THEN r0-1 ELSE r0 END""".stripMargin))
+      .select("n", "w").collect()
+    got.foreach { r =>
+      val (n, w) = (r.getLong(0), r.getLong(1))
+      val exact = {
+        var r = math.sqrt(n.toDouble).toLong
+        while (r * r > n) r -= 1
+        while ((r + 1) * (r + 1) <= n) r += 1
+        r
+      }
+      assert(w === exact, s"isqrt($n): got $w, want $exact")
+    }
+  }
+
+  test("p12: temperature shares lift small sources, total budget respected") {
+    val rows = graft.QueryCatalog.byName("p12_temperature_mix")
+      .run(spark, sf).collect()
+    assert(rows.length > 1)
+    val total = rows.map(_.getAs[Long]("n_lang")).sum
+    rows.foreach { r =>
+      val nl = r.getAs[Long]("n_lang")
+      val share = r.getAs[Long]("share_micro")
+      val prop = nl * 1000000L / total
+      // α = 0.5 moves every source's share TOWARD uniform: smaller than
+      // proportional for over-represented sources, larger for small ones
+      if (prop > 1000000L / rows.length) assert(share <= prop + 1)
+      else assert(share >= prop - 1)
+      assert(r.getAs[Long]("n_kept") <= nl)
+    }
+  }
+
   test("q44: at most two orders per customer, ranked correctly") {
     val rows = graft.QueryCatalog.byName("q44_lateral_topn")
       .run(spark, sf).collect()
