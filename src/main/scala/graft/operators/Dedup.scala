@@ -1362,7 +1362,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d14: quality-aware CANONICAL selection within duplicate clusters —
+    * what a curation pipeline actually does with d07's components. The
+    * min-doc_id representative the plain dedup keeps is arbitrary;
+    * production pipelines keep the BEST member of each near-dup cluster
+    * (here: the longest text, the standard keep-the-most-complete-copy
+    * heuristic — any integer quality column slots into the same rank,
+    * e.g. t12's `score_micro`). Deterministic end to end: the rank orders
+    * by (n_chars DESC, doc_id), so ties cannot flap between engines or
+    * retries.
+    *
+    * Scale shape: clustering is d07's (df-capped pair generation +
+    * adaptive CC); the selection window partitions by CLUSTER — cluster
+    * sizes are bounded by the pair graph's components, not the corpus, so
+    * the window never sees a corpus-scale partition.
+    */
+  val canonicalKeep: QueryDef = q(
+    "d14_canonical_keep",
+    s"""WITH RECURSIVE $pairCtes,
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM conf
+       |        UNION ALL SELECT doc_b, doc_a FROM conf),
+       |reach(doc_id, r) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT und.a, reach.r FROM und JOIN reach ON reach.doc_id = und.b),
+       |cl AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+       |ln AS (SELECT doc_id, length(text) AS n_chars FROM documents)
+       |SELECT c.doc_id, c.cluster, l.n_chars,
+       |       (row_number() OVER (PARTITION BY c.cluster
+       |                           ORDER BY l.n_chars DESC, c.doc_id)) = 1 AS keep
+       |FROM cl c JOIN ln l ON l.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val cc = connectedComponents(
+      jaccardPairs(Tables.parallel(docs), 0.2, 50))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("n_chars").desc, col("doc_id"))
+    cc.join(docs.select(col("doc_id"), length(col("text")).as("n_chars")),
+        "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster", "n_chars", "keep")
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
-      simhashPairs, simhashPairs64, contamination, minhashEstimate)
+      simhashPairs, simhashPairs64, contamination, minhashEstimate,
+      canonicalKeep)
 }

@@ -126,6 +126,20 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d14: exactly one keeper per cluster, and it is a longest member") {
+    val rows = graft.QueryCatalog.byName("d14_canonical_keep")
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.values.foreach { ms =>
+      assert(ms.length >= 2, "a cluster is at least a pair")
+      val keepers = ms.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length === 1)
+      val maxLen = ms.map(_.getAs[Int]("n_chars")).max
+      assert(keepers.head.getAs[Int]("n_chars") === maxLen)
+    }
+  }
+
   test("q44: at most two orders per customer, ranked correctly") {
     val rows = graft.QueryCatalog.byName("q44_lateral_topn")
       .run(spark, sf).collect()
