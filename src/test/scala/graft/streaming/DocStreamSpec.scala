@@ -165,6 +165,38 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
   }
 
+  test("screened ingest restart: screen rebuilds from the index, parity holds") {
+    import spark.implicits._
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "screened-restart")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven"
+    def stage(sub: String, rows: Seq[(Long, String)]): String = {
+      val in = d.resolve(sub).toString
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(in)
+      in
+    }
+    def runOnce(in: String): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = DocStream.nearDupIngestScreened(
+        spark.readStream.schema(schema).parquet(in),
+        d.resolve("index").toString, d.resolve("out").toString,
+        capacityDocs = 64L, jaccardThreshold = 0.6)
+      q.awaitTermination()
+    }
+    // run 1 seeds the index, then the query STOPS (driver restart):
+    // run 2 is a fresh query whose carried screen starts null and must
+    // rebuild from the on-disk index before screening its batch
+    runOnce(stage("in1", Seq((1L, a), (2L, b))))
+    runOnce(stage("in2", Seq(
+      (10L, a), // exact replay of run-1 content: the rebuilt screen's text leg
+      (11L, "wholly novel content that the rebuilt screen waves through"))))
+    val kept = spark.read.parquet(d.resolve("out").toString)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 11L), s"got $kept")
+    org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+
   test("index compaction shrinks files, preserves content, keeps screening") {
     import spark.implicits._
     val d = Files.createTempDirectory(
