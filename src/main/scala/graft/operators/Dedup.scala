@@ -463,10 +463,17 @@ object Dedup {
   def deduplicateAgainst(incoming: DataFrame, index: DataFrame,
       screen: IndexScreen, jaccardThreshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(incoming.sparkSession)
-    // 1. in-batch exact keep-min over distinct texts
+    // 1. in-batch exact keep-min over distinct texts. MATERIALIZED once
+    //    (eager localCheckpoint): the two bounded driver checks below, the
+    //    in-batch near-dup leg, and the final semi/anti joins all re-derive
+    //    this aggregate — without pinning it, the batch source would be
+    //    re-scanned and re-aggregated 3-4× per micro-batch on the hot
+    //    ingest path. Batch-sized; blocks are GC-cleaned by the
+    //    ContextCleaner once the micro-batch's plans are dropped.
     val inReps = incoming.select(col("doc_id"), col("text"))
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text"))
+      .localCheckpoint()
 
     if (screen.textBloom == null) // empty index: pure in-batch dedup
       return incoming

@@ -107,9 +107,9 @@ object HepMc {
     * new event when the line is an `E` header, else None. Pure, testable.
     */
   private[sources] def parseLine(line: String, acc: EventAcc): Option[Long] = {
-    if (line == null || line.isEmpty) return None
-    line.charAt(0) match {
-      case 'E' if line.length > 1 && line.charAt(1) == ' ' =>
+    if (line == null || line.length < 2 || line.charAt(1) != ' ') return None
+    try line.charAt(0) match {
+      case 'E' =>
         Some(line.split("\\s+")(1).toLong)
       case 'U' if acc != null =>
         val t = line.split("\\s+")
@@ -118,13 +118,13 @@ object HepMc {
       case 'W' if acc != null =>
         acc.weights = line.split("\\s+").tail.map(_.toDouble)
         None
-      case 'P' if acc != null && line.charAt(1) == ' ' =>
+      case 'P' if acc != null =>
         val t = line.split("\\s+")
         acc.pcls += Pcl(t(1).toInt, t(2).toInt, t(3).toInt,
           t(4).toDouble, t(5).toDouble, t(6).toDouble, t(7).toDouble,
           t(8).toDouble, t(9).toInt)
         None
-      case 'V' if acc != null && line.charAt(1) == ' ' =>
+      case 'V' if acc != null =>
         val t = line.split("\\s+")
         val vid = t(1).toInt
         t.find(_.startsWith("[")) match {
@@ -136,6 +136,14 @@ object HepMc {
         }
         None
       case _ => None // A/T/N/HepMC:: framing and anything unknown
+    } catch {
+      // malformed body records (truncated P, garbage W payloads) are
+      // skipped like unknown kinds — HepMC3's own readers are tolerant;
+      // a malformed E header still throws, since silently dropping an
+      // event boundary would merge adjacent events undetected
+      case e: RuntimeException if line.charAt(0) != 'E' &&
+          (e.isInstanceOf[NumberFormatException] ||
+           e.isInstanceOf[IndexOutOfBoundsException]) => None
     }
   }
 }
@@ -198,7 +206,9 @@ private[sources] final case class HepMcScan(path: String, required: StructType)
     s"HepMcScan path=$path columns=${required.fieldNames.mkString(",")}"
 
   /** One partition per file: driver-side listing via the session's Hadoop
-    * conf (glob, directory, or single file), hidden files skipped.
+    * conf (glob, directory, or single file). Directories are walked
+    * RECURSIVELY (generators often shard runs into nested dirs); hidden
+    * files and hidden path components are skipped.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -206,12 +216,22 @@ private[sources] final case class HepMcScan(path: String, required: StructType)
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    def hidden(n: String): Boolean = n.startsWith("_") || n.startsWith(".")
     val files = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-      else Seq(st)
-    }.map(_.getPath)
-      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-      .sortBy(_.toString)
+      if (st.isDirectory) {
+        val it = fs.listFiles(st.getPath, /* recursive = */ true)
+        val buf = mutable.ArrayBuffer.empty[Path]
+        val rootDepth = st.getPath.depth()
+        while (it.hasNext) {
+          val f = it.next().getPath
+          // reject if any component below the matched root is hidden
+          var q = f; var keep = true
+          while (q.depth() > rootDepth) { if (hidden(q.getName)) keep = false; q = q.getParent }
+          if (keep) buf += f
+        }
+        buf.toSeq
+      } else Seq(st.getPath).filterNot(f => hidden(f.getName))
+    }.sortBy(_.toString)
     require(files.nonEmpty, s"hepmc: no input files at $path")
     files.map(f => HepMcInputPartition(f.toString): InputPartition).toArray
   }

@@ -151,4 +151,28 @@ class HepMcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.read.format("hepmc").load(writeFixture("noisy.hepmc", noisy))
     assert(df.count() === 11)
   }
+
+  test("tolerant parsing: truncated and garbage records never crash") {
+    // 1-char P/V, no-space prefixes, W with non-numeric payload, truncated
+    // P — all skipped like unknown kinds; events stay intact
+    val noisy = fixture.replace("W 0.75\n",
+      "W 0.75\nP\nV\nWeights are not a record\nW a b c\nP 9 0\nVertexes\n")
+    val df = spark.read.format("hepmc").load(writeFixture("trunc.hepmc", noisy))
+    assert(df.count() === 11)
+    // the well-formed W before the garbage one is the kept payload
+    assert(df.select("weights").where("event_id = 0")
+      .head().getSeq[Double](0) === Seq(0.75))
+  }
+
+  test("directory listing recurses into nested shard dirs") {
+    Files.createDirectories(Paths.get(dir, "nest/run-a/part-0"))
+    Files.createDirectories(Paths.get(dir, "nest/run-b"))
+    Files.createDirectories(Paths.get(dir, "nest/.hiddenrun"))
+    writeFixture("nest/run-a/part-0/a.hepmc")
+    writeFixture("nest/run-b/b.hepmc")
+    writeFixture("nest/.hiddenrun/skipme.hepmc")
+    val df = spark.read.format("hepmc").load(s"$dir/nest")
+    assert(df.rdd.getNumPartitions === 2, "hidden dir skipped, nested found")
+    assert(df.count() === 22)
+  }
 }
