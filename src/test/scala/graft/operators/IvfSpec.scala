@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The trained IVF/ANN family (`ivfIndex` / `ivfSearch` / `exactTopK` /
+  * `ivfRecall`) on the sf0.001 embeddings parquet — FILE-backed on purpose:
+  * plan-shape assertions on LocalRelation inputs constant-fold away at
+  * optimization time and prove nothing.
+  */
+class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  test("ivfIndex: nlist trained centroids, assignment covers the corpus") {
+    val m = Similarity.ivfIndex(emb, nlist = 16, iters = 2)
+    assert(m.nlist === 16)
+    assert(m.centroids.size === 16)
+    assert(m.centroids.map(_._1) === (0L until 16L))
+    // every centroid is a real 64-dim quantized vector with its exact norm
+    m.centroids.foreach { case (_, cv, csq) =>
+      assert(cv.size === 64)
+      assert(csq === cv.map(x => x * x).sum)
+    }
+    val a = m.assignments
+    assert(a.count() === emb.count())
+    val cids = a.select("cid").distinct().collect().map(_.getLong(0)).toSet
+    assert(cids.subsetOf((0L until 16L).toSet) && cids.nonEmpty)
+  }
+
+  test("assignment is map-only: no exchange anywhere in the routing plan") {
+    val m = Similarity.ivfIndex(emb, nlist = 16, iters = 2)
+    val plan = m.assignments.queryExecution.executedPlan.toString
+    // the 100 TB property: routing a corpus to its lists is a scan-fused
+    // argmax over literal centroids — never a shuffle, never a join
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("nprobe = nlist degrades to exhaustive: identical to exactTopK") {
+    val m = Similarity.ivfIndex(emb, nlist = 4, iters = 2)
+    val full = Similarity.ivfSearch(m, queries, k = 3, nprobe = 4)
+      .orderBy("qid", "rn").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = Similarity.exactTopK(emb, queries, k = 3)
+      .orderBy("qid", "rn").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(full.toSeq === exact.toSeq)
+  }
+
+  test("recall audit at two nlist settings: measured and bounded") {
+    def avgRecall(nlist: Int, nprobe: Int): Double = {
+      val m = Similarity.ivfIndex(emb, nlist = nlist, iters = 2)
+      val rows = Similarity.ivfRecall(m, emb, queries, k = 3, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length === 10, "one audit row per query")
+      rows.foreach { case (_, nHit, rec) =>
+        assert(nHit >= 0 && nHit <= 3)
+        assert(rec >= 0.0 && rec <= 1.0)
+        assert(rec === nHit / 3.0)
+      }
+      rows.map(_._3).sum / rows.length
+    }
+    val coarse = avgRecall(nlist = 4, nprobe = 2)  // probes ~half the corpus
+    val fine = avgRecall(nlist = 16, nprobe = 2)   // probes ~1/8 of it
+    // recall is NOT monotone in the probed corpus share — better-trained
+    // fine centroids can route more accurately than coarse ones (measured
+    // here: fine 0.87 vs coarse 0.83 on this corpus), which is exactly why
+    // the audit exists: (nlist, nprobe) is chosen by measurement, not by
+    // rule of thumb. Both settings must stay usable.
+    assert(coarse > 0.5, s"coarse(4,2) recall unusable: $coarse")
+    assert(fine > 0.5, s"fine(16,2) recall unusable: $fine")
+  }
+}
