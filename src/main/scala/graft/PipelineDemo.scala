@@ -5,10 +5,12 @@ import graft.operators.{Dedup, Paragraphs, Sampling, TextAnalysis}
 
 /** Runnable end-to-end training-data curation pipeline — the composition
   * story for the north-star operators: quality gate + classifier gate →
-  * exact + near-dup removal → paragraph-level dedup → benchmark
-  * decontamination → deterministic split → training shards. Every stage is a pure DataFrame
-  * transform, so the same code runs unchanged from this sf0.001 smoke
-  * corpus to a 100 TB ingest (scan-fused gate, LSH candidate generation,
+  * exact dedup → ONE materialized duplicate-cluster table feeding
+  * quality-aware canonical selection and removal → paragraph-level dedup →
+  * benchmark decontamination → deterministic split → training shards.
+  * Every stage is a pure DataFrame transform, so the same code runs
+  * unchanged from this sf0.001 smoke corpus to a 100 TB ingest (scan-fused
+  * gate, df-capped pair generation, cluster-bounded canonical windows,
   * paragraph-hash counts, broadcast decontamination probe, hash splits,
   * one-exchange shard shuffle).
   *
@@ -39,9 +41,22 @@ object PipelineDemo {
       .filter(col("doc_id") === col("keeper"))
       .drop("keeper")
     val n2 = exact.count()
-    // persisted: three downstream actions (n3, n4, the split aggregate)
-    // would otherwise each re-run the LSH candidate + verification DAG
-    val deduped = Dedup.deduplicate(exact, jaccardThreshold = 0.6).persist()
+    // near-dup handling, the pipeline way: the duplicate-cluster table is
+    // materialized ONCE (persist) and every consumer derives from it —
+    // quality-aware canonical selection keeps the longest member of each
+    // cluster (any quality column slots in, e.g. t12's margin), and the
+    // removal is an anti-join of the non-canonical ids. Nothing downstream
+    // ever recomputes the pair graph (the d14-standalone-query shape is
+    // exactly what a pipeline must NOT do per cluster consumer).
+    val clusters = Dedup
+      .duplicateClusters(exact.select("doc_id", "text"), jaccardThreshold = 0.6)
+      .persist()
+    val nClustered = clusters.count()
+    val nonCanonical = Dedup.keepCanonical(
+        exact.select(col("doc_id"), length(col("text")).as("n_chars")),
+        clusters, col("n_chars"))
+      .filter(!col("keep")).select("doc_id")
+    val deduped = exact.join(nonCanonical, Seq("doc_id"), "left_anti").persist()
     val n3 = deduped.count()
 
     // 3. paragraph-level dedup (Lee et al.): duplicated paragraphs keep
@@ -75,8 +90,8 @@ object PipelineDemo {
       .count(_.getName.startsWith("shard="))
 
     println(s"corpus=$n0 quality_pass=$n1 exact_unique=$n2 " +
-      s"near_dedup=$n3 para_dedup=$n3b decontaminated=$n4 " +
-      s"splits[$splits] shards=$nShards")
+      s"clustered=$nClustered canonical_dedup=$n3 para_dedup=$n3b " +
+      s"decontaminated=$n4 splits[$splits] shards=$nShards")
     require(n1 <= n0 && n2 <= n1 && n3 <= n2 && n3b <= n3 && n4 <= n3b,
       "every stage only removes")
     spark.stop()

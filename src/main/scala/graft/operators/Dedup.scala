@@ -1265,6 +1265,41 @@ object Dedup {
     * scale, quadratic-in-component-size at 100 TB, which is precisely why
     * the engine does label propagation instead.
     */
+  /** Duplicate-cluster table from the EXHAUSTIVE pair graph (the d07
+    * pipeline as a public library op): df-capped Jaccard pairs → adaptive
+    * connected components. Returns `(doc_id, cluster)` for every document
+    * with at least one near-duplicate; singletons absent by construction.
+    * Deterministic-complete where [[duplicateClusters]] (the LSH variant)
+    * trades recall for a linear scan. A curation pipeline materializes ONE
+    * cluster table and feeds both [[keepCanonical]] and any removal/audit
+    * pass — recomputing the pair graph per consumer is the d14-standalone-
+    * query shape, fine for one query, wrong in a pipeline.
+    */
+  def jaccardClusters(docs: DataFrame, jaccardThreshold: Double,
+      dfCap: Int = 50): DataFrame =
+    connectedComponents(jaccardPairs(docs, jaccardThreshold, dfCap))
+
+  /** Quality-aware CANONICAL selection over a PRECOMPUTED cluster table:
+    * within each cluster, rank by `quality` (descending, doc_id
+    * tie-break — deterministic under retries) and keep the top member.
+    * Returns `clusters ⋈ docs` with every `docs` column plus `keep`.
+    *
+    * `docs` carries whatever columns `quality` references (length, a t12
+    * classifier margin, an LM fluency score…); `clusters` is
+    * `(doc_id, cluster)` — typically a materialized [[duplicateClusters]]
+    * output, so selection costs ONE window over cluster-bounded
+    * partitions and zero pair-graph recomputation. Cluster sizes are
+    * bounded by the pair graph's components, never the corpus, so the
+    * window never sees a corpus-scale partition.
+    */
+  def keepCanonical(docs: DataFrame, clusters: DataFrame,
+      quality: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(quality.desc, col("doc_id"))
+    clusters.join(docs, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   val dupClusters: QueryDef = q(
     "d07_dup_clusters",
     s"""WITH RECURSIVE $pairCtes,
@@ -1277,9 +1312,8 @@ object Dedup {
        |SELECT doc_id, min(r) AS cluster FROM reach
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    connectedComponents(
-      jaccardPairs(Tables.parallel(Tables.documents(s, d).select("doc_id", "text")),
-        0.2, 50))
+    jaccardClusters(
+      Tables.parallel(Tables.documents(s, d).select("doc_id", "text")), 0.2, 50)
       .orderBy("doc_id")
   }
 
@@ -1401,13 +1435,10 @@ object Dedup {
        |FROM cl c JOIN ln l ON l.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val cc = connectedComponents(
-      jaccardPairs(Tables.parallel(docs), 0.2, 50))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster")).orderBy(col("n_chars").desc, col("doc_id"))
-    cc.join(docs.select(col("doc_id"), length(col("text")).as("n_chars")),
-        "doc_id")
-      .withColumn("keep", row_number().over(w) === 1)
+    val clusters = jaccardClusters(Tables.parallel(docs), 0.2, 50)
+    keepCanonical(
+      docs.select(col("doc_id"), length(col("text")).as("n_chars")),
+      clusters, col("n_chars"))
       .select("doc_id", "cluster", "n_chars", "keep")
       .orderBy("doc_id")
   }
