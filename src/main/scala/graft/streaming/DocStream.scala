@@ -268,6 +268,66 @@ object DocStream {
       .start()
   }
 
+  /** The FULL composed streaming curation pipeline — quality gate →
+    * hashed-n-gram classifier → streaming span dedup → Bloom-screened
+    * near-dup ingest → deterministic training shards — over one staged
+    * input directory, each stage the SAME operator code the batch pipeline
+    * (`graft.PipelineDemo`) composes.
+    *
+    * Execution shape: two AvailableNow streaming passes + one batch
+    * finalization, the lambda pairing the [[spanDedupIngest]] scaladoc
+    * states:
+    *
+    *   1. span lane — the gated stream's winnowed span decisions append
+    *      to `workDir/span-profile` (fp-keyed state, doc_id-keyed output);
+    *   2. document lane — the gated stream semi-joins the completed span
+    *      decisions (stream-static join on doc_id; the text never rode
+    *      the fp shuffle) and runs the screened incremental near-dup
+    *      ingest against `workDir/index`, survivors appending to
+    *      `workDir/kept`;
+    *   3. shard finalization — ONE batch pass shuffles `kept` into
+    *      `workDir/shards` (deterministic per-shard order).
+    *
+    * Composed contract (CurationPipelineSpec): over a multi-batch stream
+    * whose span duplicates are co-trigger and whose exact/near duplicates
+    * arrive first-occurrence-first, the surviving rows AND the shard
+    * layout are row-identical to the batch composition
+    * `gate → classifier → dropSpanDuplicates → deduplicate → shards`.
+    * The two inherent stream/batch asymmetries stay what their operator
+    * contracts say: a span duplicate arriving in a LATER trigger flags
+    * only the later occurrences (the earlier copy already shipped), and
+    * near-dup chains resolve per arrival order rather than corpus-wide.
+    * Returns the shards directory.
+    */
+  def curationPipeline(spark: SparkSession, inDir: String, workDir: String,
+      tsCol: String, capacityDocs: Long, maxDupFraction: Double = 0.5,
+      jaccardThreshold: Double = 0.6, numShards: Int = 4,
+      maxFilesPerTrigger: Int = 1): String = {
+    val schema = spark.read.parquet(inDir).schema
+    def stream: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString).parquet(inDir)
+    def gated(df: DataFrame): DataFrame =
+      graft.operators.TextAnalysis.classifierScore(
+          graft.operators.TextAnalysis.qualityFilter(df))
+        .filter(col("quality_pass") && col("label") === "keep")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // 1. span lane
+    spanDedupIngest(gated(stream), tsCol, s"$workDir/span-profile",
+      maxDupFraction).awaitTermination()
+    // 2. document lane, gated by the span decisions
+    val keeps = spark.read.parquet(s"$workDir/span-profile")
+      .filter(col("keep")).select("doc_id")
+    nearDupIngestScreened(
+      gated(stream).join(keeps, Seq("doc_id"), "left_semi"),
+      s"$workDir/index", s"$workDir/kept", capacityDocs, jaccardThreshold)
+      .awaitTermination()
+    // 3. shard finalization
+    graft.operators.Sampling.writeTrainingShards(
+      spark.read.parquet(s"$workDir/kept"), col("doc_id"), numShards,
+      s"$workDir/shards")
+    s"$workDir/shards"
+  }
+
   /** Small-files maintenance for the ingest index: every micro-batch of
     * [[nearDupIngest]]/[[nearDupIngestScreened]] appends one parquet file
     * batch, so a long-lived loop leaves thousands of tiny files — the
