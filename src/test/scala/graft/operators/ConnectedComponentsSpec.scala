@@ -63,6 +63,44 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok.values.toSet == Set(1L))
   }
 
+  test("above the 2M-edge threshold the DISTRIBUTED path runs, labels exact") {
+    // 2.1M edges (> the 2M localEdgeThreshold default, so this is the
+    // pointer-jumping loop for real, not the hook): 300k disjoint 8-node
+    // paths, nodes p*8..p*8+7, edges (i, i+1) within each path. Ground
+    // truth is closed-form: cluster(n) = n - n % 8.
+    val edges = spark.range(2400000L)
+      .filter(col("id") % 8 =!= 7)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    assert(edges.count() === 2100000L)
+    val labels = Dedup.connectedComponents(edges)
+    val bad = labels.filter(
+      col("cluster") =!= col("doc_id") - pmod(col("doc_id"), lit(8))).count()
+    assert(bad === 0L, s"$bad mislabeled vertices")
+    assert(labels.count() === 2400000L)
+    assert(labels.select("cluster").distinct().count() === 300000L)
+  }
+
+  test("driver and distributed paths agree on a randomized mid-size graph") {
+    // deterministic pseudo-random topology (hash-derived endpoints over
+    // 20k vertices, ~30k edges → many components, varied shapes, possible
+    // multi-edges), run through BOTH paths via the threshold hook
+    val edges = spark.range(30000L)
+      .select(pmod(xxhash64(col("id")), lit(20000)).as("doc_a"),
+        pmod(xxhash64(col("id") * 7 + 1), lit(20000)).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .persist()
+    val driver = clusters(
+      Dedup.connectedComponents(edges, localEdgeThreshold = Long.MaxValue))
+    val dist = clusters(
+      Dedup.connectedComponents(edges, localEdgeThreshold = 0L))
+    assert(driver.size === dist.size)
+    assert(driver === dist, {
+      val diff = driver.collect { case (k, v) if dist.get(k) != Some(v) => k }
+      s"${diff.size} vertices disagree, e.g. ${diff.take(5)}"
+    })
+    edges.unpersist()
+  }
+
   test("duplicate clusters over injected exact copies") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
