@@ -722,6 +722,32 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup over a TRAINED IVF model — the production form of s06's
+    * seeded-centroid semantic dedup: drop every vector that has a
+    * higher-similarity twin (cos > threshold) with a smaller id inside
+    * its TRAINED cluster. Returns the dropped `(vec_id, cid)` rows,
+    * exactly s06's output contract.
+    *
+    * This is the scale answer the sf1 gate measured: with nlist pinned at
+    * a constant, within-cluster pair volume is Σ|cluster|² — quadratic in
+    * corpus growth (s06's oracle form DNFs at sf1). Train the model with
+    * nlist ∝ √n ([[ivfIndex]]) and the same equi-join spreads over n
+    * clusters of bounded size, restoring linear total pair mass — the
+    * spec pins that trained-cluster drops are a SUBSET of the
+    * single-cluster (corpus-wide) rule, i.e. clustering only localizes
+    * the comparison, never invents a drop.
+    */
+  def semDedupTrained(model: IvfModel, threshold: Double): DataFrame = {
+    val a = model.assignments.select(col("vec_id").as("va"),
+      col("qv").as("qa"), col("sq").as("sa"), col("cid"))
+    val b = model.assignments.select(col("vec_id").as("vb"),
+      col("qv").as("qb"), col("sq").as("sb"), col("cid").as("cidb"))
+    a.join(b, col("cid") === col("cidb") && col("va") < col("vb"))
+      .withColumn("cos", cosCol(expr(dotRawSql("qa", "qb")), col("sa"), col("sb")))
+      .filter(col("cos") > threshold)
+      .select(col("vb").as("vec_id"), col("cid")).distinct()
+  }
+
   /** Coarse storage quantization: DECIMAL(18,3) → 1e-3 units (the int8-ish
     * compression a 100 TB embedding store actually applies; the engine's
     * own exact path uses 1e-6).

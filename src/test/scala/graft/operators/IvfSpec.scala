@@ -75,4 +75,21 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(coarse > 0.5, s"coarse(4,2) recall unusable: $coarse")
     assert(fine > 0.5, s"fine(16,2) recall unusable: $fine")
   }
+
+  test("semDedupTrained: nlist=1 equals the corpus-wide rule; clusters only localize") {
+    def drops(nlist: Int): Set[Long] =
+      Similarity.semDedupTrained(Similarity.ivfIndex(emb, nlist, iters = 2), 0.4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    // one cluster = every pair compared: exactly the corpus-wide
+    // "smaller-id twin with cos > t" rule, independently computable from
+    // the exact all-pairs op
+    val corpusWide = Similarity.allPairsCosine(emb, 0.4)
+      .select("vec_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(drops(1) === corpusWide)
+    // a finer partition can only MISS cross-cluster pairs, never invent a
+    // drop — trained-cluster drops are a subset of the corpus-wide rule
+    val fine = drops(16)
+    assert(fine.subsetOf(corpusWide),
+      s"invented drops: ${fine -- corpusWide}")
+  }
 }
