@@ -43,6 +43,17 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("ivfSearch plan: probes broadcast, the corpus is never key-shuffled") {
+    val m = Similarity.ivfIndex(emb, nlist = 16, iters = 1)
+    val plan = Similarity.ivfSearch(m, queries, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // candidate selection joins the assigned corpus against the tiny
+    // probe relation by broadcast — a sort-merge join here would shuffle
+    // the whole corpus on the list id
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("nprobe = nlist degrades to exhaustive: identical to exactTopK") {
     val m = Similarity.ivfIndex(emb, nlist = 4, iters = 2)
     val full = Similarity.ivfSearch(m, queries, k = 3, nprobe = 4)
