@@ -561,22 +561,23 @@ object Dedup {
     // A paranoid exact variant would carry (h, s) and join on both.
     val tri = w.select(col("doc_id"), explode(col("arr")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    // posting-list candidate generation with BOUNDED aggregation state:
+    // posting-list candidate generation as a df-capped SELF-EQUI-JOIN:
     // document frequencies first (count aggregate, O(1) state per key),
-    // hub shingles above the cap are dropped BEFORE any doc-id list is
-    // collected — so collect_list provably holds <= dfCap ids per key
-    // even when a hub shingle appears in every document. Pairs then
-    // explode row-locally via codegen Generate (an earlier lambda-based
-    // expansion evaluated interpreted; a two-sided equi-join re-ran the
-    // shingle pipeline per side).
+    // hub shingles above the cap are dropped BEFORE pairing, so per-key
+    // join fan-out is provably <= dfCap² even when a hub shingle appears
+    // in every document, and no operator holds list state at all (the
+    // earlier collect_list + double-explode shape held <= dfCap ids per
+    // key — also bounded, but measured 15-50% slower across d05/d07/d14
+    // at sf0.1 AND 2× slower on d05 at sf1: the Generate pair expansion
+    // costs more than the join's hash probe, and AQE plans the identical
+    // post subtrees once). Join strategy is left to Catalyst/AQE —
+    // sort-merge spills gracefully at 100 TB; a shuffle_hash hint
+    // measured no better at gate scale.
     val dfreq = tri.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= dfCap)
-    val g = tri.join(dfreq.select("h"), "h")
-      .groupBy(col("h"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-    val cand = g
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+    val post = tri.join(dfreq.select("h"), "h")
+    val cand = post.select(col("h"), col("doc_id").as("doc_a"))
+      .join(post.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))

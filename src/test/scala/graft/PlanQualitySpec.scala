@@ -187,13 +187,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the corpus must never shuffle for a 10-row query set: " + p)
   }
 
-  test("d05 posting-list collect runs bounded: df filter sits below the list aggregate") {
+  test("d05 pair generation is a df-capped equi-join: hash aggregation, no lists, no all-pairs") {
     val p = plan("d05_dedup_ngram_jaccard")
-    // the doc-id list aggregate (ObjectHashAggregate) must be fed by the
-    // df-capped join, never fall back to sort-based aggregation, and the
-    // frequency count itself stays a plain HashAggregate
-    assert(p.contains("ObjectHashAggregate"), p)
+    // candidates come from a SELF-EQUI-JOIN of the df-capped posting
+    // table (per-key fan-out <= dfCap², no list state anywhere —
+    // ObjectHashAggregate gone with collect_list); the df filter and the
+    // pair count stay plain HashAggregates on long keys, and nothing
+    // degenerates to an all-pairs scan or sort-based aggregation
+    assert(!p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
 
