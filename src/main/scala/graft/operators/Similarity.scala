@@ -941,38 +941,50 @@ object Similarity {
     * top-3. Complements s03 (seeded centroids): together they pin both ends
     * of the IVF parameterization the judge flagged.
     */
+  private def xiDim(tbl: String, dim: String): String =
+    s"CAST(CAST(CAST($tbl.embedding[CAST($dim AS INT)] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+  /** Oracle CTE chain for ONE truncated-mean k-means update from the
+    * seeded assignment, then corpus-wide reassignment: `nc` (trained
+    * centroid components), `ncn` (their norms), `ascore2` (corpus ×
+    * trained-centroid cosines), `assign2` (vec_id → trained cid).
+    * Truncation toward zero on the non-negative |s| is exact integer
+    * arithmetic on BOTH engines. Expects `$oracleNorms, $oracleAssign`
+    * earlier in the WITH chain. Shared by s10 and s11.
+    */
+  private val oracleTrainedAssign: String =
+    s"""csz AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
+       |sums AS (
+       |  SELECT a.cid, j.j AS dim, CAST(sum(${xiDim("e", "j.j")}) AS BIGINT) AS s
+       |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id, j
+       |  GROUP BY a.cid, j.j),
+       |nc AS (
+       |  SELECT sums.cid, sums.dim,
+       |         CAST(CASE WHEN s < 0 THEN -(abs(s) // n) ELSE s // n END AS BIGINT) AS c
+       |  FROM sums JOIN csz ON csz.cid = sums.cid),
+       |ncn AS (SELECT cid, CAST(sum(c * c) AS BIGINT) AS sq FROM nc GROUP BY cid),
+       |ad AS (
+       |  SELECT e.vec_id, nc.cid,
+       |         CAST(sum(${xiDim("e", "nc.dim")} * nc.c) AS BIGINT) AS dot
+       |  FROM embeddings e, nc
+       |  GROUP BY e.vec_id, nc.cid),
+       |ascore2 AS (
+       |  SELECT ad.vec_id, ad.cid,
+       |    (CAST(dot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |      / (sqrt(CAST(na.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |       * sqrt(CAST(ncn.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))) AS cos
+       |  FROM ad JOIN norms na ON na.vec_id = ad.vec_id
+       |          JOIN ncn ON ncn.cid = ad.cid),
+       |assign2 AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM ascore2) WHERE rn = 1)""".stripMargin
+
   val ivfTrained: QueryDef = {
-    def xiDim(tbl: String, dim: String): String =
-      s"CAST(CAST(CAST($tbl.embedding[CAST($dim AS INT)] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
     q("s10_ivf_trained",
       s"""WITH $oracleNorms,
          |$oracleAssign,
-         |csz AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
-         |sums AS (
-         |  SELECT a.cid, j.j AS dim, CAST(sum(${xiDim("e", "j.j")}) AS BIGINT) AS s
-         |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id, j
-         |  GROUP BY a.cid, j.j),
-         |nc AS (
-         |  SELECT sums.cid, sums.dim,
-         |         CAST(CASE WHEN s < 0 THEN -(abs(s) // n) ELSE s // n END AS BIGINT) AS c
-         |  FROM sums JOIN csz ON csz.cid = sums.cid),
-         |ncn AS (SELECT cid, CAST(sum(c * c) AS BIGINT) AS sq FROM nc GROUP BY cid),
-         |ad AS (
-         |  SELECT e.vec_id, nc.cid,
-         |         CAST(sum(${xiDim("e", "nc.dim")} * nc.c) AS BIGINT) AS dot
-         |  FROM embeddings e, nc
-         |  GROUP BY e.vec_id, nc.cid),
-         |ascore2 AS (
-         |  SELECT ad.vec_id, ad.cid,
-         |    (CAST(dot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
-         |      / (sqrt(CAST(na.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
-         |       * sqrt(CAST(ncn.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))) AS cos
-         |  FROM ad JOIN norms na ON na.vec_id = ad.vec_id
-         |          JOIN ncn ON ncn.cid = ad.cid),
-         |assign2 AS (SELECT vec_id, cid FROM (
-         |  SELECT vec_id, cid,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-         |  FROM ascore2) WHERE rn = 1),
+         |$oracleTrainedAssign,
          |probes AS (SELECT qid, cid FROM (
          |  SELECT vec_id AS qid, cid,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
@@ -1003,8 +1015,36 @@ object Similarity {
     }
   }
 
+  /** s11: [[semDedupTrained]] under the oracle gate — s06's drop rule
+    * (higher-similarity smaller-id twin, cos > 0.4, within-cluster) over
+    * the TRAINED assignment instead of the seeded one. Same output
+    * contract as s06; the trained chain is s10's shared CTE prefix.
+    */
+  val semDedupTrainedQ: QueryDef = q(
+    "s11_semdedup_trained",
+    s"""WITH $oracleNorms,
+       |$oracleAssign,
+       |$oracleTrainedAssign,
+       |pd AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,
+       |    CAST(sum(${xiSql("ea")} * ${xiSql("eb")}) AS BIGINT) AS dot
+       |  FROM assign2 a JOIN assign2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id, j
+       |  GROUP BY a.vec_id, b.vec_id, a.cid),
+       |ps AS (
+       |  SELECT va, vb, cid, $oracleCos AS cos
+       |  FROM pd JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb)
+       |SELECT DISTINCT vb AS vec_id, cid
+       |FROM ps WHERE cos > 0.4
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.parallel(Tables.embeddings(s, d))
+    semDedupTrained(ivfIndex(emb, nlist = 8, iters = 1), 0.4)
+      .orderBy("vec_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
-      ivfTrained)
+      ivfTrained, semDedupTrainedQ)
 }
