@@ -29,7 +29,7 @@ private[graft] object Checkpoints {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
   /** Drops the snapshot blocks for `ids` (async; no-op for absent ids). */

@@ -393,14 +393,14 @@ object Dedup {
     val textBloom = index
       .agg(expr(s"bloom_filter_agg(xxhash64(text), ${expectedDocs}L, " +
         s"${nBits(expectedDocs)}L)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val collapsed = collapseExact(index.select(col("doc_id"), col("text")))
       .select(col("rep_id").as("doc_id"), col("text"))
     val nBandKeys = expectedDocs * BANDS
     val bandBloom = bandKeys(collapsed, SIGS, BANDS)
       .agg(expr(s"bloom_filter_agg(xxhash64(band_idx, band_val), " +
         s"${nBandKeys}L, ${nBits(nBandKeys)}L)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     IndexScreen(textBloom, bandBloom, fpp)
   }
 

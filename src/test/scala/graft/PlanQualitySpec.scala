@@ -215,6 +215,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s11 trained semdedup keeps the same equi-join shape over trained lists") {
+    val p = plan("s11_semdedup_trained")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d12 paragraph extraction is scan-fused; counts stay hash-aggregated") {
     val p = plan("d12_paragraph_dedup")
     // paragraph windows come from a posexplode fused onto the scan
