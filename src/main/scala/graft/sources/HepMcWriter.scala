@@ -39,6 +39,16 @@ object HepMcWriter {
 
   /** Writes `df` (any frame with [[HepMc.schema]]'s columns) as
     * `numFiles` HepMC3 ASCII files under `dir`.
+    *
+    * Commit protocol: each task writes to a temp path carrying its task
+    * attempt id and renames into place only after a fully successful
+    * write, so a mid-job failure or a speculative/zombie attempt can
+    * never surface a truncated or interleaved final `.hepmc` file (the
+    * tolerant reader would otherwise silently parse a partial file as
+    * fewer events). Concurrent successful attempts each rename a
+    * COMPLETE file; last rename wins, which is safe because attempts of
+    * the same partition produce identical bytes (the input sort is
+    * deterministic).
     */
   def write(df: DataFrame, dir: String, numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"numFiles must be positive (got $numFiles)")
@@ -51,11 +61,15 @@ object HepMcWriter {
     val dirStr = dir
     arranged.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val pid = TaskContext.getPartitionId()
-        val path = new Path(dirStr, f"part-$pid%05d.hepmc")
-        val fs = path.getFileSystem(conf.value)
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
+        val finalPath = new Path(dirStr, f"part-$pid%05d.hepmc")
+        val tmpPath = new Path(dirStr, f"_tmp-part-$pid%05d-attempt-$attempt.hepmc")
+        val fs = finalPath.getFileSystem(conf.value)
+        var ok = false
         val out = new BufferedWriter(new OutputStreamWriter(
-          fs.create(path, true), StandardCharsets.UTF_8))
+          fs.create(tmpPath, true), StandardCharsets.UTF_8))
         try {
           out.write("HepMC::Version 3.02.05\n")
           out.write("HepMC::Asciiv3-START_EVENT_LISTING\n")
@@ -73,7 +87,18 @@ object HepMcWriter {
           }
           flush()
           out.write("HepMC::Asciiv3-END_EVENT_LISTING\n")
-        } finally out.close()
+          out.close()
+          ok = true
+        } finally {
+          if (!ok) {
+            try out.close() catch { case _: Throwable => () }
+            fs.delete(tmpPath, false)
+          }
+        }
+        fs.delete(finalPath, false)
+        if (!fs.rename(tmpPath, finalPath))
+          throw new java.io.IOException(
+            s"commit failed: rename $tmpPath -> $finalPath")
       }
     }
   }
@@ -84,12 +109,17 @@ object HepMcWriter {
   private def writeEvent(out: BufferedWriter, eventId: Long,
       rows: mutable.ArrayBuffer[Row]): Unit = {
     val realVtx = mutable.SortedSet.empty[Int](Ordering.Int.reverse) // -1, -2, …
+    // elided single-incoming vertices (encoded as mother-id parent links)
+    // count toward n_vtx too: HepMC3's WriterAscii counts ALL GenEvent
+    // vertices in the E header, including ones it elides as V records.
+    val elidedVtx = mutable.Set.empty[Int]
     rows.foreach { r =>
       val pv = r.getInt(9); val ev = r.getInt(11)
       if (pv < 0) realVtx += pv
+      else { val m = r.getInt(10); if (m > 0) elidedVtx += m }
       if (ev < 0) realVtx += ev
     }
-    out.write(s"E $eventId ${realVtx.size} ${rows.size}\n")
+    out.write(s"E $eventId ${realVtx.size + elidedVtx.size} ${rows.size}\n")
     val head = rows.head
     if (!head.isNullAt(1) && !head.isNullAt(2))
       out.write(s"U ${head.getString(1)} ${head.getString(2)}\n")

@@ -298,11 +298,28 @@ object DocStream {
     * only the later occurrences (the earlier copy already shipped), and
     * near-dup chains resolve per arrival order rather than corpus-wide.
     * Returns the shards directory.
+    *
+    * `workDir` must be FRESH: all three lanes append and the near-dup
+    * lane dedups against `workDir/index`, so a silent rerun over a used
+    * workDir would double-append span profiles, dedup the corpus against
+    * its own prior index (emptying `kept`), and rewrite shards from
+    * stale rows. Guarded by a `require` at entry rather than auto-delete
+    * — a curation workDir can hold hours of ingest state, and destroying
+    * it on a typo'd path is worse than failing fast.
     */
   def curationPipeline(spark: SparkSession, inDir: String, workDir: String,
       tsCol: String, capacityDocs: Long, maxDupFraction: Double = 0.5,
       jaccardThreshold: Double = 0.6, numShards: Int = 4,
       maxFilesPerTrigger: Int = 1): String = {
+    val wdFs = graft.hep.HadoopIo.fs(spark, workDir)
+    Seq("span-profile", "index", "kept", "shards").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(workDir, sub)
+      require(!wdFs.exists(p),
+        s"curationPipeline: $p already exists — the pipeline is not " +
+          "idempotent over a used workDir (appends would double-count and " +
+          "the prior index would swallow the corpus); pass a fresh workDir " +
+          "or delete the old one explicitly")
+    }
     val schema = spark.read.parquet(inDir).schema
     def stream: DataFrame = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString).parquet(inDir)

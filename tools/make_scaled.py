@@ -80,7 +80,16 @@ def salt_documents(tbl: pa.Table, k: int) -> pa.Table:
 def rotate_embeddings(tbl: pa.Table, k: int) -> pa.Table:
     if k == 0:
         return tbl
-    rot = k % 64
+    # rot = k % 64 would make replica 64 an exact un-rotated copy of the
+    # original (violating the no-shared-semantic-structure invariant), so
+    # the dimension count is a hard ceiling on replicas — assert rather
+    # than silently wrap.
+    dim = len(tbl["embedding"][0].as_py())
+    assert k < dim, (
+        f"replica {k} >= embedding dim {dim}: cyclic rotation wraps to an "
+        f"exact copy; use <= {dim} replicas (or add a per-replica "
+        f"sign-flip scheme first)")
+    rot = k
     vecs = tbl["embedding"].to_pylist()
     rotated = [None if v is None else v[rot:] + v[:rot] for v in vecs]
     cols = {}
