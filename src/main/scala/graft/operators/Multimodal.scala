@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -8,13 +10,24 @@ import graft.{QueryDef, Tables}
   * BINARY columns with typed metadata; decode/feature-extraction runs
   * per-partition over the binary batches.
   *
-  * The decode step itself is STUBBED (no media codecs in this environment):
-  * [[decodeStub]] is a deterministic fake that derives "features" from the
-  * bytes. Everything Spark-side is real and tested — the schema, the
-  * binary column handling, the mapPartitions batch shape (one iterator per
-  * partition, no per-row task overhead, no driver collect), and the
-  * frame-sampling explode. Swapping the stub for a real codec is a
-  * one-function change.
+  * IMAGE decode is REAL: [[decodeImage]] runs `javax.imageio` (the JDK's
+  * own PNG/BMP/GIF codecs — zero extra dependencies) per-partition over
+  * the binary batches, and [[pngAudit]] (m04) oracle-gates it end to end:
+  * deterministic PNGs are ImageIO-ENCODED from a closed-form pixel law,
+  * ImageIO-DECODED back, and width/height/pixel-checksum must match the
+  * SQL closed form. MultimodalSpec additionally decodes a COMMITTED
+  * fixture PNG written by an independent encoder (pure-python zlib,
+  * `tools/make_png_fixture.py`), so the decode is cross-implementation
+  * verified, not self-inverse.
+  *
+  * AUDIO/VIDEO decode stays STUBBED (no media codecs for those in this
+  * environment): [[decodeStub]] is a deterministic fake that derives
+  * "features" from the bytes. Everything Spark-side is real and tested —
+  * the schema, the binary column handling, the mapPartitions batch shape
+  * (one iterator per partition, no per-row task overhead, no driver
+  * collect), and the frame-sampling explode. Swapping the stub for a real
+  * codec is a one-function change, exactly the change [[decodeImage]]
+  * demonstrates for images.
   */
 object Multimodal {
 
@@ -104,6 +117,89 @@ object Multimodal {
     }
   }
 
+  /** Decoded image features from a REAL codec pass: dimensions straight
+    * from the decoder and the sum of all RGB channel values (the "pixel
+    * checksum" — order-independent, exact integer).
+    */
+  final case class ImageFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      pixel_sum: Long)
+
+  /** Deterministic synthetic PNG for `id`: `w = 1 + id mod 64`,
+    * `h = 1 + id mod 48`, every channel of pixel (x, y) equals
+    * `c + x` with `c = id mod 100` (max 99 + 63 < 256, so no modular
+    * wrap and the checksum has the closed form
+    * `3 h (w c + w (w - 1) / 2)` the m04 oracle states). The bytes are
+    * REAL PNGs — ImageIO's encoder, zlib IDAT and all — so the decode
+    * side exercises the full codec, not a fake.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 1 + (math.floorMod(id, 64)).toInt
+    val h = 1 + (math.floorMod(id, 48)).toInt
+    val c = (math.floorMod(id, 100)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = c + x
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One synthetic PNG payload per document id — the image-table stand-in
+    * (the harness ships no binary media fixtures; the documents table
+    * provides the id spine). Encoding runs per-partition on executors:
+    * the corpus never holds more than one partition's images in memory
+    * and the driver never sees a byte.
+    */
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "image", syntheticPng(id))))
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO.read` per payload, in the
+    * same per-partition batch shape as [[decodeStub]] (codec dispatch is
+    * JVM-static, rows stream, nothing driver-side). Null decodes (bytes
+    * that are not a decodable image) fail loudly rather than silently
+    * zeroing features.
+    */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.content))
+        require(img != null,
+          s"media_id ${r.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(r.media_id, w, h, r.content.length.toLong, sum)
+      }
+    }
+  }
+
   private def q(name: String, oracle: String)(
       run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, Some(oracle), run)
@@ -183,5 +279,30 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(binaryMeta, decodeAgg, frameAudit)
+  /** m04: the REAL-codec audit — every document id becomes a genuine
+    * ImageIO-encoded PNG on the executors, [[decodeImage]] decodes it
+    * back with the JDK codec, and the oracle pins width/height/checksum
+    * to the pixel law's closed form (w = 1 + id%64, h = 1 + id%48,
+    * sum = 3·h·(w·c + w(w−1)/2) with c = id%100). Like m03, the
+    * round-trip is verified against ARITHMETIC, not against another run
+    * of the same codec; n_bytes is deliberately excluded (PNG encoding
+    * size is codec-internal, not part of the decode contract).
+    */
+  val pngAudit: QueryDef = q(
+    "m04_png_decode",
+    """SELECT doc_id AS media_id,
+      |  CAST(1 + doc_id % 64 AS INT) AS width,
+      |  CAST(1 + doc_id % 48 AS INT) AS height,
+      |  CAST(3 * (1 + doc_id % 48)
+      |       * ((1 + doc_id % 64) * (doc_id % 100)
+      |          + ((1 + doc_id % 64) * (doc_id % 64)) // 2)
+      |       AS BIGINT) AS pixel_sum
+      |FROM documents
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    decodeImage(syntheticImages(s, d)).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("pixel_sum"))
+      .orderBy("media_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(binaryMeta, decodeAgg, frameAudit, pngAudit)
 }

@@ -523,15 +523,34 @@ object Similarity {
       assigned.withColumnRenamed("cluster", "cid"))
   }
 
-  /** Probe an IVF index: each query scores the trained centroids (a tiny
-    * broadcast relation — |queries| × nlist rows, never a corpus shuffle),
+  /** Probe an IVF index: each query scores the trained centroids (the
+    * CENTROIDS are the broadcast side — nlist rows, tiny by construction),
     * keeps its `nprobe` nearest lists, and scores ONLY the corpus vectors
-    * assigned to those lists (broadcast-hash join on the list id) for the
-    * exact integer-cosine top-k. `nprobe = nlist` degrades to exhaustive
-    * search — spec-asserted equal to [[exactTopK]]. Ties break toward the
-    * smaller centroid/candidate id, as everywhere in this module.
+    * assigned to those lists for the exact integer-cosine top-k.
+    * `nprobe = nlist` degrades to exhaustive search — spec-asserted equal
+    * to [[exactTopK]]. Ties break toward the smaller centroid/candidate
+    * id, as everywhere in this module.
+    *
+    * The candidate join picks its shape from the PROBE side's estimated
+    * size (plan stats × nprobe fan-out — no extra job, the same signal
+    * Spark's own autoBroadcastJoinThreshold uses):
+    *
+    *   - probe set ≤ `maxBroadcastProbeBytes` (the audit/serving case):
+    *     `broadcast(probes)` — the corpus NEVER shuffles, assignment
+    *     stays the scan-fused map IvfSpec asserts;
+    *   - larger (the 10⁸-row batch-probe case, where a broadcast would
+    *     OOM the executors): both sides hash-shuffle on the list id —
+    *     the corpus pays ONE cid-shuffle, each reducer sees one list's
+    *     vectors against that list's probes, and per-partition state is
+    *     bounded by the largest list + its probes rather than the whole
+    *     probe set. A corpus probed repeatedly this way should persist
+    *     `model.assignments` bucketed by `cid` (BucketedStoreSpec's
+    *     layout), which removes even that shuffle.
+    *
+    * Both shapes are plan-asserted in IvfSpec and return identical rows.
     */
-  def ivfSearch(model: IvfModel, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  def ivfSearch(model: IvfModel, queries: DataFrame, k: Int, nprobe: Int,
+      maxBroadcastProbeBytes: Long = 64L << 20): DataFrame = {
     require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0 (got $k, $nprobe)")
     val spark = model.assignments.sparkSession
     import spark.implicits._
@@ -547,9 +566,14 @@ object Similarity {
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qe"), col("q_sq"), col("pcid"))
+    val qBytes = qs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probeBytes = qBytes * nprobe
+    val probeRel =
+      if (probeBytes <= maxBroadcastProbeBytes) broadcast(probes)
+      else probes.hint("shuffle_hash")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     model.assignments
-      .join(broadcast(probes),
+      .join(probeRel,
         col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
         cosCol(expr(dotRawSql("qe", "qv")), col("q_sq"), col("sq")).as("cos"))

@@ -54,6 +54,26 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ivfSearch large-probe fallback: shuffled join on the list id, " +
+      "no probe broadcast, identical rows") {
+    val m = Similarity.ivfIndex(emb, nlist = 16, iters = 1)
+    val small = Similarity.ivfSearch(m, queries, k = 3, nprobe = 2)
+    // force the fallback: a 0-byte broadcast budget stands in for a 10⁸-row
+    // probe set (the decision input is the same stats estimate either way)
+    val big = Similarity.ivfSearch(m, queries, k = 3, nprobe = 2,
+      maxBroadcastProbeBytes = 0L)
+    val plan = big.queryExecution.executedPlan.toString
+    // the candidate join must NOT materialize the probe set on every
+    // executor: both sides hash-partition on the list id instead
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin") ||
+      plan.indexOf("ShuffledHashJoin") < plan.indexOf("BroadcastHashJoin"),
+      plan)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("qid", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows(big).toSeq === rows(small).toSeq)
+  }
+
   test("nprobe = nlist degrades to exhaustive: identical to exactTopK") {
     val m = Similarity.ivfIndex(emb, nlist = 4, iters = 2)
     val full = Similarity.ivfSearch(m, queries, k = 3, nprobe = 4)

@@ -41,6 +41,47 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.select("media_id").distinct().count() == media.count())
   }
 
+  test("decodeImage: committed fixture PNG decodes to the independent " +
+      "encoder's pixel law") {
+    import spark.implicits._
+    // gradient.png is written by tools/make_png_fixture.py — a pure-python
+    // zlib PNG encoder, NOT ImageIO — so this decode is verified against an
+    // independent implementation (values printed by the generator).
+    val bytes = {
+      val in = getClass.getResourceAsStream("/graft/gradient.png")
+      try in.readAllBytes() finally in.close()
+    }
+    val feats = Multimodal.decodeImage(
+      Seq(Multimodal.MediaRow(7L, "image", bytes)).toDS()).collect().head
+    assert(feats.width == 16)
+    assert(feats.height == 9)
+    assert(feats.pixel_sum == 43344L)
+    assert(feats.n_bytes == bytes.length.toLong)
+  }
+
+  test("decodeImage: synthetic PNG round-trip matches the closed form, " +
+      "partition-independent") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 63L, 64L, 97L, 100L, 12345L)
+    val media = ids.toDS().repartition(3)
+      .map(id => Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id)))
+    val got = Multimodal.decodeImage(media).collect()
+      .map(f => f.media_id -> ((f.width, f.height, f.pixel_sum))).toMap
+    ids.foreach { id =>
+      val w = 1 + (id % 64).toInt; val h = 1 + (id % 48).toInt
+      val c = (id % 100).toInt
+      val expect = 3L * h * (w.toLong * c + w.toLong * (w - 1) / 2)
+      assert(got(id) == ((w, h, expect)), s"id=$id")
+    }
+    // non-image bytes fail loudly, not as zeroed features
+    val bad = Seq(Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3))).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImage(bad).collect()
+    }
+    assert(ex.getMessage.contains("not a decodable image") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
   test("resizeStub: strided downsample preserves schema and determinism") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
     val small = Multimodal.resizeStub(media, factor = 4)

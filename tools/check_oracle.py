@@ -5,9 +5,15 @@ Mimics the driver's t2 gate: for each query output parquet written by
 graft.Verify, run the matching SQL from oracle_sql.json in DuckDB over the
 same source tables, sort columns by name, sort rows, and compare values.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [oracleTimeoutSec]
+
+With a timeout (used for the sf1 scale gate), an oracle query that
+exceeds it is interrupted and reported as DNF — an engine-only row, not
+a failure: the engine result exists and the oracle simply cannot finish
+at that scale (DuckDB is interrupted via con.interrupt() from a timer
+thread; the connection is then recycled).
 """
-import json, math, sys
+import json, math, sys, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -39,13 +45,30 @@ def cmp_vals(a, b):
             return a == b  # exact: the whole point of decimal-safe queries
     return a == b
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+def main(sf_dir, out_dir, timeout_sec=None):
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        return c
+    con = connect()
+
+    def run_oracle(sql):
+        # interrupt from a timer thread; caller recycles the connection
+        if timeout_sec is None:
+            return con.execute(sql).arrow(), False
+        timer = threading.Timer(timeout_sec, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).arrow(), False
+        except duckdb.InterruptException:
+            return None, True
+        finally:
+            timer.cancel()
+
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_dnf = 0
     for name, sql in sorted(oracle.items()):
         try:
             # single execution per side, via Arrow: value rows keep exact
@@ -57,7 +80,14 @@ def main(sf_dir, out_dir):
             # twice)
             sel = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             g_at = con.execute(sel).arrow()
-            e_at = con.execute(sql).arrow()
+            e_at, dnf = run_oracle(sql)
+            if dnf:
+                print(f"DNF  {name}: oracle exceeded {timeout_sec}s "
+                      f"(engine rows: {g_at.num_rows}) — engine-only row")
+                n_dnf += 1
+                con.close()
+                con = connect()
+                continue
             g_df = g_at.to_pandas()
             e_df = e_at.to_pandas()
             def rows_of(at):
@@ -111,8 +141,10 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    dnf_note = f", {n_dnf} oracle-DNF" if n_dnf else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{dnf_note}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    to = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], to))
