@@ -43,25 +43,16 @@ object Bench {
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
-    // In-run LOAD CANARY: a fixed synthetic job (200M codegen'd xxhash64,
-    // no I/O, no query code) timed immediately before and after the
-    // measured passes. Its quiet-box value is a property of the machine
-    // (recorded in BASELINE.md), so a future bench where the canary reads
-    // 2× the recorded value was taken on a loaded box — drift separates
-    // from regression mechanically instead of by judge re-run (the r6
-    // verdict's open measurement question).
-    def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
-      // bit_xor, not sum: summing 200M full-range hashes overflows LONG
-      // under ANSI mode; xor is overflow-free and just as unoptimizable
-      spark.range(200000000L).selectExpr("bit_xor(xxhash64(id))").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    canaryOnce() // JIT warm-up, untimed
-    val canaryStart = canaryOnce()
+    // In-run LOAD CANARY (graft.LoadCanary): timed immediately before and
+    // after the measured passes; the emitted ratio against the recorded
+    // quiet-box reference makes the JSON self-grading — a ratio ≫ 1 means
+    // a loaded box, with times inflated by roughly that factor.
+    LoadCanary.once(spark) // JIT warm-up, untimed
+    val canaryStart = LoadCanary.once(spark)
     val (p1, p2) = (pass(), pass())
-    val canaryEnd = canaryOnce()
+    val canaryEnd = LoadCanary.once(spark)
     val canary = math.min(canaryStart, canaryEnd)
+    val canaryRatio = canary / LoadCanary.referenceSec
     val results = p1.map { case (k, v) =>
       val m = math.min(v, p2(k))
       k -> (if (m.isInfinity) -1.0 else m)
@@ -74,7 +65,7 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","canary_sec":${f3(canary)},"queries":$qs$omit,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","canary_sec":${f3(canary)},"canary_ratio":${f3(canaryRatio)},"queries":$qs$omit,"sf":"$sfDir"}"""
     }
     // The harness captures only the last ~2000 chars of stdout and parses the
     // JSON out of that tail; sbt's own "[success] Total time..." trailer also
@@ -93,7 +84,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_ratio":$canaryRatio,"canary_ref_sec":${LoadCanary.referenceSec},"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"queries":$fullQs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
