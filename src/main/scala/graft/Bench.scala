@@ -43,14 +43,15 @@ object Bench {
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
-    // In-run LOAD CANARY (graft.LoadCanary): timed immediately before and
-    // after the measured passes; the emitted ratio against the recorded
+    // In-run LOAD CANARY (graft.LoadCanary): measured immediately before
+    // and after the timed passes; the emitted ratio against the recorded
     // quiet-box reference makes the JSON self-grading — a ratio ≫ 1 means
-    // a loaded box, with times inflated by roughly that factor.
-    LoadCanary.once(spark) // JIT warm-up, untimed
-    val canaryStart = LoadCanary.once(spark)
+    // a loaded box, with times inflated by roughly that factor. measure()
+    // warms past the JIT knee first, so the reading is position-independent
+    // (see LoadCanary scaladoc for the r7/r8 reference-drift post-mortem).
+    val canaryStart = LoadCanary.measure(spark)
     val (p1, p2) = (pass(), pass())
-    val canaryEnd = LoadCanary.once(spark)
+    val canaryEnd = LoadCanary.measure(spark)
     val canary = math.min(canaryStart, canaryEnd)
     val canaryRatio = canary / LoadCanary.referenceSec
     val results = p1.map { case (k, v) =>
