@@ -718,8 +718,61 @@ object TextAnalysis {
         coalesce(col("fluency_micro"), lit(-1L)).as("fluency_micro"))
   }
 
+  /** Overlapping token-window chunking — the retrieval/embedding prep
+    * step every RAG or embedding-training pipeline runs before encoding:
+    * each document becomes ceil(n_tokens / stride) chunks of up to
+    * `window` tokens, consecutive chunks overlapping by `window - stride`
+    * tokens so no span longer than the overlap is ever split across a
+    * chunk boundary without appearing whole in one of them. Chunk ids are
+    * `(doc_id, chunk_idx)` with `chunk_idx = start / stride` — stable
+    * under re-runs and independent of partitioning.
+    *
+    * 100 TB shape: a single Generate (sequence + explode) fused into the
+    * scan — zero exchanges, zero state; fan-out per row is bounded by
+    * n_tokens / stride, so output size is a fixed ~window/stride multiple
+    * of the corpus. Feeds [[graft.operators.Similarity]] encoders or the
+    * p04 sequence packer directly.
+    */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunk: need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        least(lit(window), size(col("toks")) - col("start")).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  /** t14: RAG chunking audit — every (doc, chunk) with its token count and
+    * exact chunk text (window 64, stride 48, 16-token overlap). The chunk
+    * text itself is in the output, so the oracle match pins the exact
+    * slicing/joining semantics, not just the counts.
+    */
+  val chunking: QueryDef = q(
+    "t14_chunk",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, toks,
+      |         unnest(generate_series(0, len(toks) - 1, 48)) AS start
+      |  FROM t)
+      |SELECT doc_id,
+      |       start // 48 AS chunk_idx,
+      |       CAST(least(64, len(toks) - start) AS BIGINT) AS n_tokens,
+      |       array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+      |         AS chunk_text
+      |FROM s""".stripMargin) { (s, d) =>
+    chunk(Tables.documents(s, d), window = 64, stride = 48)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
       repetition, novelty, heavyHitters, redactionAudit, blocklistAudit,
-      classifier, lmFluency)
+      classifier, lmFluency, chunking)
 }

@@ -101,6 +101,9 @@ class QuickstartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(splits.select("split").distinct().count() >= 2)
     Sampling.writeTrainingShards(clean, col("doc_id"), 4, s"$tmp/shards")
     assert(spark.read.parquet(s"$tmp/shards").count() == clean.count())
+
+    val chunks = TextAnalysis.chunk(docs, window = 64, stride = 48)
+    assert(chunks.count() >= docs.count(), "at least one chunk per doc")
     clusters.unpersist()
   }
 
