@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness's parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -56,7 +58,32 @@ object Tables {
   // operators).
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
+
+  /** Normalizes `ts` to the engine's internal representation — raw
+    * nanoseconds-since-epoch as LONG — independent of the file's physical
+    * type. Stores have shipped the column both as TIMESTAMP(NANOS), which
+    * Spark surfaces as LONG ns under `nanosAsLong` (see
+    * [[EngineSession]]), and as TIMESTAMP_NTZ(micros); every downstream
+    * event operator does exact integer arithmetic on ns (see
+    * [[operators.EventOps]]) and the DuckDB oracle views the same column
+    * through `epoch_ns`, so both physical types must land on identical
+    * LONG ns values. The NTZ→ns conversion interprets wall-clock micros in
+    * the session timezone, which the engine pins to UTC for oracle parity.
+    * A codegen'd per-row multiply — no shuffle, no scan blowup; filters on
+    * raw `ts` no longer push to parquet, but no event query filters the
+    * scan on `ts` (range predicates ride derived keys or join bounds).
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected LONG ns or a timestamp type, got $other")
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

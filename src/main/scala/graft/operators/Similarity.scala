@@ -568,8 +568,22 @@ object Similarity {
       .select(col("qid"), col("qe"), col("q_sq"), col("pcid"))
     val qBytes = qs.queryExecution.optimizedPlan.stats.sizeInBytes
     val probeBytes = qBytes * nprobe
+    val useBroadcast = probeBytes <= BigInt(maxBroadcastProbeBytes) || {
+      // Without CBO a Filter inherits its child's size estimate, so the
+      // common serving shape — a small query set filtered out of the large
+      // corpus scan — inherits the full scan size and would mis-route the
+      // corpus into a shuffle. The estimate is therefore trusted only when
+      // it says "small"; "large" is confirmed by measuring the probe side
+      // itself: one aggregate job over the QUERY frame (never the corpus)
+      // gives exact row count and vector width.
+      val m = qs.agg(count(lit(1)).as("n"), max(size(col("qe"))).as("dim")).head()
+      val nq = m.getLong(0)
+      val dim = if (m.isNullAt(1)) 0L else m.getInt(1).toLong
+      // 8 bytes per quantized component + ~96 bytes of row overhead
+      nq * nprobe * (8L * dim + 96L) <= maxBroadcastProbeBytes
+    }
     val probeRel =
-      if (probeBytes <= maxBroadcastProbeBytes) broadcast(probes)
+      if (useBroadcast) broadcast(probes)
       else probes.hint("shuffle_hash")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     model.assignments

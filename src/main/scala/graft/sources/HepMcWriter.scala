@@ -67,6 +67,17 @@ object HepMcWriter {
         val finalPath = new Path(dirStr, f"part-$pid%05d.hepmc")
         val tmpPath = new Path(dirStr, f"_tmp-part-$pid%05d-attempt-$attempt.hepmc")
         val fs = finalPath.getFileSystem(conf.value)
+        // Sweep temp files left by prior attempts of THIS partition (a
+        // crashed JVM never reaches its own cleanup; the underscore prefix
+        // hides them from readers but they accumulate). A swept file that
+        // belonged to a still-live speculative attempt just fails that
+        // attempt's write loudly — its rename never happens and Spark
+        // retries — so the sweep cannot corrupt a commit.
+        val stale = fs.globStatus(
+          new Path(dirStr, f"_tmp-part-$pid%05d-attempt-*.hepmc"))
+        if (stale != null) stale.foreach { s =>
+          try fs.delete(s.getPath, false) catch { case _: Throwable => () }
+        }
         var ok = false
         val out = new BufferedWriter(new OutputStreamWriter(
           fs.create(tmpPath, true), StandardCharsets.UTF_8))
@@ -96,9 +107,17 @@ object HepMcWriter {
           }
         }
         fs.delete(finalPath, false)
-        if (!fs.rename(tmpPath, finalPath))
-          throw new java.io.IOException(
+        if (!fs.rename(tmpPath, finalPath)) {
+          // Rename-onto-existing fails on some stores (HDFS semantics): if
+          // a concurrently successful attempt committed between our delete
+          // and our rename, the partition IS committed — and with identical
+          // bytes, since attempts of one partition write deterministically.
+          // Destination-present is success; only a vanished destination is
+          // a real commit failure.
+          if (fs.exists(finalPath)) { fs.delete(tmpPath, false); () }
+          else throw new java.io.IOException(
             s"commit failed: rename $tmpPath -> $finalPath")
+        }
       }
     }
   }

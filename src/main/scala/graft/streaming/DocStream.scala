@@ -312,14 +312,17 @@ object DocStream {
       jaccardThreshold: Double = 0.6, numShards: Int = 4,
       maxFilesPerTrigger: Int = 1): String = {
     val wdFs = graft.hep.HadoopIo.fs(spark, workDir)
-    Seq("span-profile", "index", "kept", "shards").foreach { sub =>
-      val p = new org.apache.hadoop.fs.Path(workDir, sub)
-      require(!wdFs.exists(p),
-        s"curationPipeline: $p already exists — the pipeline is not " +
-          "idempotent over a used workDir (appends would double-count and " +
-          "the prior index would swallow the corpus); pass a fresh workDir " +
-          "or delete the old one explicitly")
-    }
+    // Absent or EMPTY, not merely missing the four output subdirs: a crash
+    // can leave only streaming checkpoint state behind, and a rerun that
+    // passed a subdir-only guard would silently resume from those stale
+    // checkpoints (skipping input files the failed run had already claimed).
+    val wdPath = new org.apache.hadoop.fs.Path(workDir)
+    require(!wdFs.exists(wdPath) || wdFs.listStatus(wdPath).isEmpty,
+      s"curationPipeline: $workDir exists and is non-empty — the pipeline " +
+        "is not idempotent over a used workDir (appends would double-count, " +
+        "the prior index would swallow the corpus, and leftover streaming " +
+        "checkpoints would resume from stale offsets); pass a fresh workDir " +
+        "or delete the old one explicitly")
     val schema = spark.read.parquet(inDir).schema
     def stream: DataFrame = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString).parquet(inDir)

@@ -41,7 +41,9 @@ object EventStream {
     */
   def events(spark: SparkSession, eventsDir: String): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream.schema(schema).parquet(eventsDir)
+    // same LONG-ns `ts` contract as the batch loader, whatever the files'
+    // physical timestamp type (see Tables.normalizeTs)
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(eventsDir))
   }
 
   /** Tumbling 1-hour windows with a 1-hour watermark: late events beyond

@@ -52,20 +52,38 @@ def main(sf_dir, out_dir, timeout_sec=None):
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
         return c
-    con = connect()
+    # Two connections: oracle SQL runs on its own connection so a timer
+    # interrupt can never land on an engine-parquet read, and the oracle
+    # connection is recycled whenever the timer FIRED (not only when the
+    # query observed the interrupt) — if the query finishes just as the
+    # timer fires, the interrupt stays latched on the connection and would
+    # abort the next query run on it.
+    eng_con = duckdb.connect()
+    ora_con = connect()
 
     def run_oracle(sql):
-        # interrupt from a timer thread; caller recycles the connection
+        nonlocal ora_con
         if timeout_sec is None:
-            return con.execute(sql).arrow(), False
-        timer = threading.Timer(timeout_sec, con.interrupt)
+            return ora_con.execute(sql).arrow(), False
+        fired = threading.Event()
+        def _interrupt():
+            fired.set()
+            ora_con.interrupt()
+        timer = threading.Timer(timeout_sec, _interrupt)
         timer.start()
         try:
-            return con.execute(sql).arrow(), False
+            tbl, dnf = ora_con.execute(sql).arrow(), False
         except duckdb.InterruptException:
-            return None, True
+            tbl, dnf = None, True
         finally:
             timer.cancel()
+        if fired.is_set():
+            try:
+                ora_con.close()
+            except Exception:
+                pass
+            ora_con = connect()
+        return tbl, dnf
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_dnf = 0
@@ -79,14 +97,12 @@ def main(sf_dir, out_dir, timeout_sec=None):
             # (expensive oracles like d07's recursive closure must not run
             # twice)
             sel = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            g_at = con.execute(sel).arrow()
+            g_at = eng_con.execute(sel).arrow()
             e_at, dnf = run_oracle(sql)
             if dnf:
                 print(f"DNF  {name}: oracle exceeded {timeout_sec}s "
                       f"(engine rows: {g_at.num_rows}) — engine-only row")
                 n_dnf += 1
-                con.close()
-                con = connect()
                 continue
             g_df = g_at.to_pandas()
             e_df = e_at.to_pandas()

@@ -2,7 +2,9 @@
 """Replica-scale a driver sf directory (builder-side tooling, like
 check_oracle.py): N key-shifted copies of every table, written as single
 parquet files so the scaled dir is a drop-in SPARK_GRAFT_SF_DIR / oracle
-source. Schema-preserving (pyarrow — events.ts stays TIMESTAMP(NANOS)).
+source. Schema-preserving (pyarrow — events.ts keeps the source store's
+physical timestamp type; the engine normalizes either form to LONG ns at
+scan, see Tables.normalizeTs).
 
 Replication rules (the round-2 "8x key-shifted copies" methodology,
 extended so DUPLICATE STRUCTURE scales linearly instead of quadratically
@@ -87,7 +89,7 @@ def rotate_embeddings(tbl: pa.Table, k: int) -> pa.Table:
     dim = len(tbl["embedding"][0].as_py())
     assert k < dim, (
         f"replica {k} >= embedding dim {dim}: cyclic rotation wraps to an "
-        f"exact copy; use <= {dim} replicas (or add a per-replica "
+        f"exact copy; use fewer than {dim} replicas (or add a per-replica "
         f"sign-flip scheme first)")
     rot = k
     vecs = tbl["embedding"].to_pylist()
