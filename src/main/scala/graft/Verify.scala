@@ -20,7 +20,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce is narrow, so on a
+      // shuffle-free plan (the scan-fused text/codec family) it would pull
+      // the whole pipeline into ONE task — serial at sf1 and beyond.
+      // repartition inserts a shuffle barrier: the computation keeps its
+      // parallelism and only the single-file write runs on one task.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: $e")

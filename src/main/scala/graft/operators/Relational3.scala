@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -196,7 +196,83 @@ object Relational3 {
     }
   }
 
+  /** CDC keep-latest merge (the lakehouse MERGE/upsert reduced to its
+    * engine shape): a deterministic change feed — updates (every 7th
+    * order key gets a 1.1× repriced version 2), deletes (every 13th key,
+    * version 3), inserts (every 17th key re-keyed +10M into a new 'N'
+    * status) — applied over the base table by keeping the highest
+    * version per key and dropping keys whose latest op is a delete.
+    *
+    * Scale shape: ONE hash shuffle on the merge key; the rank-1 filter
+    * triggers WindowGroupLimit, so each map partition pre-trims to its
+    * local latest-per-key before the exchange (bounded state, hot-key
+    * skew damped before it ships). This is Delta/Iceberg MERGE
+    * "latest wins" without table-format machinery — the same plan a
+    * 100 TB snapshot+changelog compaction wants. All price arithmetic
+    * is exact decimal (×1.1 in DECIMAL(15,3)); the audit output
+    * aggregates per status so the result stays 4 rows at any scale
+    * while its hash still covers every merged row's price.
+    */
+  val upsertLatest: QueryDef = q(
+    "q45_upsert_latest",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3)) AS price,
+      |         1 AS version, 'u' AS op
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(15,3)),
+      |         2, 'u'
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |del AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3)),
+      |         3, 'd'
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |ins AS (
+      |  SELECT o_orderkey + 10000000, 'N',
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3)),
+      |         2, 'u'
+      |  FROM orders WHERE o_orderkey % 17 = 0),
+      |feed AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+      |latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+      |  FROM feed)
+      |SELECT status, count(*) AS n_rows, CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM latest WHERE rn = 1 AND op = 'u'
+      |GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def leg(k: Column, status: Column, price: Column, version: Int,
+        op: String)(src: DataFrame): DataFrame =
+      src.select(k.as("k"), status.as("status"),
+        price.cast("decimal(15,3)").as("price"),
+        lit(version).as("version"), lit(op).as("op"))
+    val base = leg(col("o_orderkey"), col("o_orderstatus"),
+      money(col("o_totalprice")), 1, "u")(o)
+    val upd = leg(col("o_orderkey"), col("o_orderstatus"),
+      money(col("o_totalprice")) * lit(new java.math.BigDecimal("1.1")),
+      2, "u")(o.filter(col("o_orderkey") % 7 === 0))
+    val del = leg(col("o_orderkey"), col("o_orderstatus"),
+      money(col("o_totalprice")), 3, "d")(
+      o.filter(col("o_orderkey") % 13 === 0))
+    val ins = leg(col("o_orderkey") + lit(10000000L), lit("N"),
+      money(col("o_totalprice")), 2, "u")(
+      o.filter(col("o_orderkey") % 17 === 0))
+    val feed = base.unionByName(upd).unionByName(del).unionByName(ins)
+    val w = Window.partitionBy(col("k")).orderBy(col("version").desc)
+    feed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "u")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("status")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles,
-      unpivotMetrics, correlatedExists, lateralTopN)
+      unpivotMetrics, correlatedExists, lateralTopN, upsertLatest)
 }

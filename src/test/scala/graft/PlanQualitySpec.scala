@@ -423,6 +423,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q45 upsert merges with one key shuffle and a group-limit pre-trim") {
+    val p = plan("q45_upsert_latest")
+    // rank-1 latest-per-key must ride WindowGroupLimit (per-partition
+    // top-1 before the exchange — the hot-key damper), and the merge key
+    // must be the only row-level hash exchange besides the final tiny
+    // status aggregate; no join operator belongs in a keep-latest merge
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(k".r.unanchored.findAllIn(p).nonEmpty, p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

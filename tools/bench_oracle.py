@@ -17,13 +17,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 import duckdb
 sf_dir, sql = sys.argv[1], sys.stdin.read()
 con = duckdb.connect()
 for t in %(tables)r:
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
     con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 times = []
 for i in range(3):  # pass 0 is the untimed warm-up
     t0 = time.time()

@@ -13,7 +13,7 @@ a failure: the engine result exists and the oracle simply cannot finish
 at that scale (DuckDB is interrupted via con.interrupt() from a timer
 thread; the connection is then recycled).
 """
-import json, math, sys, threading
+import json, math, os, sys, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -49,8 +49,13 @@ def main(sf_dir, out_dir, timeout_sec=None):
     def connect():
         c = duckdb.connect()
         for t in TABLES:
+            # scaled stores write <table>.parquet as a DIRECTORY of
+            # per-replica files (scan-parallelism at the Spark side);
+            # driver stores ship single files — glob accordingly
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
             c.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
         return c
     # Two connections: oracle SQL runs on its own connection so a timer
     # interrupt can never land on an engine-parquet read, and the oracle

@@ -113,17 +113,24 @@ def main(src: str, out: str, replicas: int) -> None:
         print(f"{t}: {tbl.num_rows} rows (copied once)")
     for t, cols in SHIFT_COLS.items():
         base = pq.read_table(f"{src}/{t}.parquet")
-        parts = []
+        # One FILE per replica inside a <table>.parquet directory: a scaled
+        # store written as a single giant file caps Spark's scan at one
+        # input split (maxPartitionBytes can't split what one row group
+        # holds, and a ~100 MB file is 1 split either way), serializing
+        # every scan — an artifact no real large store has. Spark reads
+        # the directory transparently; the oracle tools glob it.
+        d = f"{out}/{t}.parquet"
+        os.makedirs(d, exist_ok=True)
+        total = 0
         for k in range(replicas):
             rep = shift_table(base, cols, k)
             if t == "documents":
                 rep = salt_documents(rep, k)
             elif t == "embeddings":
                 rep = rotate_embeddings(rep, k)
-            parts.append(rep)
-        scaled = pa.concat_tables(parts)
-        pq.write_table(scaled, f"{out}/{t}.parquet")
-        print(f"{t}: {base.num_rows} -> {scaled.num_rows} rows")
+            total += rep.num_rows
+            pq.write_table(rep, f"{d}/part-{k:03d}.parquet")
+        print(f"{t}: {base.num_rows} -> {total} rows ({replicas} files)")
 
 
 if __name__ == "__main__":
