@@ -41,4 +41,20 @@ object Compat {
   /** SQL fragment mirroring [[charge]]. */
   def chargeSql(price: String, discount: String, tax: String): String =
     s"${discPriceSql(price, discount)} * (CAST(1 AS DECIMAL(3,2)) + CAST($tax AS DECIMAL(3,2)))"
+
+  /** Correctly-rounded decimal-sum → double for the ORACLE side.
+    *
+    * DuckDB's direct `CAST(DECIMAL AS DOUBLE)` converts the int128
+    * unscaled value to double FIRST and divides by 10^scale second — two
+    * roundings, off by 1 ulp once the unscaled value exceeds 2^53
+    * (observed: q01's scale-6 charge sum at the 10× gate, engine
+    * 0x...501 vs oracle 0x...500). Spark's `Decimal.toDouble`
+    * (BigDecimal) is correctly rounded, so the ENGINE value is the right
+    * one; the oracle gets the same correct rounding by bouncing through
+    * VARCHAR (DuckDB's string→double parse rounds once). Byte-identical
+    * to the direct cast whenever the unscaled sum fits 2^53, so small-sf
+    * gates are unaffected.
+    */
+  def sumDoubleSql(inner: String): String =
+    s"CAST(CAST(sum($inner) AS VARCHAR) AS DOUBLE)"
 }

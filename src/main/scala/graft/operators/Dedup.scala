@@ -1019,7 +1019,7 @@ object Dedup {
     s"""WITH $simhashCtes
        |SELECT doc_id, simhash FROM fps
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    simhashFps(Tables.documents(s, d)).orderBy("doc_id")
+    simhashFps(Tables.parallel(Tables.documents(s, d))).orderBy("doc_id")
   }
 
   /** SimHash near-duplicate PAIRS: all doc pairs whose 16-bit fingerprints
@@ -1044,7 +1044,7 @@ object Dedup {
        |JOIN fps fb ON fb.simhash = f2
        |WHERE fa.doc_id < fb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val fps = simhashFps(Tables.documents(s, d))
+    val fps = simhashFps(Tables.parallel(Tables.documents(s, d)))
     // the theta-join candidate table holds DISTINCT fingerprints only —
     // at 16 bits a fingerprint group collects UNRELATED colliding docs,
     // so carrying doc-id lists here would put the whole corpus's ids on
@@ -1399,7 +1399,8 @@ object Dedup {
       |       n_contaminated * 1.0 / n_shingles AS contamination
       |FROM hits JOIN sz USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val docs = Tables.parallel(
+      Tables.documents(s, d).select("doc_id", "text"))
     val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(

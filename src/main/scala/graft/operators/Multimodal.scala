@@ -165,7 +165,8 @@ object Multimodal {
     */
   def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.parallel(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions(_.map(id => MediaRow(id, "image", syntheticPng(id))))
   }
 

@@ -132,7 +132,8 @@ object Paragraphs {
        |ORDER BY doc_id""".stripMargin),
     (s, d) => {
       val occ = paragraphOcc(
-        Tables.documents(s, d).select("doc_id", "text"), ParaWords)
+        Tables.parallel(Tables.documents(s, d).select("doc_id", "text")),
+        ParaWords)
       val cnt = occ.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
       occ.join(cnt, "h")
         .groupBy(col("doc_id"))

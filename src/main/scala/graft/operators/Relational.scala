@@ -32,9 +32,9 @@ object Relational {
     "q01_pricing_summary",
     s"""SELECT l_returnflag, l_linestatus,
        |  sum(l_quantity) AS sum_qty,
-       |  CAST(sum(${moneySql("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
-       |  CAST(sum(${discPriceSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
-       |  CAST(sum(${chargeSql("l_extendedprice", "l_discount", "l_tax")}) AS DOUBLE) AS sum_charge,
+       |  ${sumDoubleSql(moneySql("l_extendedprice"))} AS sum_base_price,
+       |  ${sumDoubleSql(discPriceSql("l_extendedprice", "l_discount"))} AS sum_disc_price,
+       |  ${sumDoubleSql(chargeSql("l_extendedprice", "l_discount", "l_tax"))} AS sum_charge,
        |  sum(l_quantity) / count(*) AS avg_qty,
        |  CAST(sum(${moneySql("l_extendedprice")}) AS DOUBLE) / count(*) AS avg_price,
        |  count(*) AS count_order
@@ -444,12 +444,30 @@ object Relational {
       | AND b.p_retailprice <= a.p_retailprice + 10.0
       |ORDER BY pk_a, pk_b""".stripMargin) { (s, d) =>
     val p = Tables.part(s, d)
-    val a = p.select(col("p_partkey").as("pk_a"), col("p_size").as("size_a"),
-      col("p_retailprice").as("price_a"))
-    val b = p.select(col("p_partkey").as("pk_b"), col("p_size").as("size_b"),
-      col("p_retailprice").as("price_b"))
+    // Band decomposition: the bare equi-key (p_size, ~50 values) makes
+    // the hash join sizewise-QUADRATIC — every same-size part pair is
+    // probed before the price predicate runs (measured 302 s at sf1 on
+    // 200k parts, 800M probed pairs). Adding an integer-cent price band
+    // of exactly the predicate's width to the key bounds each bucket to
+    // one (size, 10-unit-band) cell: candidate pairs become
+    // output-proportional. The a side fans out to the two bands that can
+    // contain (price_a, price_a + 10]; each b row lives in exactly one
+    // band, so no pair is produced twice, and the original exact double
+    // predicate still decides membership. Bands come from DECIMAL cents
+    // (exact, same cast both sides) — never from double division.
+    val withBand = p.select(col("p_partkey"), col("p_size"),
+      col("p_retailprice"),
+      (money(col("p_retailprice")) * lit(100)).cast("long").as("cents"))
+    val a = withBand.select(col("p_partkey").as("pk_a"),
+      col("p_size").as("size_a"), col("p_retailprice").as("price_a"),
+      expr("cents div 1000").as("band_a"))
+      .withColumn("boff", explode(array(lit(0L), lit(1L))))
+    val b = withBand.select(col("p_partkey").as("pk_b"),
+      col("p_size").as("size_b"), col("p_retailprice").as("price_b"),
+      expr("cents div 1000").as("band_b"))
     a.join(b,
       col("size_b") === col("size_a") + 1 &&
+        col("band_b") === col("band_a") + col("boff") &&
         col("price_b") > col("price_a") &&
         col("price_b") <= col("price_a") + 10.0)
       .select("pk_a", "pk_b", "price_a", "price_b")

@@ -349,7 +349,8 @@ object Similarity {
        |SELECT vec_a, vec_b, cos FROM scored
        |WHERE cos > 0.4
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    allPairsCosine(Tables.embeddings(s, d), 0.4).orderBy("vec_a", "vec_b")
+    allPairsCosine(Tables.parallel(Tables.embeddings(s, d)), 0.4)
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Per-label centroid of the quantized embeddings, via the typed

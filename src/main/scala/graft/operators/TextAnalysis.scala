@@ -55,7 +55,7 @@ object TextAnalysis {
          |WHERE rn = 1
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val ws = Tables.documents(s, d)
+    val ws = Tables.parallel(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val scored = profiles.zipWithIndex.foldLeft(ws) { case (df, ((name, kw), i)) =>
       df.withColumn(s"score_$i",
@@ -99,7 +99,7 @@ object TextAnalysis {
     val alphaRatio = nAlpha / length(col("text"))
     val stopRatio =
       expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))") / nWords
-    Tables.documents(s, d).select(
+    Tables.parallel(Tables.documents(s, d)).select(
       col("doc_id"),
       nWords.as("n_words"),
       nAlpha.as("n_alpha"),
@@ -125,7 +125,7 @@ object TextAnalysis {
     val nWs = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
     val nBpe =
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-    Tables.documents(s, d).select(
+    Tables.parallel(Tables.documents(s, d)).select(
       col("doc_id"),
       nWs.as("n_ws_tokens"),
       nBpe.as("n_bpe_tokens"),
@@ -146,7 +146,7 @@ object TextAnalysis {
       |    i -> md5(substr(text, CAST(i AS INT), 16)))) AS fp16
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Tables.documents(s, d).select(
+    Tables.parallel(Tables.documents(s, d)).select(
       col("doc_id"),
       expr("array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substr(text, i, 8))))")
         .as("fp8"),
@@ -186,7 +186,7 @@ object TextAnalysis {
       |  FROM scored)
       |WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
+    val docs = Tables.parallel(Tables.documents(s, d))
     // N as a broadcast 1-row relation, not a driver-side count() action —
     // one job per invocation instead of two
     val n = docs.agg(count(lit(1)).as("n_total"))
@@ -230,7 +230,7 @@ object TextAnalysis {
       |FROM bg JOIN df ON bg.b = df.b
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val bg = Tables.documents(s, d)
+    val bg = Tables.parallel(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(if(size(ws) < 2, array(),
@@ -270,7 +270,7 @@ object TextAnalysis {
       |       CAST((len(ws) - len(list_distinct(ws))) * 1000000 // len(ws) AS BIGINT) AS rep_micro
       |FROM w
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    Tables.parallel(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),
@@ -415,7 +415,7 @@ object TextAnalysis {
       |JOIN tot USING (lang)
       |WHERE rn <= 10
       |ORDER BY lang, rn""".stripMargin) { (s, d) =>
-    val terms = Tables.documents(s, d)
+    val terms = Tables.parallel(Tables.documents(s, d))
       .select(col("lang"), explode(split(col("text"), " ")).as("term"))
     val counts = terms.groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("n"))
@@ -543,7 +543,7 @@ object TextAnalysis {
       |FROM h
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (s, d) =>
-    blocklistProfile(Tables.documents(s, d), Seq("slow", "error", "merge"))
+    blocklistProfile(Tables.parallel(Tables.documents(s, d)), Seq("slow", "error", "merge"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("flagged"), 1)).as("n_flagged"),
@@ -634,7 +634,7 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    classifierScore(Tables.documents(s, d))
+    classifierScore(Tables.parallel(Tables.documents(s, d)))
       .select("doc_id", "n_feats", "score_micro", "label")
       .orderBy("doc_id")
   }
@@ -685,7 +685,7 @@ object TextAnalysis {
       |  CAST(coalesce(fluency_micro, -1) AS BIGINT) AS fluency_micro
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    lmFluencyScore(Tables.documents(s, d)).orderBy("doc_id")
+    lmFluencyScore(Tables.parallel(Tables.documents(s, d))).orderBy("doc_id")
   }
 
   /** Library form of t13: (doc_id, n_bigrams, fluency_micro) per input
@@ -768,7 +768,7 @@ object TextAnalysis {
       |       array_to_string(list_slice(toks, start + 1, start + 64), ' ')
       |         AS chunk_text
       |FROM s""".stripMargin) { (s, d) =>
-    chunk(Tables.documents(s, d), window = 64, stride = 48)
+    chunk(Tables.parallel(Tables.documents(s, d)), window = 64, stride = 48)
   }
 
   def defs: Seq[QueryDef] =

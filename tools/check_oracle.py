@@ -13,8 +13,11 @@ a failure: the engine result exists and the oracle simply cannot finish
 at that scale (DuckDB is interrupted via con.interrupt() from a timer
 thread; the connection is then recycled).
 """
-import json, math, os, sys, threading
+import functools
+import json, math, os, subprocess, sys
 import duckdb
+
+print = functools.partial(print, flush=True)  # line-wise progress when piped
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,7 +48,7 @@ def cmp_vals(a, b):
             return a == b  # exact: the whole point of decimal-safe queries
     return a == b
 
-def main(sf_dir, out_dir, timeout_sec=None):
+def main(sf_dir, out_dir, timeout_sec=None, only=None):
     def connect():
         c = duckdb.connect()
         for t in TABLES:
@@ -57,40 +60,71 @@ def main(sf_dir, out_dir, timeout_sec=None):
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
         return c
-    # Two connections: oracle SQL runs on its own connection so a timer
-    # interrupt can never land on an engine-parquet read, and the oracle
-    # connection is recycled whenever the timer FIRED (not only when the
-    # query observed the interrupt) — if the query finishes just as the
-    # timer fires, the interrupt stays latched on the connection and would
-    # abort the next query run on it.
+    # Engine-parquet reads get their own connection; oracle SQL runs
+    # either on a long-lived oracle connection (no timeout) or in a
+    # KILLABLE SUBPROCESS per query (timeout set). In-process
+    # con.interrupt() is not a reliable timeout: DuckDB checks the
+    # interrupt flag at operator checkpoints, and a long non-cooperative
+    # phase (observed: a sizewise-quadratic self-join grinding past 15 min
+    # and 50 GB after the 300 s timer fired) never reaches one — only
+    # SIGKILL on a worker process bounds the wall for real.
     eng_con = duckdb.connect()
-    ora_con = connect()
+    ora_con = None if timeout_sec is not None else connect()
 
-    def run_oracle(sql):
-        nonlocal ora_con
-        if timeout_sec is None:
-            return ora_con.execute(sql).arrow(), False
-        fired = threading.Event()
-        def _interrupt():
-            fired.set()
-            ora_con.interrupt()
-        timer = threading.Timer(timeout_sec, _interrupt)
-        timer.start()
+    worker_src = r"""
+import os, sys
+import duckdb
+sf_dir, out_path, sql = sys.argv[1], sys.argv[2], sys.stdin.read()
+con = duckdb.connect()
+for t in %r:
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+con.execute(f"COPY ({sql.rstrip().rstrip(';')}) TO '{out_path}' (FORMAT PARQUET)")
+""" % (TABLES,)
+
+    def run_oracle_file(name, sql):
+        """Executes the oracle SQL in a killable worker; returns
+        (parquet_path, dnf)."""
+        out_path = f"{out_dir}/_oracle_{name}.parquet"
+        if os.path.exists(out_path):
+            os.remove(out_path)
+        proc = subprocess.Popen(
+            [sys.executable, "-c", worker_src, sf_dir, out_path],
+            stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE)
         try:
-            tbl, dnf = ora_con.execute(sql).arrow(), False
-        except duckdb.InterruptException:
-            tbl, dnf = None, True
-        finally:
-            timer.cancel()
-        if fired.is_set():
-            try:
-                ora_con.close()
-            except Exception:
-                pass
-            ora_con = connect()
-        return tbl, dnf
+            _, err = proc.communicate(sql.encode(), timeout=timeout_sec)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            return None, True
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"oracle worker failed: {err.decode(errors='replace')[-500:]}")
+        return out_path, False
+
+    # Above this many engine rows, python-tuple normalization is the
+    # bottleneck (observed: a 74.5M-row range-join output at the 10x gate
+    # costing 50+ GB and tens of minutes in pure python). Large outputs
+    # compare natively in DuckDB instead: row count + an order-independent
+    # per-row hash checksum over every column's canonical VARCHAR form.
+    # Type-LAX by construction (int32 and int64 render identically) but
+    # value-exact (DuckDB renders doubles shortest-roundtrip).
+    LARGE_ROWS = 2_000_000
+
+    def cksum(src):
+        cols = eng_con.execute(f"SELECT * FROM {src} LIMIT 0").arrow().column_names
+        expr = ", ".join(
+            f"COALESCE(CAST(\"{c}\" AS VARCHAR), chr(1))" for c in sorted(cols))
+        n, h = eng_con.execute(
+            f"SELECT count(*), sum(hash(concat_ws(chr(31), {expr}))) "
+            f"FROM {src}").fetchone()
+        return (tuple(sorted(cols)), n, h)
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = n_dnf = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -101,14 +135,35 @@ def main(sf_dir, out_dir, timeout_sec=None):
             # sees the driver's coercion via to_pandas() — no re-execution
             # (expensive oracles like d07's recursive closure must not run
             # twice)
-            sel = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            g_at = eng_con.execute(sel).arrow()
-            e_at, dnf = run_oracle(sql)
-            if dnf:
-                print(f"DNF  {name}: oracle exceeded {timeout_sec}s "
-                      f"(engine rows: {g_at.num_rows}) — engine-only row")
-                n_dnf += 1
-                continue
+            eng_src = f"read_parquet('{out_dir}/{name}/*.parquet')"
+            if timeout_sec is not None:
+                n_eng = eng_con.execute(
+                    f"SELECT count(*) FROM {eng_src}").fetchone()[0]
+                out_path, dnf = run_oracle_file(name, sql)
+                if dnf:
+                    print(f"DNF  {name}: oracle exceeded {timeout_sec}s "
+                          f"(engine rows: {n_eng}) — engine-only row")
+                    n_dnf += 1
+                    continue
+                ora_src = f"read_parquet('{out_path}')"
+                if n_eng > LARGE_ROWS:
+                    g_ck, e_ck = cksum(eng_src), cksum(ora_src)
+                    os.remove(out_path)
+                    if g_ck == e_ck:
+                        print(f"PASS {name} ({n_eng} rows, checksum compare)")
+                        n_pass += 1
+                    else:
+                        print(f"FAIL {name}: checksum mismatch "
+                              f"(spark {g_ck[1:]} vs duck {e_ck[1:]}, "
+                              f"cols {g_ck[0]} vs {e_ck[0]})")
+                        n_fail += 1
+                    continue
+                g_at = eng_con.execute(f"SELECT * FROM {eng_src}").arrow()
+                e_at = eng_con.execute(f"SELECT * FROM {ora_src}").arrow()
+                os.remove(out_path)
+            else:
+                g_at = eng_con.execute(f"SELECT * FROM {eng_src}").arrow()
+                e_at, dnf = ora_con.execute(sql).arrow(), False
             g_df = g_at.to_pandas()
             e_df = e_at.to_pandas()
             def rows_of(at):
@@ -168,4 +223,5 @@ def main(sf_dir, out_dir, timeout_sec=None):
 
 if __name__ == "__main__":
     to = float(sys.argv[3]) if len(sys.argv) > 3 else None
-    sys.exit(main(sys.argv[1], sys.argv[2], to))
+    names = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], to, names))
