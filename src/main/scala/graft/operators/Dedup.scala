@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -1466,8 +1467,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d15: sorted-neighborhood dedup with edit-distance confirmation — the
+    * classic SNM blocking strategy (Hernández & Stolfo, SIGMOD '95) that
+    * LSH families don't cover: sort within a cheap block key (here the
+    * 16-char prefix, which is exactly how templated boilerplate clusters),
+    * compare each doc only against its next `w`=2 neighbors in sort order,
+    * and confirm candidates with exact Levenshtein distance ≤ 20.
+    *
+    * Scale shape: candidate generation is ONE hash shuffle on the block
+    * key + a per-block window — O(w·n) comparisons total instead of the
+    * O(n²) of all-pairs edit distance, and the quadratic-cost Levenshtein
+    * kernel runs only on the w·n candidate pairs, never the cross product.
+    * Block sizes are bounded by the prefix cardinality (no corpus-scale
+    * window partitions); a production multi-pass SNM re-runs the same
+    * plan with rotated sort keys.
+    */
+  val editDistNeighborhood: QueryDef = q(
+    "d15_editdist_snm",
+    """WITH d AS (
+      |  SELECT doc_id, text, substr(text, 1, 16) AS blk FROM documents),
+      |w AS (
+      |  SELECT doc_id, text,
+      |         lead(doc_id, 1) OVER win AS id1, lead(text, 1) OVER win AS t1,
+      |         lead(doc_id, 2) OVER win AS id2, lead(text, 2) OVER win AS t2
+      |  FROM d WINDOW win AS (PARTITION BY blk ORDER BY text, doc_id)),
+      |cand AS (
+      |  SELECT doc_id, text, id1 AS nid, t1 AS ntext FROM w WHERE id1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, text, id2, t2 FROM w WHERE id2 IS NOT NULL),
+      |conf AS (
+      |  SELECT least(doc_id, nid) AS doc_a, greatest(doc_id, nid) AS doc_b,
+      |         levenshtein(text, ntext) AS dist
+      |  FROM cand)
+      |SELECT doc_a, doc_b, dist FROM conf
+      |WHERE dist <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val win = Window.partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
+    val me = struct(col("doc_id"), col("text"))
+    Tables.parallel(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, 16).as("blk"))
+      .select(me.as("a"),
+        lead(me, 1).over(win).as("n1"), lead(me, 2).over(win).as("n2"))
+      .select(col("a"), explode(array(col("n1"), col("n2"))).as("b"))
+      .filter(col("b").isNotNull)
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).as("dist"))
+      .filter(col("dist") <= 20)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
       simhashPairs, simhashPairs64, contamination, minhashEstimate,
-      canonicalKeep)
+      canonicalKeep, editDistNeighborhood)
 }

@@ -213,9 +213,13 @@ object Relational3 {
     * aggregates per status so the result stays 4 rows at any scale
     * while its hash still covers every merged row's price.
     */
-  val upsertLatest: QueryDef = q(
-    "q45_upsert_latest",
-    """WITH base AS (
+  /** The deterministic CDC change feed shared by q45 (keep-latest MERGE)
+    * and q46 (SCD2 history build): base snapshot at version 1, repriced
+    * updates (version 2, every 7th key), deletes (version 3, every 13th
+    * key), and re-keyed inserts (version 2, every 17th key).
+    */
+  private val feedCtes: String =
+    """base AS (
       |  SELECT o_orderkey AS k, o_orderstatus AS status,
       |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3)) AS price,
       |         1 AS version, 'u' AS op
@@ -237,15 +241,10 @@ object Relational3 {
       |  FROM orders WHERE o_orderkey % 17 = 0),
       |feed AS (
       |  SELECT * FROM base UNION ALL SELECT * FROM upd
-      |  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
-      |latest AS (
-      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
-      |  FROM feed)
-      |SELECT status, count(*) AS n_rows, CAST(sum(price) AS DOUBLE) AS sum_price
-      |FROM latest WHERE rn = 1 AND op = 'u'
-      |GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
-    val o = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      |  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins)""".stripMargin
+
+  /** Spark side of [[feedCtes]] — identical legs, exact decimal prices. */
+  private def changeFeed(o: DataFrame): DataFrame = {
     def leg(k: Column, status: Column, price: Column, version: Int,
         op: String)(src: DataFrame): DataFrame =
       src.select(k.as("k"), status.as("status"),
@@ -262,7 +261,21 @@ object Relational3 {
     val ins = leg(col("o_orderkey") + lit(10000000L), lit("N"),
       money(col("o_totalprice")), 2, "u")(
       o.filter(col("o_orderkey") % 17 === 0))
-    val feed = base.unionByName(upd).unionByName(del).unionByName(ins)
+    base.unionByName(upd).unionByName(del).unionByName(ins)
+  }
+
+  val upsertLatest: QueryDef = q(
+    "q45_upsert_latest",
+    s"""WITH $feedCtes,
+      |latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+      |  FROM feed)
+      |SELECT status, count(*) AS n_rows, CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM latest WHERE rn = 1 AND op = 'u'
+      |GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val feed = changeFeed(o)
     val w = Window.partitionBy(col("k")).orderBy(col("version").desc)
     feed.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") === "u")
@@ -272,7 +285,46 @@ object Relational3 {
       .orderBy("status")
   }
 
+  /** SCD2 history build over the same change feed q45 merges: every 'u'
+    * version becomes a dimension row with a validity interval
+    * [valid_from_v, valid_to_v) closed by its successor version (a delete
+    * closes the last interval without contributing a row); `is_current`
+    * marks open intervals. This is the other half of the lakehouse MERGE
+    * story — q45 keeps only the latest state, q46 keeps the full
+    * point-in-time-queryable history, both off one shuffle on the key.
+    *
+    * Scale shape: ONE hash shuffle on the merge key, then a per-key window
+    * (versions per key are bounded by the feed's op mix, never
+    * corpus-scale). `price` is exact decimal through the window and cast
+    * to double only at output.
+    */
+  val scd2History: QueryDef = q(
+    "q46_scd2_history",
+    s"""WITH $feedCtes,
+      |hist AS (
+      |  SELECT k, status, price, version, op,
+      |         lead(version) OVER (PARTITION BY k ORDER BY version)
+      |           AS valid_to_v
+      |  FROM feed)
+      |SELECT k, status, CAST(price AS DOUBLE) AS price,
+      |       version AS valid_from_v, valid_to_v,
+      |       (valid_to_v IS NULL) AS is_current
+      |FROM hist WHERE op = 'u'
+      |ORDER BY k, valid_from_v""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val w = Window.partitionBy(col("k")).orderBy(col("version"))
+    changeFeed(o)
+      .withColumn("valid_to_v", lead(col("version"), 1).over(w))
+      .filter(col("op") === "u")
+      .select(col("k"), col("status"), col("price").cast("double").as("price"),
+        col("version").as("valid_from_v"), col("valid_to_v"),
+        col("valid_to_v").isNull.as("is_current"))
+      .orderBy("k", "valid_from_v")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles,
-      unpivotMetrics, correlatedExists, lateralTopN, upsertLatest)
+      unpivotMetrics, correlatedExists, lateralTopN, upsertLatest,
+      scd2History)
 }

@@ -771,8 +771,73 @@ object TextAnalysis {
     chunk(Tables.parallel(Tables.documents(s, d)), window = 64, stride = 48)
   }
 
+  /** Per-row character/word diversity: distinct-char count, char-histogram
+    * collision probability (the Simpson index — exp of the negated Rényi-2
+    * entropy, the standard "is this machine-generated noise or boilerplate"
+    * signal), word count, distinct-word count, and type-token ratio.
+    *
+    * Everything is computed per-row with array lambdas — at 100 TB this is
+    * an embarrassingly parallel map fused into the scan, where an
+    * explode-and-groupBy formulation would shuffle one row PER CHARACTER
+    * (a ~300× row amplification on this corpus). All histogram sums are
+    * exact integer arithmetic; each double column is a single division of
+    * exact longs, so the values are bit-identical on any IEEE engine (the
+    * reason this uses collision probability rather than Shannon entropy,
+    * whose per-term log2 is not correctly-rounded-guaranteed across libms).
+    */
+  val charDiversity: QueryDef = q(
+    "t15_char_diversity",
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |counts AS (
+      |  SELECT doc_id, c, count(*) AS cnt FROM chars GROUP BY doc_id, c),
+      |cagg AS (
+      |  SELECT doc_id,
+      |         CAST(count(*) AS BIGINT) AS nd_chars,
+      |         CAST(sum(cnt * cnt) AS BIGINT) AS sq,
+      |         CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM counts GROUP BY doc_id),
+      |words AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           AS nd_words
+      |  FROM documents)
+      |SELECT cagg.doc_id AS doc_id, nd_chars,
+      |       CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |         AS char_collision_p,
+      |       n_words, nd_words,
+      |       CAST(nd_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr
+      |FROM cagg JOIN words ON words.doc_id = cagg.doc_id
+      |ORDER BY cagg.doc_id""".stripMargin) { (s, d) =>
+    // Spark's split keeps a trailing zero-width match ("" element) that
+    // DuckDB's string_split drops — filter it so both sides see pure chars.
+    val chars = expr("filter(split(text, ''), x -> x <> '')")
+    val words = split(col("text"), " ")
+    Tables.parallel(Tables.documents(s, d))
+      .select(col("doc_id"), chars.as("ch"), words.as("ws"))
+      .select(col("doc_id"),
+        expr("""aggregate(
+                |  transform(array_distinct(ch),
+                |            c -> CAST(size(filter(ch, x -> x = c)) AS BIGINT)),
+                |  CAST(0 AS BIGINT), (acc, x) -> acc + x * x)""".stripMargin)
+          .as("sq"),
+        size(array_distinct(col("ch"))).cast("long").as("nd_chars"),
+        size(col("ch")).cast("long").as("n"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("nd_words"))
+      .select(col("doc_id"), col("nd_chars"),
+        (col("sq").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+          .as("char_collision_p"),
+        col("n_words"), col("nd_words"),
+        (col("nd_words").cast("double") / col("n_words").cast("double"))
+          .as("ttr"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
       repetition, novelty, heavyHitters, redactionAudit, blocklistAudit,
-      classifier, lmFluency, chunking)
+      classifier, lmFluency, chunking, charDiversity)
 }

@@ -434,6 +434,32 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning\\(k".r.unanchored.findAllIn(p).nonEmpty, p)
   }
 
+  test("t15 char diversity is a scan-fused map: no hash exchange, no explode") {
+    val p = plan("t15_char_diversity")
+    // the whole histogram runs in row-local array lambdas — an
+    // explode+groupBy formulation would show Generate + hashpartitioning
+    // (one shuffled row PER CHARACTER); the only exchange allowed is the
+    // final deterministic sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("d15 sorted-neighborhood never builds a cross product") {
+    val p = plan("d15_editdist_snm")
+    // SNM's whole point: candidate pairs come from a per-block window
+    // (one hash exchange on the block key), never an all-pairs join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning\\(blk".r.unanchored.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q46 scd2 history builds off one key shuffle, no join") {
+    val p = plan("q46_scd2_history")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(k".r.unanchored.findAllIn(p).nonEmpty, p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
