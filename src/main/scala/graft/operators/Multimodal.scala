@@ -20,14 +20,20 @@ import graft.{QueryDef, Tables}
   * `tools/make_png_fixture.py`), so the decode is cross-implementation
   * verified, not self-inverse.
   *
-  * AUDIO/VIDEO decode stays STUBBED (no media codecs for those in this
+  * AUDIO decode is REAL too: [[decodeWav]] parses RIFF/WAVE through
+  * `javax.sound.sampled` (the JDK's own audio file codec), and [[wavAudit]]
+  * (m05) oracle-gates it end to end against the sample law's arithmetic;
+  * MultimodalSpec additionally decodes a COMMITTED fixture written by an
+  * independent encoder (python's stdlib `wave`, `tools/make_wav_fixture.py`).
+  *
+  * VIDEO decode stays STUBBED (no video codec ships with the JDK or this
   * environment): [[decodeStub]] is a deterministic fake that derives
   * "features" from the bytes. Everything Spark-side is real and tested —
   * the schema, the binary column handling, the mapPartitions batch shape
   * (one iterator per partition, no per-row task overhead, no driver
   * collect), and the frame-sampling explode. Swapping the stub for a real
-  * codec is a one-function change, exactly the change [[decodeImage]]
-  * demonstrates for images.
+  * codec is a one-function change, exactly the change [[decodeImage]] and
+  * [[decodeWav]] demonstrate for images and audio.
   */
 object Multimodal {
 
@@ -201,6 +207,88 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio features from a REAL codec pass: sample count straight
+    * from the decoder, exact integer sample sum / energy / peak.
+    */
+  final case class AudioFeatures(
+      media_id: Long,
+      n_samples: Long,
+      sample_sum: Long,
+      energy: Long,
+      peak: Long)
+
+  /** Deterministic synthetic WAV for `id`: `n = 256 + id mod 256` mono
+    * PCM16LE samples at 8 kHz with the integer law
+    * `x_i = ((7919 i + 104729 id) mod 65536) - 32768` (full int16 range,
+    * no float anywhere). The bytes are REAL RIFF/WAVE files — encoded by
+    * `javax.sound.sampled.AudioSystem`, header chunks and all — so the
+    * decode side exercises the JDK's actual audio codec, not a fake.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 256 + math.floorMod(id, 256L).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val x = ((i * 7919L + id * 104729L) % 65536L).toInt - 32768
+      pcm(2 * i) = (x & 0xff).toByte
+      pcm(2 * i + 1) = ((x >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One synthetic WAV payload per document id — executor-side encoding,
+    * same contract as [[syntheticImages]].
+    */
+  def syntheticAudio(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.parallel(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "audio", syntheticWav(id))))
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the RIFF
+    * container and hands back the PCM stream; features are exact integer
+    * aggregates of the decoded int16 samples (energy fits a long:
+    * 2^30 per sample × bounded clip length). Non-audio bytes and
+    * unexpected formats fail loudly. Same per-partition batch shape as
+    * [[decodeImage]].
+    */
+  def decodeWav(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.content))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"media_id ${r.media_id}: expected mono PCM16LE, got $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L; var energy = 0L; var peak = 0L
+        var i = 0
+        while (i < n) {
+          val x = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          sum += x
+          energy += x * x
+          val a = math.abs(x)
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioFeatures(r.media_id, n.toLong, sum, energy, peak)
+      }
+    }
+  }
+
   private def q(name: String, oracle: String)(
       run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, Some(oracle), run)
@@ -305,5 +393,35 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(binaryMeta, decodeAgg, frameAudit, pngAudit)
+  /** m05: the REAL-audio-codec audit — every document id becomes a genuine
+    * `AudioSystem`-encoded RIFF/WAVE clip on the executors, [[decodeWav]]
+    * parses it back through the JDK codec, and the oracle pins sample
+    * count / sum / energy / peak to the sample law restated as SQL over an
+    * unnested index range. Like m04, the round-trip is verified against
+    * ARITHMETIC computed by a different engine, not another run of the
+    * same codec.
+    */
+  val wavAudit: QueryDef = q(
+    "m05_wav_decode",
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, 256 + doc_id % 256 AS n FROM documents),
+      |idx AS (SELECT unnest(range(0, 512)) AS i),
+      |s AS (
+      |  SELECT media_id, n,
+      |         ((i * 7919 + media_id * 104729) % 65536) - 32768 AS x
+      |  FROM v JOIN idx ON idx.i < v.n)
+      |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+      |       CAST(sum(x) AS BIGINT) AS sample_sum,
+      |       CAST(sum(x * x) AS BIGINT) AS energy,
+      |       CAST(max(abs(x)) AS BIGINT) AS peak
+      |FROM s GROUP BY media_id, n
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    decodeWav(syntheticAudio(s, d)).toDF()
+      .select(col("media_id"), col("n_samples"), col("sample_sum"),
+        col("energy"), col("peak"))
+      .orderBy("media_id")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(binaryMeta, decodeAgg, frameAudit, pngAudit, wavAudit)
 }

@@ -82,6 +82,46 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(ex.getCause).exists(_.getMessage.contains("not a decodable image")))
   }
 
+  test("decodeWav: committed fixture WAV decodes to the independent " +
+      "encoder's sample law") {
+    import spark.implicits._
+    // tone.wav is written by tools/make_wav_fixture.py — python's stdlib
+    // `wave` RIFF encoder, NOT javax.sound — so this decode is verified
+    // against an independent implementation (values printed by the
+    // generator; its sample law differs from m05's on purpose).
+    val bytes = {
+      val in = getClass.getResourceAsStream("/graft/tone.wav")
+      try in.readAllBytes() finally in.close()
+    }
+    val f = Multimodal.decodeWav(
+      Seq(Multimodal.MediaRow(3L, "audio", bytes)).toDS()).collect().head
+    assert(f.n_samples == 400L)
+    assert(f.sample_sum == -1168522L)
+    assert(f.energy == 151320494624L)
+    assert(f.peak == 32760L)
+  }
+
+  test("decodeWav: synthetic WAV round-trip matches the integer law, " +
+      "partition-independent; junk fails loudly") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 255L, 256L, 777L)
+    val media = ids.toDS().repartition(3)
+      .map(id => Multimodal.MediaRow(id, "audio", Multimodal.syntheticWav(id)))
+    val got = Multimodal.decodeWav(media).collect()
+      .map(f => f.media_id -> ((f.n_samples, f.sample_sum, f.energy, f.peak)))
+      .toMap
+    ids.foreach { id =>
+      val n = 256 + (id % 256).toInt
+      val xs = (0 until n).map(i => ((i * 7919L + id * 104729L) % 65536L) - 32768L)
+      val expect = (n.toLong, xs.sum, xs.map(x => x * x).sum, xs.map(math.abs).max)
+      assert(got(id) == expect, s"id=$id")
+    }
+    val bad = Seq(Multimodal.MediaRow(9L, "audio", Array[Byte](1, 2, 3))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(bad).collect()
+    }
+  }
+
   test("resizeStub: strided downsample preserves schema and determinism") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
     val small = Multimodal.resizeStub(media, factor = 4)
