@@ -1082,8 +1082,233 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Fitted product-quantization codebooks: `m` subspaces of `dsub`
+    * components, `ksub` codewords each (quantized 1e-6-unit longs, with
+    * their exact squared norms), plus the corpus encoded to `m` small
+    * code columns. The driver holds m×ksub×dsub longs — bounded model
+    * state; the corpus stays distributed and, once encoded, each vector
+    * is m bytes of codes instead of dim floats (the 100 TB memory story:
+    * at m=8, ksub=256, dim=1024 that is 8 bytes/vector vs 4 KB — a 512×
+    * compression of the scan the ADC pass streams).
+    */
+  final case class PqModel(
+      m: Int,
+      ksub: Int,
+      dsub: Int,
+      codebooks: IndexedSeq[IndexedSeq[Array[Long]]],
+      codes: DataFrame)
+
+  /** Train PQ codebooks: per-subspace k-means on exact quantized longs,
+    * seeded from the `ksub` smallest vec_ids (the same deterministic
+    * contract as [[ivfIndex]]) and updated with the truncated mean (exact
+    * integer arithmetic — reproducible on any engine, the property the
+    * s12 oracle leans on).
+    *
+    * Scale shape: assignment for ALL subspaces is one scan-fused map over
+    * the corpus (argmin against literal codewords, NO shuffle); each
+    * update iteration pays ONE shuffle of map-side-combined partial sums,
+    * keyed by (subspace, code) — m×ksub groups total, independent of
+    * corpus size. Driver state is the codebooks only.
+    */
+  def pqIndex(emb: DataFrame, m: Int, ksub: Int, iters: Int = 1): PqModel = {
+    val e = withQuant(emb).select(col("vec_id"), col("qv"), col("sq"))
+    val dim = 64
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub > 0 && iters >= 0, s"need ksub > 0, iters >= 0 (got $ksub, $iters)")
+    val dsub = dim / m
+    val seedRows = e.orderBy("vec_id").limit(ksub).collect()
+    require(seedRows.length == ksub,
+      s"pqIndex(ksub=$ksub) needs at least ksub corpus vectors, found ${seedRows.length}")
+    var cbs: Array[Array[Array[Long]]] = Array.tabulate(m) { mi =>
+      seedRows.map(_.getSeq[Long](1).slice(mi * dsub, (mi + 1) * dsub).toArray)
+    }
+    // per-subspace argmin code against the current literal codewords;
+    // d2 is the TRUE squared L2 distance (sub·sub − 2·sub·cw + cw·cw, all
+    // exact longs), so ties resolve identically to the oracle's Σ(x−c)²
+    def codeCols: Seq[Column] = (0 until m).map { mi =>
+      val sub = slice(col("qv"), mi * dsub + 1, dsub)
+      val scored = (0 until ksub).map { ci =>
+        val cw = cbs(mi)(ci)
+        val d2 = call_function("long_dot", sub, sub) -
+          lit(2L) * call_function("long_dot", sub, typedlit(cw.toSeq)) +
+          lit(dotLongs(cw, cw))
+        struct(d2.as("d2"), lit(ci).as("cid"))
+      }
+      val best = if (scored.length == 1) scored.head else least(scored: _*)
+      best.getField("cid").as(s"code_$mi")
+    }
+    for (_ <- 1 to iters) {
+      // stack the m (code, subvector) pairs per row and sum per
+      // (subspace, code): one bounded shuffle updates every codebook
+      val stacked = e.select((col("vec_id") +: col("qv") +: codeCols): _*)
+        .select(posexplode(array((0 until m).map(mi =>
+          struct(col(s"code_$mi").as("code"),
+            slice(col("qv"), mi * dsub + 1, dsub).as("sub"))): _*))
+          .as(Seq("mi", "sc")))
+        .select(col("mi"), col("sc.code").as("code"), col("sc.sub").as("sub"))
+      val sums = stacked.groupBy(col("mi"), col("code"))
+        .agg(graft.functions.VecAgg.vecSum(col("sub")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getSeq[Long](2).toArray, r.getLong(3))))
+        .toMap
+      cbs = Array.tabulate(m) { mi =>
+        Array.tabulate(ksub) { ci =>
+          sums.get((mi, ci)) match {
+            case None => cbs(mi)(ci) // empty cluster: keep previous codeword
+            case Some((sv, n)) => sv.map(x => truncMean(x, n))
+          }
+        }
+      }
+    }
+    val codes = e.select((col("vec_id") +: col("sq") +: codeCols): _*)
+    PqModel(m, ksub, dsub, cbs.toIndexedSeq.map(_.toIndexedSeq), codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each query
+    * scores every corpus vector through its codes alone — the approximate
+    * dot is Σ_subspace dot(query_sub, codeword[code]), a literal-array
+    * lookup plus [[graft.functions.LongDotProduct]], and the candidate's
+    * norm is the reconstruction's Σ codeword² — so the scan touches the
+    * m code bytes, never the original vectors.
+    *
+    * Scale shape: queries broadcast; the corpus streams map-only through
+    * the codegen'd LUT scoring (no shuffle, no decode of the corpus
+    * vectors); per-query top-k rides WindowGroupLimit. The production
+    * composition for 100 TB is IVF routing (s10) + this ADC pass inside
+    * each probed list.
+    */
+  def pqSearch(model: PqModel, queries: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0 (got $k)")
+    val qs = withQuant(queries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
+    val reconSq = (0 until model.m).map { mi =>
+      val csqs: Seq[Long] = model.codebooks(mi).map(cw => dotLongs(cw, cw)).toSeq
+      element_at(typedlit(csqs), col(s"code_$mi") + 1)
+    }.reduce(_ + _)
+    val adot = (0 until model.m).map { mi =>
+      val cws: Seq[Seq[Long]] = model.codebooks(mi).map(_.toSeq).toSeq
+      call_function("long_dot",
+        slice(col("qe"), mi * model.dsub + 1, model.dsub),
+        element_at(typedlit(cws), col(s"code_$mi") + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    model.codes.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosCol(adot, col("q_sq"), reconSq).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "cid", "cos")
+  }
+
+  /** recall@k of a PQ configuration against [[exactTopK]] — the measured
+    * answer to "are (m, ksub) fine for this corpus?", per query (the ADC
+    * scores are approximate by construction, so this audit is the
+    * contract a PQ deployment ships with; PqSpec runs it).
+    */
+  def pqRecall(model: PqModel, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val exact = exactTopK(corpus, queries, k).select(col("qid"), col("cid"))
+    val approx = pqSearch(model, queries, k)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    exact.join(broadcast(approx),
+        col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("acid")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
+  /** s12: PQ/ADC audit — codebooks trained on the corpus (m=4 subspaces,
+    * ksub=4 codewords, one truncated-mean iteration), the corpus encoded,
+    * and each query's ADC top-3. The oracle restates the ENTIRE pipeline
+    * (seeding, the k-means iteration, re-encoding, LUT scoring) in SQL on
+    * exact integers, so the match pins training, not just the final
+    * ranking.
+    */
+  val pqAdc: QueryDef = q(
+    "s12_pq_adc",
+    s"""WITH jj AS (SELECT unnest(range(0, 64)) AS jx),
+       |x AS (
+       |  SELECT vec_id, jx, CAST(jx // 16 AS INT) AS mi,
+       |         CAST(CAST(CAST(embeddings.embedding[CAST(jx + 1 AS INT)] AS DOUBLE)
+       |              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+       |  FROM embeddings, jj),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |cb0 AS (
+       |  SELECT s.cid, x.mi, x.jx, x.v AS cx
+       |  FROM x JOIN seeds s ON x.vec_id = s.vec_id),
+       |d1 AS (
+       |  SELECT x.vec_id, x.mi, cb0.cid,
+       |         CAST(sum((x.v - cb0.cx) * (x.v - cb0.cx)) AS BIGINT) AS d2
+       |  FROM x JOIN cb0 ON cb0.mi = x.mi AND cb0.jx = x.jx
+       |  GROUP BY x.vec_id, x.mi, cb0.cid),
+       |a1 AS (
+       |  SELECT vec_id, mi, cid AS code FROM (
+       |    SELECT vec_id, mi, cid,
+       |           row_number() OVER (PARTITION BY vec_id, mi ORDER BY d2, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |upd AS (
+       |  SELECT a1.mi, a1.code AS cid, x.jx,
+       |         CAST(sum(x.v) AS BIGINT) AS s, count(*) AS n
+       |  FROM a1 JOIN x ON x.vec_id = a1.vec_id AND x.mi = a1.mi
+       |  GROUP BY a1.mi, a1.code, x.jx),
+       |cb1 AS (
+       |  SELECT cb0.mi, cb0.cid, cb0.jx,
+       |         COALESCE(CASE WHEN upd.s < 0 THEN -((-upd.s) // upd.n)
+       |                       ELSE upd.s // upd.n END, cb0.cx) AS cx
+       |  FROM cb0 LEFT JOIN upd
+       |    ON upd.mi = cb0.mi AND upd.cid = cb0.cid AND upd.jx = cb0.jx),
+       |dt AS (
+       |  SELECT x.vec_id, x.mi, cb1.cid,
+       |         CAST(sum((x.v - cb1.cx) * (x.v - cb1.cx)) AS BIGINT) AS d2
+       |  FROM x JOIN cb1 ON cb1.mi = x.mi AND cb1.jx = x.jx
+       |  GROUP BY x.vec_id, x.mi, cb1.cid),
+       |codes AS (
+       |  SELECT vec_id, mi, cid AS code FROM (
+       |    SELECT vec_id, mi, cid,
+       |           row_number() OVER (PARTITION BY vec_id, mi ORDER BY d2, cid) AS rn
+       |    FROM dt) WHERE rn = 1),
+       |csq AS (
+       |  SELECT mi, cid, CAST(sum(cx * cx) AS BIGINT) AS csq
+       |  FROM cb1 GROUP BY mi, cid),
+       |recon AS (
+       |  SELECT codes.vec_id, CAST(sum(csq.csq) AS BIGINT) AS rsq
+       |  FROM codes JOIN csq ON csq.mi = codes.mi AND csq.cid = codes.code
+       |  GROUP BY codes.vec_id),
+       |qx AS (SELECT vec_id AS qid, mi, jx, v FROM x WHERE vec_id < 8),
+       |adots AS (
+       |  SELECT qx.qid, codes.vec_id AS cid, CAST(sum(qx.v * cb1.cx) AS BIGINT) AS adot
+       |  FROM codes
+       |  JOIN cb1 ON cb1.mi = codes.mi AND cb1.cid = codes.code
+       |  JOIN qx ON qx.mi = cb1.mi AND qx.jx = cb1.jx
+       |  WHERE codes.vec_id <> qx.qid
+       |  GROUP BY qx.qid, codes.vec_id),
+       |$oracleNorms,
+       |scored AS (
+       |  SELECT qid, cid,
+       |         (CAST(adot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |           / (sqrt(CAST(na.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |            * sqrt(CAST(recon.rsq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))) AS cos
+       |  FROM adots JOIN norms na ON na.vec_id = adots.qid
+       |             JOIN recon ON recon.vec_id = adots.cid)
+       |SELECT qid, rn, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val emb = Tables.parallel(Tables.embeddings(s, d))
+    val model = pqIndex(emb, m = 4, ksub = 4, iters = 1)
+    pqSearch(model, emb.filter(col("vec_id") < 8), k = 3)
+      .orderBy("qid", "rn")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
-      ivfTrained, semDedupTrainedQ)
+      ivfTrained, semDedupTrainedQ, pqAdc)
 }
