@@ -916,6 +916,102 @@ object Similarity {
       .orderBy("vec_id", "rn")
   }
 
+  /** Integer-exact PageRank over a directed edge list — the graph-analytics
+    * pass run on similarity graphs (centrality-weighted curation, cluster
+    * repair, seed selection for NN-Descent). All arithmetic is scaled
+    * longs: ranks start at 1e9 units, each iteration sends
+    * `rank div out_degree` along every edge and recombines as
+    * `0.15 + 0.85·Σ` in integer units (`150000000 + (85·Σ) div 100`), so
+    * every iteration is bit-reproducible on any engine — no float
+    * accumulation order to diverge (the property the s13 oracle unrolls).
+    *
+    * Scale shape: the textbook Pregel loop — per iteration ONE join of
+    * the edge list against the rank vector on `src` (co-partition or
+    * bucket both by `src` to make it shuffle-free) and ONE aggregate
+    * shuffle on `dst`. Driver holds nothing; dangling mass is dropped
+    * (not redistributed), the common large-graph simplification.
+    */
+  def pageRankInt(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"need iters >= 0 (got $iters)")
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var ranks = nodes.select(col("id"), lit(1000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank"))
+  }
+
+  /** s13: PageRank centrality over the s08 kNN graph (3 integer-exact
+    * iterations). The oracle restates the kNN construction AND unrolls
+    * all three iterations in SQL on the same scaled longs, so the gate
+    * pins the whole iterative computation, not a summary.
+    */
+  val knnPageRank: QueryDef = q(
+    "s13_knn_pagerank",
+    s"""WITH $oracleNorms,
+       |pd AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    CAST(sum(${xiSql("a")} * ${xiSql("b")}) AS BIGINT) AS dot
+       |  FROM embeddings a
+       |  JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id, j
+       |  GROUP BY a.vec_id, b.vec_id),
+       |ps AS (
+       |  SELECT va, vb, $oracleCos AS cos
+       |  FROM pd JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb),
+       |knn AS (
+       |  SELECT va AS src, vb AS dst FROM (
+       |    SELECT va, vb,
+       |           row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |    FROM ps) WHERE rn <= 3),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |od AS (SELECT src, count(*) AS d FROM knn GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |c1 AS (SELECT knn.dst, CAST(sum(r0.r // od.d) AS BIGINT) AS s
+       |       FROM knn JOIN r0 ON r0.id = knn.src JOIN od ON od.src = knn.src
+       |       GROUP BY knn.dst),
+       |r1 AS (SELECT id, CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+       |       FROM nodes LEFT JOIN c1 ON c1.dst = nodes.id),
+       |c2 AS (SELECT knn.dst, CAST(sum(r1.r // od.d) AS BIGINT) AS s
+       |       FROM knn JOIN r1 ON r1.id = knn.src JOIN od ON od.src = knn.src
+       |       GROUP BY knn.dst),
+       |r2 AS (SELECT id, CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+       |       FROM nodes LEFT JOIN c2 ON c2.dst = nodes.id),
+       |c3 AS (SELECT knn.dst, CAST(sum(r2.r // od.d) AS BIGINT) AS s
+       |       FROM knn JOIN r2 ON r2.id = knn.src JOIN od ON od.src = knn.src
+       |       GROUP BY knn.dst),
+       |r3 AS (SELECT id, CAST(150000000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+       |       FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
+       |SELECT id AS vec_id, r AS rank FROM r3
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
+    val a = e.select(col("vec_id").as("va"), col("label"),
+      col("qv").as("qa"), col("sq").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
+      col("qv").as("qb"), col("sq").as("nb"))
+    val w = Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))
+    val edges = a.join(b, col("label") === col("lb") && col("va") =!= col("vb"))
+      .withColumn("cos", cosCol(expr(dotRawSql("qa", "qb")), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("va").as("src"), col("vb").as("dst"))
+      // the edge list is reused every iteration: materialize it once
+      // instead of re-running the kNN join per iteration (and keep the
+      // lineage flat so iteration plans do not grow)
+      .localCheckpoint()
+    val nodes = e.select(col("vec_id").as("id"))
+    pageRankInt(nodes, edges, iters = 3)
+      .select(col("id").as("vec_id"), col("rank"))
+      .orderBy("vec_id")
+  }
+
   /** s09: embedding-diversity rebalance — p06's integer-exact budget rule
     * applied to a LEARNED stratum: vectors are assigned to their seeded
     * centroid (the s03/s06 map-only argmax), then each cluster is capped
@@ -1310,5 +1406,5 @@ object Similarity {
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
-      ivfTrained, semDedupTrainedQ, pqAdc)
+      ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank)
 }
