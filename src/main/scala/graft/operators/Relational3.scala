@@ -323,8 +323,81 @@ object Relational3 {
       .orderBy("k", "valid_from_v")
   }
 
+  /** SKYLINE (Pareto-frontier) operator without the quadratic self-join.
+    *
+    * Dominance over two maximized integer criteria (x, y): row `b`
+    * dominates `a` iff `x_b ≥ x_a ∧ y_b ≥ y_a` with at least one strict.
+    * The textbook formulation is a correlated NOT EXISTS — a pairwise
+    * self-join that is O(n²) and undistributable on a 100 TB corpus (the
+    * oracle states exactly that form, at oracle scale).
+    *
+    * The engine instead uses the p09 histogram trick on the BOUNDED `x`
+    * domain: aggregate `h(x) = max y` (map-side combined, ≤ |x-domain|
+    * rows however large the corpus), take two suffix-maxima over the tiny
+    * histogram with one window each —
+    *   m_gt(x) = max h over x' > x   (strictly-longer rows)
+    *   m_ge(x) = max h over x' ≥ x   (longer-or-equal rows)
+    * — broadcast them back, and a row survives iff
+    *   NOT (m_gt(x_a) ≥ y_a  ∨  m_ge(x_a) > y_a)
+    * evaluated as a scan-fused comparison. Equal rows are mutually
+    * non-dominating (both kept), matching the EXISTS form exactly.
+    * Integer-exact throughout; the corpus never self-joins or sorts.
+    */
+  def skyline(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val rows = df.withColumn("x$", x.cast("long")).withColumn("y$", y.cast("long"))
+    val h = rows.groupBy(col("x$")).agg(max(col("y$")).as("hy"))
+    // two windows over the bounded x-histogram only (p09's documented
+    // single-partition-is-fine-THERE pattern)
+    val wGt = Window.orderBy(col("x$").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val wGe = Window.orderBy(col("x$").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val m = h.select(col("x$").as("hx"),
+      coalesce(max(col("hy")).over(wGt), lit(Long.MinValue)).as("m_gt"),
+      max(col("hy")).over(wGe).as("m_ge"))
+    rows.join(broadcast(m), col("x$") === col("hx"))
+      .filter(!(col("m_gt") >= col("y$") || col("m_ge") > col("y$")))
+      .drop("hx", "m_gt", "m_ge", "x$", "y$")
+  }
+
+  /** q47: the document-curation skyline — maximize token count AND
+    * distinct-token diversity (micro-units). The audit groups the
+    * frontier per language with a count + id checksum + criteria ranges,
+    * pinning the exact surviving row set against the oracle's O(n²)
+    * NOT EXISTS form.
+    */
+  val skylineAudit: QueryDef = q(
+    "q47_skyline",
+    """WITH sc AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+      |              // len(string_split(text, ' ')) AS BIGINT) AS uniq_micro
+      |  FROM documents),
+      |sky AS (
+      |  SELECT * FROM sc a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM sc b
+      |    WHERE b.n_tok >= a.n_tok AND b.uniq_micro >= a.uniq_micro
+      |      AND (b.n_tok > a.n_tok OR b.uniq_micro > a.uniq_micro)))
+      |SELECT lang, count(*) AS n_sky, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |       min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+      |       min(uniq_micro) AS min_uniq, max(uniq_micro) AS max_uniq
+      |FROM sky GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val sc = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+      expr("""CAST(size(array_distinct(split(text, ' '))) * 1000000
+             |     div size(split(text, ' ')) AS BIGINT)""".stripMargin)
+        .as("uniq_micro"))
+    skyline(sc, col("n_tok"), col("uniq_micro"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sky"), sum(col("doc_id")).as("id_sum"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+        min(col("uniq_micro")).as("min_uniq"),
+        max(col("uniq_micro")).as("max_uniq"))
+      .orderBy("lang")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles,
       unpivotMetrics, correlatedExists, lateralTopN, upsertLatest,
-      scd2History)
+      scd2History, skylineAudit)
 }

@@ -666,8 +666,89 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Integer-exact WEIGHTED SYSTEMATIC sampling without a global sort:
+    * walk the corpus in key order accumulating weight, and select every
+    * row whose weight interval `[cum, cum+w)` contains a multiple of
+    * `step` — the classic probability-proportional-to-size systematic
+    * design (every selected row "spends" one step of weight mass, so
+    * heavy documents are selected with probability ∝ weight and the
+    * selected token mass is ≈ total/step · step regardless of the
+    * size distribution). Deterministic: the "random phase" is fixed at 0,
+    * so the selection is a pure function of (key order, weights, step) —
+    * reproducible across engines, runs, and partitionings.
+    *
+    * The naive formulation is `sum(w) OVER (ORDER BY key)` — a global
+    * total-order window, i.e. one partition holding the corpus. This
+    * implementation is a TWO-LEVEL DISTRIBUTED PREFIX SUM instead:
+    *   1. bin every row by `key div 2^20` and aggregate per-bin weight
+    *      totals (map-side combined; the bin table is corpus/2^20 rows);
+    *   2. exclusive-prefix the BIN table with one window (single
+    *      partition over the bounded bin table — p09's histogram-window
+    *      trick; at 10^11 keys that is 10^5 rows);
+    *   3. broadcast the bin offsets back and window WITHIN each bin
+    *      (partitioned by bin, ≤ 2^20 rows per partition);
+    *   global_cum = bin_offset + within_bin_cum, exactly.
+    * All arithmetic is BIGINT; the containment test
+    * `(c1+w-1) div step > (c1-1) div step` (with `c1 = cum + step` to
+    * keep every operand positive) is division on positive longs — no
+    * float, no engine divergence.
+    */
+  def weightedSystematic(
+      df: DataFrame, key: Column, weight: Column, step: Column,
+      binShift: Int = 20): DataFrame = {
+    val rows = df.withColumn("w$", weight.cast("long"))
+      .withColumn("k$", key.cast("long"))
+      .withColumn("bin$", expr(s"`k$$` div ${1L << binShift}"))
+    val bins = rows.groupBy(col("bin$")).agg(sum(col("w$")).as("bw"))
+    // exclusive prefix over the BIN table only (bounded; see scaladoc)
+    val binOff = bins.withColumn("off",
+      coalesce(sum(col("bw")).over(Window.orderBy(col("bin$"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin$").as("b$"), col("off"))
+    val wIn = Window.partitionBy(col("bin$")).orderBy(col("k$"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(binOff), col("bin$") === col("b$"))
+      .withColumn("step$", step.cast("long"))
+      .withColumn("cum0", col("off") + sum(col("w$")).over(wIn) - col("w$"))
+      .withColumn("c1$", col("cum0") + col("step$"))
+      .filter(expr("(`c1$` + `w$` - 1) div `step$` > (`c1$` - 1) div `step$`"))
+      .drop("b$", "off", "bin$", "c1$", "k$", "step$")
+  }
+
+  /** p13: weighted systematic sample of documents — token count as the
+    * weight, step sized so ~200 docs are selected, audited per language
+    * (count + id checksum + selected token mass pins the exact row set).
+    * The oracle states the SAME selection as the naive global cumulative
+    * window — the spec-level identity the two-level prefix sum must hit.
+    */
+  val weightedSystematicAudit: QueryDef = q(
+    "p13_weighted_systematic",
+    """WITH w AS (SELECT doc_id, lang,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |           FROM documents),
+      |t AS (SELECT greatest(1, CAST(sum(w) AS BIGINT) // 200) AS step FROM w),
+      |c AS (SELECT doc_id, lang, w, step,
+      |        CAST(sum(w) OVER (ORDER BY doc_id) - w AS BIGINT) + step AS c1
+      |      FROM w, t),
+      |sel AS (SELECT lang, doc_id, w FROM c
+      |        WHERE (c1 + w - 1) // step > (c1 - 1) // step)
+      |SELECT lang, count(*) AS n_sel, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |       CAST(sum(w) AS BIGINT) AS tok_sum
+      |FROM sel GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val w = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(org.apache.spark.sql.functions.split(col("text"), " "))
+        .cast("long").as("w"))
+    val step = w.agg(greatest(lit(1L), expr("sum(w) div 200")).as("step"))
+    val sel = weightedSystematic(
+      w.crossJoin(broadcast(step)), col("doc_id"), col("w"), col("step"))
+    sel.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sel"), sum(col("doc_id")).as("id_sum"),
+        sum(col("w")).as("tok_sum"))
+      .orderBy("lang")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
       langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
-      importanceAudit, temperatureMix)
+      importanceAudit, temperatureMix, weightedSystematicAudit)
 }

@@ -1403,8 +1403,116 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Exact TRIANGLE COUNT on an undirected edge list — the standard
+    * graph-quality probe on similarity graphs (clustering coefficient /
+    * community density: near-dup clusters close triangles, random noise
+    * edges do not).
+    *
+    * Algorithm: degree-ordered edge orientation (Cohen 2009 / the
+    * MapReduce "NodeIterator++"): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, then count wedges
+    * (u→v, v→w) that close with an oriented edge (u→w). The orientation
+    * is a total order, so every triangle is counted EXACTLY once, and the
+    * wedge fan-out per vertex is bounded by its OUT-degree under the
+    * orientation — O(m^1.5) work overall instead of Σ deg² on hub
+    * vertices. That is the 100 TB argument: a power-law similarity graph
+    * has hubs whose deg² wedge mass explodes a naive neighbor self-join;
+    * orientation caps every vertex's contribution at arboricity.
+    *
+    * Both the wedge and closure joins are plain equi-joins (shuffle on
+    * vertex keys, AQE-skew-splittable); triangle counts are
+    * orientation-independent, so the oracle states the same count via the
+    * simpler id-orientation.
+    */
+  def triangleCount(und: DataFrame): DataFrame = {
+    // und: (label, a, b) with a < b, distinct
+    val deg = und.select(col("label"), col("a").as("v"))
+      .unionAll(und.select(col("label"), col("b").as("v")))
+      .groupBy(col("label"), col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("label"), col("v").as("a"), col("deg").as("da")),
+        Seq("label", "a"))
+      .join(deg.select(col("label"), col("v").as("b"), col("deg").as("db")),
+        Seq("label", "b"))
+    val oriented = withDeg.select(col("label"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.v") === col("e2.u") && col("e1.label") === col("e2.label"))
+      .select(col("e1.label").as("label"), col("e1.u").as("u"),
+        col("e2.u").as("mid"), col("e2.v").as("w"))
+    val tri = wedges.as("wg")
+      .join(oriented.as("e3"),
+        col("wg.u") === col("e3.u") && col("wg.w") === col("e3.v") &&
+          col("wg.label") === col("e3.label"))
+      .groupBy(col("wg.label").as("label")).agg(count(lit(1)).as("n_tri"))
+    und.groupBy(col("label")).agg(count(lit(1)).as("n_edges"))
+      .join(tri, Seq("label"), "left")
+      .select(col("label"), col("n_edges"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** s14: triangle census of the s08 kNN graph, per label block. The
+    * oracle restates the whole pipeline — exact integer kNN edges,
+    * undirected collapse, id-oriented triangle join — in SQL; the engine
+    * runs the degree-oriented plan, whose COUNT is provably identical.
+    */
+  val knnTriangles: QueryDef = q(
+    "s14_knn_triangles",
+    s"""WITH $oracleNorms,
+       |pd AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+       |    CAST(sum(${xiSql("a")} * ${xiSql("b")}) AS BIGINT) AS dot
+       |  FROM embeddings a
+       |  JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id, j
+       |  GROUP BY a.vec_id, b.vec_id, a.label),
+       |ps AS (
+       |  SELECT va, vb, label, $oracleCos AS cos
+       |  FROM pd JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb),
+       |knn AS (
+       |  SELECT label, va, vb FROM (
+       |    SELECT label, va, vb,
+       |           row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |    FROM ps) WHERE rn <= 3),
+       |und AS (SELECT DISTINCT label, least(va, vb) AS a, greatest(va, vb) AS b
+       |        FROM knn),
+       |tri AS (SELECT e1.label AS label, count(*) AS n_tri
+       |        FROM und e1
+       |        JOIN und e2 ON e2.a = e1.b AND e2.label = e1.label
+       |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+       |                   AND e3.label = e1.label
+       |        GROUP BY e1.label),
+       |ne AS (SELECT label, count(*) AS n_edges FROM und GROUP BY label)
+       |SELECT ne.label AS label, n_edges,
+       |       CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri
+       |FROM ne LEFT JOIN tri ON tri.label = ne.label
+       |ORDER BY ne.label""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
+    val a = e.select(col("vec_id").as("va"), col("label"),
+      col("qv").as("qa"), col("sq").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
+      col("qv").as("qb"), col("sq").as("nb"))
+    val w = Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))
+    val und = a.join(b, col("label") === col("lb") && col("va") =!= col("vb"))
+      .withColumn("cos", cosCol(expr(dotRawSql("qa", "qb")), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("label"), least(col("va"), col("vb")).as("a"),
+        greatest(col("va"), col("vb")).as("b"))
+      .distinct()
+      // the undirected edge list feeds three downstream joins (degree,
+      // wedge, closure): materialize once, keep lineage flat
+      .localCheckpoint()
+    triangleCount(und).orderBy("label")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
-      ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank)
+      ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles)
 }

@@ -112,4 +112,45 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("weightedSystematic two-level prefix sum equals the naive global window") {
+    import spark.implicits._
+    // sparse keys spanning many bins, adversarial weights (zeros, heavy)
+    val rows = (0 until 4000).map { i =>
+      val key = i.toLong * 7919 % 50000 * 1048576L / 37 // scattered across bins
+      (key, (i * i % 97).toLong)
+    }.groupBy(_._1).valuesIterator.map(_.head).toSeq // unique keys
+    val df = rows.toDF("k", "w")
+    val step = 113L
+    val naive = df
+      .withColumn("cum0",
+        sum(col("w")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("cum0", coalesce(col("cum0"), lit(0L)) + lit(step))
+      .filter(expr(s"(cum0 + w - 1) div $step > (cum0 - 1) div $step"))
+      .select("k").as[Long].collect().toSet
+    val fast = Sampling.weightedSystematic(df, col("k"), col("w"), lit(step))
+      .select("k").as[Long].collect().toSet
+    assert(fast == naive, "two-level prefix-sum selection == global-window selection")
+    assert(fast.nonEmpty)
+    // partitioning-independence: the selection is a pure data function
+    val repart = Sampling
+      .weightedSystematic(df.repartition(17), col("k"), col("w"), lit(step))
+      .select("k").as[Long].collect().toSet
+    assert(repart == fast)
+    // weight mass between consecutive selections is ~step: total selected
+    // count equals ceil(total/step) bounds
+    val total = rows.map(_._2).sum
+    assert(math.abs(fast.size - total / step.toDouble) <= 1)
+  }
+
+  test("weightedSystematic selects heavy rows with certainty when w >= step") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 300L), (3L, 4L), (4L, 250L), (5L, 1L))
+      .toDF("k", "w")
+    val sel = Sampling.weightedSystematic(df, col("k"), col("w"), lit(100L))
+      .select("k").as[Long].collect().toSet
+    assert(Set(2L, 4L).subsetOf(sel), "rows with w >= step always selected")
+  }
 }
