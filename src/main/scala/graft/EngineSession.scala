@@ -52,6 +52,16 @@ object EngineSession {
       // compatibly partitioned, so plans without bucketed inputs are
       // unaffected.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // Runtime bloom-filter injection: when a fact join's build side is
+      // selectively filtered, plant a bloom of its join keys on the fact
+      // side BEFORE the shuffle — at 100 TB this is the single biggest
+      // join saving (rows that cannot match never leave the scan stage).
+      // Self-gating at small scale: injection requires the probe scan to
+      // exceed applicationSideScanSizeThreshold (10 GB default) and the
+      // join to be probably-shuffle, so toy runs plan identically with or
+      // without it (eligibility of the engine's unhinted fact-join shape
+      // is asserted in PlanQualitySpec with the thresholds dropped).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
 
   def local(cores: String = defaultCores): SparkSession = {
     val s = builder(cores).getOrCreate()
@@ -68,4 +78,5 @@ object EngineSession {
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
 }

@@ -142,7 +142,19 @@ object Multimodal {
     * REAL PNGs — ImageIO's encoder, zlib IDAT and all — so the decode
     * side exercises the full codec, not a fake.
     */
+  /** ImageIO defaults to `useCache=true`: every encode/decode of a byte
+    * stream spools through a TEMP FILE on executor disk — one file create
+    * + delete per image, which dominates small-image codec work and ties
+    * throughput to local-disk latency. Feature extraction is pure
+    * in-memory streaming; disable once per executor JVM (static,
+    * idempotent, called from every codec closure so it also holds on a
+    * real multi-executor cluster).
+    */
+  private def imageioInMemory(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   def syntheticPng(id: Long): Array[Byte] = {
+    imageioInMemory()
     val w = 1 + (math.floorMod(id, 64)).toInt
     val h = 1 + (math.floorMod(id, 48)).toInt
     val c = (math.floorMod(id, 100)).toInt
@@ -185,6 +197,7 @@ object Multimodal {
   def decodeImage(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      imageioInMemory()
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.content))
         require(img != null,
@@ -285,6 +298,54 @@ object Multimodal {
           i += 1
         }
         AudioFeatures(r.media_id, n.toLong, sum, energy, peak)
+      }
+    }
+  }
+
+  final case class ResizedFeatures(
+      media_id: Long,
+      src_w: Int,
+      src_h: Int,
+      out_w: Int,
+      out_h: Int,
+      pixel_sum: Long)
+
+  /** REAL image resize: decode with the actual codec, then NEAREST-
+    * NEIGHBOR resample to a fixed thumbnail grid — the standard
+    * vision-pipeline normalization step before feature extraction.
+    * Nearest-neighbor (src = `out·srcDim div outDim`, floor) is chosen
+    * deliberately: it is pure integer arithmetic on decoded pixels, so
+    * the result is bit-identical on every JVM/platform — bilinear goes
+    * through float weights whose rounding is implementation-defined
+    * (`Graphics2D` interpolation hints are NOT spec-pinned), which would
+    * make the operator untestable against an independent oracle.
+    * Same per-partition batch shape as [[decodeImage]]: rows stream,
+    * nothing driver-side, executor-local codec state only.
+    */
+  def resizeImage(
+      media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      imageioInMemory()
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.content))
+        require(img != null,
+          s"media_id ${r.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < outH) {
+          val sy = y * h / outH
+          var x = 0
+          while (x < outW) {
+            val rgb = img.getRGB(x * w / outW, sy)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedFeatures(r.media_id, w, h, outW, outH, sum)
       }
     }
   }
@@ -422,6 +483,34 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** m06: the REAL-resize audit — every synthetic gradient PNG decoded by
+    * the actual codec and nearest-neighbor-resampled to 32×24; the oracle
+    * states the resampled pixel sum in closed form (the gradient row is
+    * `c + x`, so the thumbnail sum is
+    * `out_h · Σ_x 3(c + (x·w div out_w)) = 2304c + 72·Σ (x·w div 32)`),
+    * computed by a different engine over an unnested index range — the
+    * m04/m05 discipline: codec output pinned to arithmetic, never to
+    * another run of the same codec.
+    */
+  val resizeAudit: QueryDef = q(
+    "m06_resize_real",
+    """WITH x AS (SELECT unnest(range(0, 32)) AS x),
+      |v AS (SELECT doc_id AS media_id,
+      |             1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h,
+      |             doc_id % 100 AS c
+      |      FROM documents),
+      |s AS (SELECT media_id, CAST(sum((x.x * w) // 32) AS BIGINT) AS sx
+      |      FROM v, x GROUP BY media_id)
+      |SELECT v.media_id AS media_id,
+      |       CAST(v.w AS INT) AS src_w, CAST(v.h AS INT) AS src_h,
+      |       32 AS out_w, 24 AS out_h,
+      |       CAST(2304 * v.c + 72 * s.sx AS BIGINT) AS pixel_sum
+      |FROM v JOIN s ON s.media_id = v.media_id
+      |ORDER BY v.media_id""".stripMargin) { (s, d) =>
+    resizeImage(syntheticImages(s, d), 32, 24).toDF()
+      .orderBy("media_id")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(binaryMeta, decodeAgg, frameAudit, pngAudit, wavAudit)
+    Seq(binaryMeta, decodeAgg, frameAudit, pngAudit, wavAudit, resizeAudit)
 }

@@ -420,6 +420,40 @@ object Similarity {
       cents.toIndexedSeq.map(_._2.toIndexedSeq.map(_ / 1.0e6)))
   }
 
+  /** Nearest-centroid id as ONE codegen'd expression over literal
+    * centroids: `greatest` of (cosine, -cid) structs — struct ordering
+    * breaks cosine ties on the LOWEST cid, the deterministic contract
+    * every assignment in this module shares (training loop, [[ivfAssign]],
+    * streaming ingest must agree bit-for-bit or an index becomes
+    * self-inconsistent across build paths).
+    */
+  private def argmaxCentroid(cents: Seq[(Long, Seq[Long], Long)]): Column = {
+    val scored = cents.map { case (cid, cv, csq) =>
+      struct(
+        cosCol(call_function("long_dot", col("qv"), typedlit(cv)),
+          col("sq"), lit(csq)).as("ccos"),
+        lit(-cid).as("ncid"))
+    }.toIndexedSeq
+    // greatest() needs >= 2 children; k=1 assigns everything to cluster 0
+    val argmax = if (scored.length == 1) scored.head else greatest(scored: _*)
+    (-argmax.getField("ncid")).cast("long")
+  }
+
+  /** Route arbitrary vectors to their trained IVF list — the scan-fused
+    * argmax against the model's literal centroids, shared (expression-
+    * identical) with the training loop's final assignment. Map-only: no
+    * shuffle, no driver state beyond the nlist×dim literals, so a stream
+    * of new vectors can be routed batch-by-batch forever (the incremental
+    * half of index maintenance; [[graft.streaming.VecStream]] wraps it).
+    */
+  def ivfAssign(model: IvfModel, vectors: DataFrame): DataFrame = {
+    val e = withQuant(vectors).select(col("vec_id"), col("qv"), col("sq"))
+    e.select(col("vec_id"), col("qv"), col("sq"),
+      argmaxCentroid(model.centroids.map { case (cid, cv, csq) =>
+        (cid, cv: Seq[Long], csq)
+      }).as("cid"))
+  }
+
   private def dotLongs(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -453,18 +487,11 @@ object Similarity {
     require(cents.length == k,
       s"kmeans(k=$k) needs at least k corpus vectors, found ${cents.length} " +
         "— the centroid contract (ids 0..k-1) cannot be met")
-    def assigned: DataFrame = {
-      val scored = cents.map { case (cid, cv, csq) =>
-        struct(
-          cosCol(call_function("long_dot", col("qv"), typedlit(cv.toSeq)),
-            col("sq"), lit(csq)).as("ccos"),
-          lit(-cid).as("ncid"))
-      }.toIndexedSeq
-      // greatest() needs >= 2 children; k=1 assigns everything to cluster 0
-      val argmax = if (scored.length == 1) scored.head else greatest(scored: _*)
+    def assigned: DataFrame =
       e.select(col("vec_id"), col("qv"), col("sq"),
-        (-argmax.getField("ncid")).cast("long").as("cluster"))
-    }
+        argmaxCentroid(cents.toIndexedSeq.map { case (cid, cv, csq) =>
+          (cid, cv.toIndexedSeq, csq)
+        }).as("cluster"))
     for (_ <- 1 to iters) {
       val sums = assigned.groupBy(col("cluster"))
         .agg(graft.functions.VecAgg.vecSum(col("qv")).as("s"),

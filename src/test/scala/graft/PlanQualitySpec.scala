@@ -460,6 +460,70 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning\\(k".r.unanchored.findAllIn(p).nonEmpty, p)
   }
 
+  test("p13 weighted systematic: bin offsets broadcast back, no corpus-order window") {
+    val p = plan("p13_weighted_systematic")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only single-partition exchange feeds the BIN-histogram window,
+    // which sits above a hash aggregate of the corpus — the corpus rows
+    // themselves are windowed partitioned by bin
+    assert(p.contains("Window [") || p.contains("RunningWindowFunction"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q47 skyline: suffix-maxima broadcast, no O(n^2) self-join") {
+    val p = plan("q47_skyline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the histogram join must broadcast, not shuffle the corpus: " + p)
+  }
+
+  test("s14 triangles: wedge and closure joins are equi-joins, never nested-loop") {
+    val p = plan("s14_knn_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("runtime bloom filter injects a creation-side semi-filter at scale thresholds") {
+    // At 100 TB the single biggest join saving is filtering the fact-scan
+    // by a bloom of the (already-filtered) dimension keys BEFORE the
+    // shuffle. Spark's InjectRuntimeFilter does exactly this once the
+    // application side crosses its scan-size threshold — defaults keep it
+    // off at test scale, so drop the threshold to prove the engine's
+    // plans are eligible (equi-join + selective creation-side filter).
+    // The injection preconditions are themselves scale-gated: the join
+    // must be probably-shuffle (at test scale everything broadcasts, so
+    // disable auto-broadcast to simulate fact×fact size) and the fact
+    // scan must cross applicationSideScanSizeThreshold (default 10 GB —
+    // dropped to 0 here). What the test then proves is that a plain
+    // unhinted equi-join over a selectively-filtered build side — the
+    // engine's standard fact-join shape — is ELIGIBLE: Spark plants the
+    // bloom on the fact side before its shuffle.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val before = keys.map { case (k, _) => k -> conf.get(k) }
+    try {
+      keys.foreach { case (k, v) => conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val df = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        "expected an injected runtime bloom filter on the probe side: " + p)
+    } finally {
+      before.foreach { case (k, v) => conf.set(k, v) }
+    }
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.

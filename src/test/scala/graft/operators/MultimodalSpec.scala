@@ -135,4 +135,38 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val feats = Multimodal.decodeStub(small)
     assert(feats.count() == media.count())
   }
+
+  test("resizeImage: identity-size resample reproduces the full decode sum") {
+    import spark.implicits._
+    val ids = Seq(5L, 64L, 131L)
+    val media = ids.toDS()
+      .map(id => Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id)))
+    val full = Multimodal.decodeImage(media).collect()
+      .map(f => f.media_id -> f.pixel_sum).toMap
+    ids.foreach { id =>
+      val w = 1 + (id % 64).toInt
+      val h = 1 + (id % 48).toInt
+      val same = Multimodal.resizeImage(
+        media.filter(_.media_id == id), w, h).collect().head
+      assert(same.pixel_sum == full(id),
+        s"identity resize must equal decode for id=$id")
+      assert((same.src_w, same.src_h, same.out_w, same.out_h) == (w, h, w, h))
+    }
+  }
+
+  test("resizeImage: nearest-neighbor law on the committed gradient fixture") {
+    import spark.implicits._
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/gradient.png").toURI))
+    val media = Seq(Multimodal.MediaRow(42L, "image", bytes)).toDS()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h, outW, outH) = (img.getWidth, img.getHeight, 8, 6)
+    var expect = 0L
+    for (y <- 0 until outH; x <- 0 until outW) {
+      val rgb = img.getRGB(x * w / outW, y * h / outH)
+      expect += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    val got = Multimodal.resizeImage(media, outW, outH).collect().head
+    assert(got.pixel_sum == expect && got.src_w == w && got.src_h == h)
+  }
 }
