@@ -154,7 +154,16 @@ object Dedup {
     * (digest 0 = md5(s), digest 1 = md5("s:"+s) — kept verbatim so the
     * 8-sig oracle path is byte-identical — digest j≥2 = md5("s<j>:"+s)).
     */
-  private[operators] def minhashSigsTuned(doc: DataFrame, numSigs: Int): DataFrame = {
+  private[operators] def minhashSigsTuned(doc: DataFrame, numSigs: Int): DataFrame =
+    minhashSigsKeyed(doc, numSigs, "doc_id")
+
+  /** [[minhashSigsTuned]] over an arbitrary grouping key: MinHash is a
+    * MERGEABLE sketch (min composes), so grouping by `source` instead of
+    * `doc_id` yields corpus-level per-source signatures in one pass —
+    * the d16 cross-source overlap estimator rides this.
+    */
+  private[operators] def minhashSigsKeyed(
+      doc: DataFrame, numSigs: Int, key: String): DataFrame = {
     // double-md5 per shingle is CPU-dense enough that scan parallelism
     // dominates — the QUERY ENTRIES route their scans through
     // Tables.parallel (scan-level only; guarding here would re-shuffle
@@ -168,23 +177,23 @@ object Dedup {
     val nDigests = (numSigs + 3) / 4
     val tri = doc
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), col("ws"), explode(expr(
+      .select(col(key), col("ws"), explode(expr(
         "if(size(ws) < 3, array(), sequence(1, size(ws)-2))")).as("i"))
-      .select(col("doc_id"),
+      .select(col(key),
         expr("concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])").as("s"))
     val digests = (0 until nDigests).map {
       case 0 => md5(col("s")).as("h0")
       case 1 => md5(concat(lit("s:"), col("s"))).as("h1")
       case j => md5(concat(lit(s"s$j:"), col("s"))).as(s"h$j")
     }
-    val hashed = tri.select(col("doc_id") +: digests: _*)
+    val hashed = tri.select(col(key) +: digests: _*)
     val aggs = (0 until numSigs).map { k =>
       val src = s"h${k / 4}"
       val pos = (k % 4) * 8 + 1
       min(expr(s"cast(conv(substr($src, $pos, 8), 16, 10) as bigint)")).as(s"ml$k")
     }
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id") +: (0 until numSigs).map(k =>
+    hashed.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: (0 until numSigs).map(k =>
         expr(s"lpad(lower(conv(ml$k, 10, 16)), 8, '0')").as(s"m$k")): _*)
   }
 
@@ -1519,8 +1528,109 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-SOURCE corpus overlap: estimated AND exact shingle-set Jaccard
+    * for every source pair — the dataset-curation question "how much of
+    * source B is already in source A" (dedup-before-mix planning,
+    * contamination triage between crawls).
+    *
+    * Two independent measurements per pair:
+    *   - `est_jaccard`: agreement of per-source MERGED MinHash signatures.
+    *     MinHash is a mergeable sketch — min composes — so the per-source
+    *     signature is ONE hash aggregate over the corpus (O(numSigs)
+    *     state per source, no pairwise work until the K×K signature join,
+    *     K = #sources). This is the number a 100 TB run keeps refreshing:
+    *     cost is a corpus scan, never a corpus join.
+    *   - `jaccard`: the exact value the estimate converges to, from
+    *     distinct (source, shingle) pairs: per-shingle self-join fans out
+    *     at most K² per distinct shingle (K is small by construction —
+    *     sources are crawls/feeds, not documents), and per-source sizes
+    *     are count aggregates. Calibration at audit scale; the estimate
+    *     alone at full scale.
+    */
+  def sourceOverlap(docs: DataFrame, numSigs: Int = 16): DataFrame = {
+    val sig = minhashSigsKeyed(docs.select(col("source"), col("text")),
+      numSigs, "source")
+    val tri = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("source"), col("ws"), explode(expr(
+        "if(size(ws) < 3, array(), sequence(1, size(ws)-2))")).as("i"))
+      .select(col("source"),
+        expr("concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])").as("s"))
+      .distinct()
+    val sz = tri.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = tri.as("ta")
+      .join(tri.as("tb"),
+        col("tb.s") === col("ta.s") && col("ta.source") < col("tb.source"))
+      .groupBy(col("ta.source").as("src_a"), col("tb.source").as("src_b"))
+      .agg(count(lit(1)).as("i"))
+    val sa = sig.select(col("source").as("src_a") +:
+      (0 until numSigs).map(k => col(s"m$k").as(s"a$k")): _*)
+    val sb = sig.select(col("source").as("src_b") +:
+      (0 until numSigs).map(k => col(s"m$k").as(s"b$k")): _*)
+    val agree = (0 until numSigs)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    sa.join(sb, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), agree.as("agree"))
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        (col("agree").cast("double") / numSigs).as("est_jaccard"),
+        (coalesce(col("i"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L)))).as("jaccard"))
+  }
+
+  /** d16: the source-overlap audit over the real corpus, both measures,
+    * every source pair. 16 signature slots = 4 md5 digests per shingle.
+    */
+  val sourceOverlapAudit: QueryDef = {
+    val nSigs = 16
+    val sigCols = (0 until nSigs).map { k =>
+      val pos = (k % 4) * 8 + 1
+      s"min(substr(h${k / 4}, $pos, 8)) AS m$k"
+    }.mkString(", ")
+    val digests = (0 until nSigs / 4).map {
+      case 0 => "md5(s) AS h0"
+      case 1 => "md5('s:'||s) AS h1"
+      case j => s"md5('s$j:'||s) AS h$j"
+    }.mkString(", ")
+    val agreeSql = (0 until nSigs)
+      .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    q("d16_source_overlap",
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |tri AS (SELECT DISTINCT source,
+         |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+         |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
+         |        FROM w),
+         |hs AS (SELECT source, s, $digests FROM tri),
+         |sig AS (SELECT source, $sigCols FROM hs GROUP BY source),
+         |sz AS (SELECT source, count(*) AS n FROM tri GROUP BY source),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+         |          FROM tri a JOIN tri b ON b.s = a.s AND a.source < b.source
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT sa.source AS src_a, sb.source AS src_b,
+         |            $agreeSql AS agree
+         |          FROM sig sa JOIN sig sb ON sa.source < sb.source)
+         |SELECT p.src_a AS src_a, p.src_b AS src_b,
+         |       CAST(p.agree AS DOUBLE) / $nSigs AS est_jaccard,
+         |       CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |         / (za.n + zb.n - COALESCE(i.i, 0)) AS jaccard
+         |FROM pairs p
+         |JOIN sz za ON za.source = p.src_a
+         |JOIN sz zb ON zb.source = p.src_b
+         |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+         |ORDER BY p.src_a, p.src_b""".stripMargin) { (s, d) =>
+      sourceOverlap(
+        Tables.parallel(Tables.documents(s, d).select(col("source"), col("text"))),
+        nSigs)
+        .orderBy("src_a", "src_b")
+    }
+  }
+
   def defs: Seq[QueryDef] =
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
       simhashPairs, simhashPairs64, contamination, minhashEstimate,
-      canonicalKeep, editDistNeighborhood)
+      canonicalKeep, editDistNeighborhood, sourceOverlapAudit)
 }
