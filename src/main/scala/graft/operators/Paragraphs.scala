@@ -178,6 +178,14 @@ object Paragraphs {
     * One row out per SELECTED fingerprint occurrence.
     */
   def spanFingerprints(docs: DataFrame, width: Int = SpanWords,
+      winnow: Int = WinnowS): DataFrame =
+    spanOccurrences(docs, width, winnow).drop("p")
+
+  /** [[spanFingerprints]] with the selected window's START POSITION kept
+    * (`p`, 1-based into the token array) — what span REMOVAL needs: `p`
+    * locates the duplicated `width`-token run inside the document.
+    */
+  def spanOccurrences(docs: DataFrame, width: Int = SpanWords,
       winnow: Int = WinnowS): DataFrame = {
     // every non-text input column rides along unchanged (doc_id, and e.g.
     // an event-time column for the streaming twin in DocStream) — the
@@ -198,9 +206,9 @@ object Paragraphs {
            |  j -> j - 1 + array_position(slice(hs, j, $winnow),
            |                              array_min(slice(hs, j, $winnow)))))"""
           .stripMargin))
-      .select(keep :+
-        explode(expr("transform(sel, i -> element_at(hs, cast(i as int)))"))
-          .as("fp"): _*)
+      .select(keep :+ col("hs") :+ explode(col("sel")).as("p"): _*)
+      .select(keep :+ col("p") :+
+        expr("element_at(hs, cast(p as int))").as("fp"): _*)
   }
 
   /** Per-doc duplicate-span profile: winnowed fingerprints whose hash
@@ -271,5 +279,95 @@ object Paragraphs {
       Tables.parallel(Tables.documents(s, d).select("doc_id", "text")))
       .orderBy("doc_id"))
 
-  def defs: Seq[QueryDef] = Seq(paragraphProfile, spanDedup)
+  /** Duplicated-span SCRUBBING — the removal form of substring dedup (Lee
+    * et al. 2022 remove duplicated substrings from the training corpus
+    * rather than whole documents; d13 only FLAGS them). Every winnowed
+    * span whose fingerprint occurs ≥ 2 times corpus-wide is excised from
+    * its document: tokens covered by any duplicated `width`-window are
+    * dropped and the document is rebuilt from the survivors.
+    *
+    * Scale shape: fingerprint counts are an O(1)-state hash aggregate;
+    * the duplicated positions per doc are a bounded per-row list (≤ the
+    * doc's own winnowed-span count — row-local scale, like holding the
+    * text itself); the excision is one scan-fused higher-order-function
+    * projection (`filter`/`exists` over token indices). No corpus
+    * self-join anywhere — the only corpus-keyed exchanges are the fp
+    * count and the doc_id re-group.
+    *
+    * Returns (doc_id, n_tok, n_kept, n_dup_spans, clean_text). A short
+    * doc (< width tokens) that exactly duplicates another collapses to
+    * empty text — whole-doc duplicate removal as the degenerate case.
+    */
+  def spanScrub(docs: DataFrame, width: Int = SpanWords,
+      winnow: Int = WinnowS): DataFrame = {
+    val occ = spanOccurrences(docs.select(col("doc_id"), col("text")),
+      width, winnow)
+    val cnt = occ.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+    val dup = occ.join(cnt, "fp").filter(col("n_occ") >= 2)
+      .groupBy(col("doc_id")).agg(collect_list(col("p")).as("dup"))
+    docs.select(col("doc_id"), col("text"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup",
+        coalesce(col("dup"), expr("cast(array() as array<bigint>)")))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ki", expr(
+        s"""filter(sequence(1, size(ws)),
+           |       i -> NOT exists(dup, p -> i >= p AND i < p + $width))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tok"),
+        size(col("ki")).cast("long").as("n_kept"),
+        size(col("dup")).cast("long").as("n_dup_spans"),
+        expr("concat_ws(' ', transform(ki, i -> element_at(ws, cast(i as int))))")
+          .as("clean_text"))
+  }
+
+  /** d17: the scrub audit — per-doc before/after token counts, removed
+    * span count, and an md5 of the rebuilt text (pins the exact excision
+    * without hauling full texts through the compare). The oracle repeats
+    * the entire winnowing + counting + excision in SQL.
+    */
+  val spanScrubAudit: QueryDef = QueryDef(
+    "d17_span_scrub",
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |hx AS (SELECT doc_id, ws,
+       |         list_transform(
+       |           CASE WHEN len(ws) >= $SpanWords
+       |                THEN list_transform(range(1, len(ws) - ${SpanWords - 1} + 1),
+       |                       i -> array_to_string(ws[CAST(i AS INT):CAST(i + ${SpanWords - 1} AS INT)], ' '))
+       |                ELSE [array_to_string(ws, ' ')] END,
+       |           x -> md5(x)) AS hs
+       |       FROM w),
+       |se AS (SELECT doc_id, ws, hs,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(hs) - ${WinnowS - 1}, 1) + 1),
+       |           j -> j - 1 + list_position(hs[CAST(j AS INT):CAST(j + ${WinnowS - 1} AS INT)],
+       |                  list_aggregate(hs[CAST(j AS INT):CAST(j + ${WinnowS - 1} AS INT)], 'min')))) AS sel
+       |       FROM hx),
+       |occ AS (SELECT doc_id, hs, unnest(sel) AS p FROM se),
+       |ofp AS (SELECT doc_id, p, hs[CAST(p AS INT)] AS fp FROM occ),
+       |c AS (SELECT fp, count(*) AS n_occ FROM ofp GROUP BY fp),
+       |dup AS (SELECT doc_id, list(p) AS dup FROM ofp JOIN c USING (fp)
+       |        WHERE n_occ >= 2 GROUP BY doc_id),
+       |r AS (SELECT w.doc_id AS doc_id, ws,
+       |        COALESCE(dup, CAST([] AS BIGINT[])) AS dup
+       |      FROM w LEFT JOIN dup ON dup.doc_id = w.doc_id),
+       |k AS (SELECT doc_id, ws, dup,
+       |        list_filter(range(1, len(ws) + 1),
+       |          i -> len(list_filter(dup,
+       |                 p -> i >= p AND i < p + $SpanWords)) = 0) AS ki
+       |      FROM r)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+       |       CAST(len(ki) AS BIGINT) AS n_kept,
+       |       CAST(len(dup) AS BIGINT) AS n_dup_spans,
+       |       md5(COALESCE(array_to_string(
+       |         list_transform(ki, i -> ws[CAST(i AS INT)]), ' '), '')) AS clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin),
+    (s, d) => spanScrub(
+      Tables.parallel(Tables.documents(s, d).select("doc_id", "text")))
+      .select(col("doc_id"), col("n_tok"), col("n_kept"), col("n_dup_spans"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id"))
+
+  def defs: Seq[QueryDef] = Seq(paragraphProfile, spanDedup, spanScrubAudit)
 }

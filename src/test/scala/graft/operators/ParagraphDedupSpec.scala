@@ -115,4 +115,34 @@ class ParagraphDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out.count() == 23)
     }
   }
+
+  test("spanScrub excises a shared run from every copy; unique text survives") {
+    import spark.implicits._
+    // a shared run long enough for the Schleimer guarantee
+    // (>= SpanWords + WinnowS - 1 = 23 tokens), embedded at DIFFERENT
+    // offsets in two docs, plus a doc with no duplication
+    val run = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val a = s"lead1 lead2 lead3 $run tail1 tail2"
+    val b = s"$run other1 other2 other3 other4"
+    val c = (1 to 40).map(i => s"uniq$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val out = Paragraphs.spanScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // the unique doc is untouched, byte-for-byte
+    assert(out(2L) == ((40L, 40L, 0L, c)))
+    // both copies lose spans; the scrubbed text contains no dup token
+    Seq(0L, 1L).foreach { id =>
+      val (nTok, nKept, nDup, clean) = out(id)
+      assert(nDup >= 1, s"doc $id must have duplicated spans")
+      assert(nKept < nTok)
+      assert(!clean.contains("dup15"),
+        s"the interior of the shared run must be excised from doc $id: $clean")
+    }
+    // determinism under repartitioning
+    val again = Paragraphs.spanScrub(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(again == out)
+  }
 }
