@@ -97,4 +97,42 @@ object AsOf {
     val rightCols = rightPayloadCols.map(c => col(s"__last_r.$c").as(c + rightSuffix))
     carried.select(leftCols ++ rightCols: _*)
   }
+
+  /** FORWARD as-of with an optional TOLERANCE window: for each left row,
+    * the EARLIEST right row whose time is ≥ (or > when `strict`) the left
+    * row's time, per key — and when `toleranceNs` is set, only if it
+    * arrives within that many time units (later matches null out, the
+    * standard "conversion window" contract).
+    *
+    * Implemented as [[joinAsOf]] on NEGATED times (forward-in-time is
+    * backward-in-negated-time), so it inherits the single-shuffle
+    * union-window plan — no key self-join, no per-row subquery. The time
+    * columns must be numeric (the engine's exact LONG ns); `tieBreak`
+    * keeps joinAsOf's "largest under the ordering is attached" contract,
+    * which after negation means: to attach the smallest id among
+    * same-instant right rows, pass a negated id column.
+    */
+  def joinAsOfForward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      strict: Boolean = false,
+      rightSuffix: String = "",
+      tieBreak: Seq[String] = Nil,
+      toleranceNs: Option[Long] = None): DataFrame = {
+    val ln = left.withColumn("__fwd_t", -col(leftTime))
+    val rn = right.withColumn("__fwd_t", -col(rightTime))
+    val joined = joinAsOf(ln, rn, key, "__fwd_t", "__fwd_t",
+      strict, rightSuffix, tieBreak).drop("__fwd_t")
+    val payload = right.columns
+      .filter(c => c != key && c != "__fwd_t").map(_ + rightSuffix)
+    toleranceNs match {
+      case None => joined
+      case Some(tol) =>
+        val rt = col(rightTime + rightSuffix)
+        val ok = rt.isNotNull && (rt - col(leftTime)) <= tol
+        payload.foldLeft(joined) { (df, c) =>
+          df.withColumn(c, when(ok, col(c)))
+        }
+    }
+  }
 }

@@ -380,7 +380,47 @@ object EventOps {
       |ORDER BY s.day""".stripMargin)
   }
 
+  /** q48: FORWARD as-of with a conversion window — for each click, the
+    * NEXT purchase by the same user within 120 s (ties at an instant break
+    * to the smallest purchase id). Exercises [[AsOf.joinAsOfForward]]'s
+    * negated-time plan: one union + one key-window shuffle; the oracle
+    * states the same semantics as the quadratic key-join + rank.
+    */
+  val forwardAsof: QueryDef = q(
+    "q48_forward_asof",
+    """SELECT click_id, next_purchase_id, wait_ns FROM (
+      |  SELECT c.event_id AS click_id, p.event_id AS next_purchase_id,
+      |         epoch_ns(p.ts) - epoch_ns(c.ts) AS wait_ns,
+      |         row_number() OVER (PARTITION BY c.event_id
+      |                            ORDER BY p.ts, p.event_id) AS rn
+      |  FROM events c
+      |  JOIN events p
+      |    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |   AND p.ts >= c.ts
+      |   AND epoch_ns(p.ts) - epoch_ns(c.ts) <= 120000000000
+      |  WHERE c.event_type = 'click')
+      |WHERE rn = 1
+      |ORDER BY click_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts"),
+        // joinAsOf attaches the LARGEST tie-break among same-instant
+        // rows; negate the id so the smallest purchase id wins, matching
+        // the oracle's ORDER BY p.event_id
+        (-col("event_id")).as("nid"))
+    AsOf.joinAsOfForward(clicks, purchases, "user_id", "c_ts", "ts",
+      tieBreak = Seq("nid"), toleranceNs = Some(120L * 1000 * 1000 * 1000))
+      .filter(col("p_id").isNotNull)
+      .select(col("click_id"), col("p_id").as("next_purchase_id"),
+        (col("ts") - col("c_ts")).as("wait_ns"))
+      .orderBy("click_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     windowRunning, hourlyRollup, sessionize, asofJoin, timeRangeJoin,
-    jsonExtract, funnel, cohortRetention, eventTransitions, activitySpine)
+    jsonExtract, funnel, cohortRetention, eventTransitions, activitySpine,
+    forwardAsof)
 }
