@@ -216,7 +216,11 @@ object Relational3 {
   /** The deterministic CDC change feed shared by q45 (keep-latest MERGE)
     * and q46 (SCD2 history build): base snapshot at version 1, repriced
     * updates (version 2, every 7th key), deletes (version 3, every 13th
-    * key), and re-keyed inserts (version 2, every 17th key).
+    * key), and re-keyed inserts (version 2, every 17th key; the insert
+    * offset 1e12 mints keys OUTSIDE any scaled keyspace — a smaller
+    * offset collided with the 1e7-stride replica shift of the sf1 store,
+    * producing duplicate (k, version) pairs whose window tie-break is
+    * engine-dependent; a CDC feed's (key, version) must be unique).
     */
   private val feedCtes: String =
     """base AS (
@@ -235,7 +239,7 @@ object Relational3 {
       |         3, 'd'
       |  FROM orders WHERE o_orderkey % 13 = 0),
       |ins AS (
-      |  SELECT o_orderkey + 10000000, 'N',
+      |  SELECT o_orderkey + 1000000000000, 'N',
       |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3)),
       |         2, 'u'
       |  FROM orders WHERE o_orderkey % 17 = 0),
@@ -258,7 +262,7 @@ object Relational3 {
     val del = leg(col("o_orderkey"), col("o_orderstatus"),
       money(col("o_totalprice")), 3, "d")(
       o.filter(col("o_orderkey") % 13 === 0))
-    val ins = leg(col("o_orderkey") + lit(10000000L), lit("N"),
+    val ins = leg(col("o_orderkey") + lit(1000000000000L), lit("N"),
       money(col("o_totalprice")), 2, "u")(
       o.filter(col("o_orderkey") % 17 === 0))
     base.unionByName(upd).unionByName(del).unionByName(ins)
