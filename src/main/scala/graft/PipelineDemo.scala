@@ -67,10 +67,24 @@ object PipelineDemo {
       .persist()
     val n3b = paraDeduped.count()
 
+    // 3b. substring-level scrub (d17): spans duplicated corpus-wide are
+    //     EXCISED (not just flagged); docs scrubbed to nothing drop.
+    //     Text is REWRITTEN here — the one stage that edits rather than
+    //     filters — so it runs after whole-doc/paragraph dedup (their
+    //     hashes must see original text) and before decontamination
+    //     (which must see the text that will actually be trained on).
+    val scrubbed = Paragraphs
+      .spanScrub(paraDeduped.select(col("doc_id"), col("text")))
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(paraDeduped.drop("text"), Seq("doc_id"))
+      .persist()
+    val n3c = scrubbed.count()
+
     // 4. benchmark decontamination: any shared 5-gram with the held-out
     //    set (stand-in: doc_id < 50) drops the training doc
     val bench = docs.filter(col("doc_id") < 50)
-    val train0 = paraDeduped.filter(col("doc_id") >= 50)
+    val train0 = scrubbed.filter(col("doc_id") >= 50)
     val clean = Dedup.decontaminate(train0, bench).persist()
     val n4 = clean.count()
 
@@ -89,11 +103,25 @@ object PipelineDemo {
     val nShards = new java.io.File(shardDir).listFiles()
       .count(_.getName.startsWith("shard="))
 
+    // 7. token-budget subsample for a fixed training budget: weighted
+    //    SYSTEMATIC selection (p13) — token mass between selections is
+    //    ~constant, so the subsample hits the budget regardless of the
+    //    document-length distribution, deterministically
+    val weighted = train
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+    val stepDf = weighted.agg(
+      greatest(lit(1L), expr("sum(w) div 100")).as("step"))
+    val nBudget = Sampling.weightedSystematic(
+      weighted.crossJoin(broadcast(stepDf)),
+      col("doc_id"), col("w"), col("step")).count()
+
     println(s"corpus=$n0 quality_pass=$n1 exact_unique=$n2 " +
       s"clustered=$nClustered canonical_dedup=$n3 para_dedup=$n3b " +
-      s"decontaminated=$n4 splits[$splits] shards=$nShards")
-    require(n1 <= n0 && n2 <= n1 && n3 <= n2 && n3b <= n3 && n4 <= n3b,
-      "every stage only removes")
+      s"span_scrubbed=$n3c decontaminated=$n4 splits[$splits] " +
+      s"shards=$nShards budget_sample=$nBudget")
+    require(n1 <= n0 && n2 <= n1 && n3 <= n2 && n3b <= n3 && n3c <= n3b &&
+      n4 <= n3c, "every stage only removes")
     spark.stop()
   }
 }
