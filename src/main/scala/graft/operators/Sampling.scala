@@ -747,8 +747,47 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** p14: GROUPED train/val/test split — the leakage-safe variant of p03:
+    * the hash bucket is keyed on the GROUP (source), not the document, so
+    * every document of a source lands in the same split. Near-duplicates
+    * cluster within sources (same crawl, same site template); a doc-keyed
+    * split scatters them across train and test, and the held-out metric
+    * silently measures memorization. Same scan-fused shape as p03 — the
+    * group key is already on the row, no join.
+    *
+    * The audit pins (split, source) counts AND proves single-split
+    * placement mechanically: n_splits_of_source = 1 for every source.
+    */
+  val groupSplit: QueryDef = q(
+    "p14_group_split",
+    """WITH a AS (
+      |  SELECT source, doc_id,
+      |         CASE WHEN substr(md5(source), 1, 2) < 'cd' THEN 'train'
+      |              WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM documents),
+      |s AS (SELECT source, count(DISTINCT split) AS n_splits FROM a
+      |      GROUP BY source)
+      |SELECT a.split AS split, a.source AS source, count(*) AS n_docs,
+      |       CAST(sum(a.doc_id) AS BIGINT) AS id_sum,
+      |       max(s.n_splits) AS n_splits_of_source
+      |FROM a JOIN s ON s.source = a.source
+      |GROUP BY a.split, a.source
+      |ORDER BY split, source""".stripMargin) { (s, d) =>
+    val a = split(Tables.documents(s, d).select("source", "doc_id"),
+      col("source"), train = 0.8, validation = 0.1)
+    val sp = a.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    a.join(broadcast(sp), "source")
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        max(col("n_splits")).as("n_splits_of_source"))
+      .select("split", "source", "n_docs", "id_sum", "n_splits_of_source")
+      .orderBy("split", "source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
       langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
-      importanceAudit, temperatureMix, weightedSystematicAudit)
+      importanceAudit, temperatureMix, weightedSystematicAudit, groupSplit)
 }

@@ -485,6 +485,26 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d17 span scrub: no corpus self-join; excision is a projection") {
+    val p = plan("d17_span_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q48 forward as-of plans as one key window, zero joins") {
+    val p = plan("q48_forward_asof")
+    assert(!p.contains("Join"),
+      "forward as-of must ride the union-window plan, not a key self-join: " + p)
+    assert("Exchange hashpartitioning\\(__k".r.unanchored.findAllIn(p).nonEmpty, p)
+  }
+
+  test("p14 grouped split is scan-fused; placement audit joins broadcast") {
+    val p = plan("p14_group_split")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("runtime bloom filter injects a creation-side semi-filter at scale thresholds") {
     // At 100 TB the single biggest join saving is filtering the fact-scan
     // by a bloom of the (already-filtered) dimension keys BEFORE the
