@@ -836,8 +836,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t16: TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
+    * keywords as PageRank centrality over the word CO-OCCURRENCE graph:
+    * adjacent-token pairs become symmetric edges between distinct words,
+    * and [[Similarity.pageRankInt]] runs its integer-exact propagation
+    * over the vocabulary graph (3 iterations, scaled longs — the s13
+    * arithmetic on a different graph, which is the point: the graph pass
+    * is a REUSABLE operator, not a per-query special).
+    *
+    * Word → node-id is the first 60 bits of md5 (computable identically
+    * in both engines; a collision would merge nodes IDENTICALLY on both
+    * sides, so the gate is collision-robust). Scale shape: edge build is
+    * explode → distinct (vocabulary-scale, not corpus-scale, after the
+    * distinct); each PageRank iteration is one join + one aggregate on
+    * the vocab graph; top-20 plans as TakeOrdered, no global sort.
+    */
+  val textrankKeywords: QueryDef = {
+    def unroll(i: Int): String =
+      s"""c$i AS (SELECT ed.dst, CAST(sum(r${i - 1}.r // od.d) AS BIGINT) AS s
+         |       FROM ed JOIN r${i - 1} ON r${i - 1}.id = ed.src
+         |               JOIN od ON od.src = ed.src
+         |       GROUP BY ed.dst),
+         |r$i AS (SELECT nid.id AS id, nid.w AS w,
+         |              CAST(150000000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS r
+         |       FROM nid LEFT JOIN c$i ON c$i.dst = nid.id)""".stripMargin
+    q("t16_textrank_keywords",
+      s"""WITH wd AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |e0 AS (SELECT ws[CAST(i AS INT)] AS wa, ws[CAST(i AS INT)+1] AS wb
+         |       FROM (SELECT ws, unnest(range(1, greatest(len(ws)-1, 0)+1)) AS i
+         |             FROM wd)
+         |       WHERE ws[CAST(i AS INT)] <> ws[CAST(i AS INT)+1]),
+         |eu AS (SELECT DISTINCT wa, wb FROM (
+         |         SELECT wa, wb FROM e0 UNION ALL SELECT wb AS wa, wa AS wb FROM e0)),
+         |nodes AS (SELECT DISTINCT unnest(ws) AS w FROM wd),
+         |nid AS (SELECT w, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS id
+         |        FROM nodes),
+         |ed AS (SELECT a.id AS src, b.id AS dst
+         |       FROM eu JOIN nid a ON a.w = eu.wa JOIN nid b ON b.w = eu.wb),
+         |od AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+         |r0 AS (SELECT id, w, CAST(1000000000 AS BIGINT) AS r FROM nid),
+         |${unroll(1)},
+         |${unroll(2)},
+         |${unroll(3)}
+         |SELECT w AS word, r AS rank FROM r3
+         |ORDER BY rank DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+      val wd = Tables.parallel(Tables.documents(s, d).select("text"))
+        .withColumn("ws", split(col("text"), " "))
+      val e0 = wd
+        .select(col("ws"), explode(expr(
+          "if(size(ws) < 2, array(), sequence(1, size(ws)-1))")).as("i"))
+        .select(expr("ws[i-1]").as("wa"), expr("ws[i]").as("wb"))
+        .filter(col("wa") =!= col("wb"))
+      val eu = e0.unionAll(e0.select(col("wb").as("wa"), col("wa").as("wb")))
+        .distinct()
+      def wid(c: String) =
+        expr(s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)")
+      val nid = wd.select(explode(col("ws")).as("w")).distinct()
+        .select(col("w"), wid("w").as("id"))
+      val edges = eu.select(wid("wa").as("src"), wid("wb").as("dst"))
+      val ranks = Similarity.pageRankInt(nid.select("id"), edges, iters = 3)
+      nid.join(ranks, "id")
+        .select(col("w").as("word"), col("rank"))
+        .orderBy(col("rank").desc, col("word")).limit(20)
+    }
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
       repetition, novelty, heavyHitters, redactionAudit, blocklistAudit,
-      classifier, lmFluency, chunking, charDiversity)
+      classifier, lmFluency, chunking, charDiversity, textrankKeywords)
 }
