@@ -74,4 +74,33 @@ class DedupTuningSpec extends AnyFunSuite with BeforeAndAfterAll {
       "four variants normalize equal; smallest id survives")
     assert(out("different entirely") == ((5L, 1L)))
   }
+
+  test("sourceOverlap: exact Jaccard hits planted overlap; estimate tracks it") {
+    import spark.implicits._
+    // srcA and srcB share exactly half of srcA's shingle vocabulary;
+    // srcC is disjoint. Each doc is one long token run so shingle sets
+    // are controlled: shared run in both A and B, private runs per side.
+    def run(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared = run("shared", 42) // 40 shared trigrams
+    val docs = Seq(
+      (1L, "srcA", s"$shared ${run("onlyA", 42)}"),
+      (2L, "srcB", s"$shared ${run("onlyB", 42)}"),
+      (3L, "srcC", run("onlyC", 82))).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, numSigs = 16).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    val (estAB, jacAB) = got(("srcA", "srcB"))
+    // A: 40 shared + |onlyA-run| trigrams; crossing trigrams at the seam
+    // make the exact count slightly off 1/3 — assert the band, and that
+    // the 16-slot estimate lands within 3 slots of the exact value
+    assert(jacAB > 0.2 && jacAB < 0.45, s"planted overlap, got $jacAB")
+    assert(math.abs(estAB - jacAB) <= 3.0 / 16, s"est $estAB vs exact $jacAB")
+    val (estAC, jacAC) = got(("srcA", "srcC"))
+    assert(jacAC == 0.0, "disjoint sources share nothing")
+    assert(estAC <= 1.0 / 16 + 1e-9, "estimate on disjoint sets ~ 0")
+    assert(got.keySet ==
+      Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")),
+      "every source pair reported, including zero-overlap ones")
+  }
 }
