@@ -1302,24 +1302,80 @@ object Similarity {
     * composition for 100 TB is IVF routing (s10) + this ADC pass inside
     * each probed list.
     */
-  def pqSearch(model: PqModel, queries: DataFrame, k: Int): DataFrame = {
-    require(k > 0, s"need k > 0 (got $k)")
-    val qs = withQuant(queries)
-      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
-    val reconSq = (0 until model.m).map { mi =>
+  /** Reconstructed squared norm of a coded row: literal-LUT lookup per
+    * subspace on the `code_mi` columns (exact — subspace codewords are
+    * orthogonal by construction).
+    */
+  private def pqReconSq(model: PqModel): Column =
+    (0 until model.m).map { mi =>
       val csqs: Seq[Long] = model.codebooks(mi).map(cw => dotLongs(cw, cw)).toSeq
       element_at(typedlit(csqs), col(s"code_$mi") + 1)
     }.reduce(_ + _)
-    val adot = (0 until model.m).map { mi =>
+
+  /** Asymmetric-distance dot: the query's exact subvector against the
+    * candidate's looked-up codeword, per subspace, codegen'd `long_dot`.
+    * Expects the query's quantized vector in column `qe`.
+    */
+  private def pqAdot(model: PqModel): Column =
+    (0 until model.m).map { mi =>
       val cws: Seq[Seq[Long]] = model.codebooks(mi).map(_.toSeq).toSeq
       call_function("long_dot",
         slice(col("qe"), mi * model.dsub + 1, model.dsub),
         element_at(typedlit(cws), col(s"code_$mi") + 1))
     }.reduce(_ + _)
+
+  def pqSearch(model: PqModel, queries: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0 (got $k)")
+    val qs = withQuant(queries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     model.codes.join(broadcast(qs), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
-        cosCol(adot, col("q_sq"), reconSq).as("cos"))
+        cosCol(pqAdot(model), col("q_sq"), pqReconSq(model)).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "cid", "cos")
+  }
+
+  /** IVF-PQ: the composed production ANN shape — IVF routing bounds WHICH
+    * rows are scored (nprobe lists instead of the corpus), PQ codes bound
+    * WHAT is read per row (m bytes of codes instead of the vector). This
+    * is the non-residual variant (codebooks trained on raw vectors,
+    * shared across lists — FAISS's `by_residual=false`): routing and
+    * compression compose orthogonally, which is what lets the s15 oracle
+    * restate it as the s10 chain ∘ the s12 chain.
+    *
+    * Plan: probe selection is the ivfSearch first stage (queries ×
+    * broadcast centroid literals, nprobe kept per query); the corpus side
+    * is codes ⋈ list assignment ONCE (vec_id equi-join); candidates come
+    * from the broadcast probe join on the list id; ADC scoring is the
+    * same literal-LUT projection as [[pqSearch]]. The corpus is never
+    * key-shuffled, and scored row count drops from n to n·nprobe/nlist.
+    */
+  def ivfPqSearch(ivf: IvfModel, pq: PqModel, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0 (got $k, $nprobe)")
+    val spark = ivf.assignments.sparkSession
+    import spark.implicits._
+    val qs = withQuant(queries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
+    val centDf = ivf.centroids
+      .map { case (cid, cv, csq) => (cid, cv.toSeq, csq) }
+      .toDF("pcid", "cv", "c_sq")
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("pcid"))
+    val probes = qs.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qe"), col("q_sq"), col("pcid"),
+        cosCol(expr(dotRawSql("qe", "cv")), col("q_sq"), col("c_sq")).as("pcos"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qe"), col("q_sq"), col("pcid"))
+    val listed = pq.codes
+      .join(ivf.assignments.select(col("vec_id"), col("cid").as("lcid")), "vec_id")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    listed.join(broadcast(probes),
+        col("lcid") === col("pcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosCol(pqAdot(pq), col("q_sq"), pqReconSq(pq)).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "rn", "cid", "cos")
@@ -1350,9 +1406,14 @@ object Similarity {
     * exact integers, so the match pins training, not just the final
     * ranking.
     */
-  val pqAdc: QueryDef = q(
-    "s12_pq_adc",
-    s"""WITH jj AS (SELECT unnest(range(0, 64)) AS jx),
+  /** The s12 PQ TRAINING restated in SQL — per-subspace quantized
+    * components (`x`), seeded codebooks, one exact-integer k-means
+    * update (`cb1`), final code assignment (`codes`), and reconstructed
+    * norms (`recon`). Shared verbatim by the s12 and s15 oracles so the
+    * two gates pin the SAME training computation.
+    */
+  private val oraclePqTrain: String =
+    s"""jj AS (SELECT unnest(range(0, 64)) AS jx),
        |x AS (
        |  SELECT vec_id, jx, CAST(jx // 16 AS INT) AS mi,
        |         CAST(CAST(CAST(embeddings.embedding[CAST(jx + 1 AS INT)] AS DOUBLE)
@@ -1401,7 +1462,12 @@ object Similarity {
        |recon AS (
        |  SELECT codes.vec_id, CAST(sum(csq.csq) AS BIGINT) AS rsq
        |  FROM codes JOIN csq ON csq.mi = codes.mi AND csq.cid = codes.code
-       |  GROUP BY codes.vec_id),
+       |  GROUP BY codes.vec_id)"""
+    .stripMargin
+
+  val pqAdc: QueryDef = q(
+    "s12_pq_adc",
+    s"""WITH $oraclePqTrain,
        |qx AS (SELECT vec_id AS qid, mi, jx, v FROM x WHERE vec_id < 8),
        |adots AS (
        |  SELECT qx.qid, codes.vec_id AS cid, CAST(sum(qx.v * cb1.cx) AS BIGINT) AS adot
@@ -1538,8 +1604,56 @@ object Similarity {
     triangleCount(und).orderBy("label")
   }
 
+  /** s15: the composed IVF-PQ gate — trained-IVF routing (s10's oracle
+    * chain) over PQ-coded candidates (s12's oracle chain), candidates
+    * restricted to each query's nprobe lists, ADC-scored, top-3. The two
+    * training restatements are the SAME factored SQL the standalone
+    * gates pin, so s15 verifies precisely the composition.
+    */
+  val ivfPqAdc: QueryDef = q(
+    "s15_ivfpq_adc",
+    s"""WITH $oraclePqTrain,
+       |$oracleNorms,
+       |$oracleAssign,
+       |$oracleTrainedAssign,
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT vec_id AS qid, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM ascore2 WHERE vec_id < 8) WHERE rn <= 2),
+       |qx AS (SELECT vec_id AS qid, mi, jx, v FROM x WHERE vec_id < 8),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid
+       |  FROM probes p JOIN assign2 a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |padots AS (
+       |  SELECT cand.qid, cand.cid, CAST(sum(qx.v * cb1.cx) AS BIGINT) AS adot
+       |  FROM cand
+       |  JOIN codes ON codes.vec_id = cand.cid
+       |  JOIN cb1 ON cb1.mi = codes.mi AND cb1.cid = codes.code
+       |  JOIN qx ON qx.qid = cand.qid AND qx.mi = cb1.mi AND qx.jx = cb1.jx
+       |  GROUP BY cand.qid, cand.cid),
+       |scored AS (
+       |  SELECT padots.qid, padots.cid,
+       |         (CAST(adot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |           / (sqrt(CAST(na.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |            * sqrt(CAST(recon.rsq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))) AS cos
+       |  FROM padots JOIN norms na ON na.vec_id = padots.qid
+       |              JOIN recon ON recon.vec_id = padots.cid)
+       |SELECT qid, rn, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val emb = Tables.parallel(Tables.embeddings(s, d))
+    val ivf = ivfIndex(emb, nlist = 8, iters = 1)
+    val pq = pqIndex(emb, m = 4, ksub = 4, iters = 1)
+    ivfPqSearch(ivf, pq, emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+      .orderBy("qid", "rn")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
-      ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles)
+      ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles,
+      ivfPqAdc)
 }

@@ -87,4 +87,23 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(hashKeys.forall(_.startsWith("qid")), s"corpus-side shuffle: $hashKeys\n$p")
   }
+
+  test("ivfPqSearch with nprobe = nlist degrades to exhaustive pqSearch") {
+    val ivf = Similarity.ivfIndex(emb, nlist = 4, iters = 1)
+    val pq = Similarity.pqIndex(emb, m = 4, ksub = 4, iters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exhaustive = rows(Similarity.pqSearch(pq, queries, k = 3))
+    val routed = rows(Similarity.ivfPqSearch(ivf, pq, queries, k = 3, nprobe = 4))
+    assert(routed == exhaustive,
+      "probing every list must reproduce the unrouted ADC top-k exactly")
+    // narrow probing returns a subset of per-query candidates, never junk:
+    // every (qid, cid) it scores must carry the SAME cos as exhaustive ADC
+    val narrowSet = Similarity.ivfPqSearch(ivf, pq, queries, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val full = rows(Similarity.pqSearch(pq, queries, k = emb.count().toInt))
+      .map { case (q, _, c, s) => (q, c, s) }
+    assert(narrowSet.subsetOf(full),
+      "routed scores must be drawn from the exhaustive ADC scores")
+  }
 }
