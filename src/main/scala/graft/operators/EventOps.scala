@@ -419,8 +419,35 @@ object EventOps {
       .orderBy("click_id")
   }
 
+  /** q49: TIME-based (RANGE) window frame — trailing 1-hour count and
+    * exact-decimal value sum per user at every event. RANGE frames are
+    * semantically distinct from the q31 ROWS frames (the frame boundary
+    * is a VALUE offset on the ordering key, and same-instant peers are
+    * all in-frame regardless of row order), and on the engine's LONG-ns
+    * time axis the offset is exact integer arithmetic on both engines.
+    * The decimal sum keeps the frame aggregate order-free; cast to
+    * double only at output.
+    */
+  val rangeFrame: QueryDef = q(
+    "q49_range_frame",
+    """SELECT user_id, event_id,
+      |  count(*) OVER wr AS n_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER wr AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+      |              RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-3600000000000L, Window.currentRow)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      count(lit(1)).over(wr).as("n_1h"),
+      sum(money(col("value"))).over(wr).cast("double").as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     windowRunning, hourlyRollup, sessionize, asofJoin, timeRangeJoin,
     jsonExtract, funnel, cohortRetention, eventTransitions, activitySpine,
-    forwardAsof)
+    forwardAsof, rangeFrame)
 }
