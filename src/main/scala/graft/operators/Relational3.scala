@@ -49,6 +49,23 @@ object Relational3 {
       .orderBy("custkey")
   }
 
+  /** INTERSECT ALL — multiset intersection preserving duplicate counts
+    * (each custkey appears min(count_F, count_P) times), completing the
+    * multiset set-op pair with q33's EXCEPT ALL.
+    */
+  val intersectAllQ: QueryDef = q(
+    "q50_intersect_all",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .intersectAll(
+        o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
   /** first_value / last_value analytics (last needs the full-partition
     * frame — the default running frame would return the current row).
     */
@@ -403,5 +420,5 @@ object Relational3 {
   def defs: Seq[QueryDef] =
     Seq(scalarSubquery, exceptAll, firstLast, pivot, percentiles,
       unpivotMetrics, correlatedExists, lateralTopN, upsertLatest,
-      scd2History, skylineAudit)
+      scd2History, skylineAudit, intersectAllQ)
 }
