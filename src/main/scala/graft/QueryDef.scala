@@ -23,7 +23,9 @@ object QueryCatalog {
     operators.Relational.defs ++
       operators.Relational2.defs ++
       operators.Relational3.defs ++
+      operators.Relational4.defs ++
       operators.EventOps.defs ++
+      operators.TimeSeries.defs ++
       operators.Dedup.defs ++
       operators.Paragraphs.defs ++
       operators.Sampling.defs ++

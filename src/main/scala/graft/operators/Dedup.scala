@@ -560,6 +560,35 @@ object Dedup {
     */
   private[operators] def jaccardPairs(
       docs: DataFrame, jaccardThreshold: Double, dfCap: Int): DataFrame = {
+    val jac = col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter"))
+    pairScaffold(docs, dfCap)
+      .filter(jac >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        jac.as("jaccard"))
+  }
+
+  /** Overlap-coefficient pairs (doc_a < doc_b): same exhaustive df-capped
+    * candidate scaffold as [[jaccardPairs]], scored with the overlap
+    * (Szymkiewicz–Simpson) coefficient `inter / min(|A|, |B|)` instead of
+    * Jaccard. This is the near-SUB-duplicate detector: a short document
+    * wholly contained in a long one scores ~1.0 here while its Jaccard
+    * (÷ union) can sit far below any dedup threshold — exactly the
+    * boilerplate-inclusion / quote-expansion case Jaccard misses.
+    */
+  private[operators] def overlapPairs(
+      docs: DataFrame, overlapThreshold: Double, dfCap: Int): DataFrame = {
+    val ov = col("inter") * lit(1.0) / least(col("n_a"), col("n_b"))
+    pairScaffold(docs, dfCap)
+      .filter(ov >= overlapThreshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        ov.as("overlap"))
+  }
+
+  /** Candidate pairs + set sizes shared by [[jaccardPairs]] /
+    * [[overlapPairs]]: columns (doc_a, doc_b, inter, n_a, n_b) for every
+    * pair sharing ≥ 1 shingle of document frequency ≤ dfCap.
+    */
+  private def pairScaffold(docs: DataFrame, dfCap: Int): DataFrame = {
     val w = trigramArr(docs)
     // shingles travel as xxhash64 LONGs, not strings (plan-asserted: long
     // join keys keep the join + df-cap aggregates in HashAggregate). The
@@ -600,13 +629,9 @@ object Dedup {
     // 100 TB (sz is corpus-sized either way); at every scale the
     // aggregate's stats are strictly more informative.
     val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val jac = col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter"))
     cand
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .filter(jac >= jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
-        jac.as("jaccard"))
   }
 
   /** Jaccard-confirmed near-duplicate pairs (doc_a < doc_b): LSH
@@ -1264,6 +1289,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d18: near-sub-duplicate pairs by overlap coefficient — the
+    * containment-style companion to d05. Same df-capped inverted-index
+    * candidate scaffold ([[pairScaffold]], shared subtree with d05/d07 so
+    * a composed curation run plans it once); the score divides by the
+    * SMALLER set, so a short doc embedded in a long one is caught at
+    * ~1.0 where Jaccard dilutes it below threshold. 100 TB shape is
+    * identical to d05's (provably ≤ dfCap² fan-out per shingle, no list
+    * state).
+    */
+  val overlapContainment: QueryDef = q(
+    "d18_overlap_containment",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+      |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
+      |        FROM w),
+      |df AS (SELECT s, count(*) AS c FROM tri GROUP BY s),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |         FROM tri a
+      |         JOIN df ON df.s = a.s AND df.c <= 50
+      |         JOIN tri b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+      |       inter * 1.0 / least(sa.n, sb.n) AS overlap
+      |FROM cand
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE inter * 1.0 / least(sa.n, sb.n) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    overlapPairs(Tables.parallel(Tables.documents(s, d).select("doc_id", "text")),
+        0.5, 50)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The d05 oracle's CTE prefix, reused by d07 (which clusters the same
     * confirmed pair set).
     */
@@ -1632,5 +1692,6 @@ object Dedup {
   def defs: Seq[QueryDef] =
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
       simhashPairs, simhashPairs64, contamination, minhashEstimate,
-      canonicalKeep, editDistNeighborhood, sourceOverlapAudit)
+      canonicalKeep, editDistNeighborhood, sourceOverlapAudit,
+      overlapContainment)
 }

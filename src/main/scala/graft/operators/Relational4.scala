@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import Compat._
+
+/** Fourth relational batch: deterministic mode, a one-pass correlation
+  * matrix from exact moments, and partitioned ntile quartile profiles.
+  */
+object Relational4 {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** q52: per-group mode with a deterministic tie-break (highest count,
+    * then smallest value) — DuckDB's native `mode()` leaves ties
+    * unspecified, so both sides state the tie-break explicitly via a
+    * count-then-rank plan. Two shuffles, both on small key spaces; the
+    * candidate set after the first aggregate is |flags × distinct qty|,
+    * tiny at any scale.
+    */
+  val modeAgg: QueryDef = q(
+    "q52_mode_agg",
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag, l_quantity AS qty, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT flag, qty, n,
+      |    row_number() OVER (PARTITION BY flag ORDER BY n DESC, qty) AS rn
+      |  FROM c)
+      |SELECT flag, qty AS mode_qty, n AS n_occurrences
+      |FROM r WHERE rn = 1
+      |ORDER BY flag""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("flag").orderBy(col("n").desc, col("qty"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("flag"), col("qty").as("mode_qty"), col("n").as("n_occurrences"))
+      .orderBy("flag")
+  }
+
+  private val corrCols = Seq(
+    "l_quantity" -> "q", "l_extendedprice" -> "p",
+    "l_discount" -> "d", "l_tax" -> "t")
+  private val corrPairs = Seq(
+    ("l_discount", "d", "l_extendedprice", "p"),
+    ("l_discount", "d", "l_quantity", "q"),
+    ("l_discount", "d", "l_tax", "t"),
+    ("l_extendedprice", "p", "l_quantity", "q"),
+    ("l_extendedprice", "p", "l_tax", "t"),
+    ("l_quantity", "q", "l_tax", "t"))
+
+  /** q53: pairwise Pearson correlation matrix over the four lineitem
+    * measures, computed from EXACT decimal moments in ONE scan.
+    *
+    * Built-in `corr()` is a streaming float aggregate whose result is
+    * merge-order-dependent — unusable for a retry-safe 100 TB pipeline
+    * and un-hashable against another engine. Instead: a single aggregate
+    * collects n + 4 sums + 4 sum-of-squares + 6 cross-sums as exact
+    * decimals (map-side partial, one shuffle of a 15-column row), each is
+    * collapsed to double once (correctly rounded on both engines), and
+    * every correlation is one shared double expression. The 6 output rows
+    * come from `stack` over the single aggregate row — no re-scan per
+    * pair.
+    */
+  val corrMatrix: QueryDef = {
+    def m(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val sumsSql = (corrCols.map { case (c, a) =>
+      s"CAST(CAST(sum(${m(c)}) AS VARCHAR) AS DOUBLE) AS s_$a, " +
+        s"CAST(CAST(sum(${m(c)} * ${m(c)}) AS VARCHAR) AS DOUBLE) AS s_$a$a"
+    } ++ corrPairs.map { case (ca, a, cb, b) =>
+      s"CAST(CAST(sum(${m(ca)} * ${m(cb)}) AS VARCHAR) AS DOUBLE) AS s_$a$b"
+    }).mkString(",\n    ")
+    def corrSql(a: String, b: String) =
+      s"(n * s_$a$b - s_$a * s_$b) / sqrt((n * s_$a$a - s_$a * s_$a) * (n * s_$b$b - s_$b * s_$b))"
+    val rowsSql = corrPairs.map { case (ca, a, cb, b) =>
+      s"SELECT '$ca' AS col_a, '$cb' AS col_b, ${corrSql(a, b)} AS corr FROM s"
+    }.mkString("\nUNION ALL\n")
+    q(
+      "q53_corr_matrix",
+      s"""WITH s AS (
+         |  SELECT count(*) AS n,
+         |    $sumsSql
+         |  FROM lineitem)
+         |$rowsSql
+         |ORDER BY col_a, col_b""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val aggs = count(lit(1)).as("n") +:
+        (corrCols.flatMap { case (c, a) =>
+          Seq(sum(money(col(c))).cast("double").as(s"s_$a"),
+            sum(money(col(c)) * money(col(c))).cast("double").as(s"s_$a$a"))
+        } ++ corrPairs.map { case (ca, a, cb, b) =>
+          sum(money(col(ca)) * money(col(cb))).cast("double").as(s"s_$a$b")
+        })
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      def corrCol(a: String, b: String) =
+        (col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n") * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a")) *
+            (col("n") * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b")))
+      val stackArgs = corrPairs.map { case (ca, a, cb, b) =>
+        s"'$ca', '$cb', c_$a$b"
+      }.mkString(", ")
+      one.select(corrPairs.map { case (_, a, _, b) =>
+        corrCol(a, b).as(s"c_$a$b")
+      }: _*)
+        .select(expr(
+          s"stack(${corrPairs.size}, $stackArgs) AS (col_a, col_b, corr)"))
+        .orderBy("col_a", "col_b")
+    }
+  }
+
+  /** q54: partitioned ntile quartiles — per order priority, rank orders
+    * into 4 equal-depth tiles (deterministic tie-break on the key) and
+    * profile each tile. The window partitions by priority, so the sort is
+    * distributed across partitions rather than the single-partition
+    * global-ntile shape; the profile aggregate reuses the same
+    * partitioning (no extra shuffle of the big side).
+    */
+  val ntileQuartiles: QueryDef = q(
+    "q54_ntile_quartiles",
+    """WITH t AS (
+      |  SELECT o_orderpriority AS pri, o_totalprice, o_orderkey,
+      |    ntile(4) OVER (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice, o_orderkey) AS qtile
+      |  FROM orders)
+      |SELECT pri, qtile, count(*) AS n,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM t GROUP BY 1, 2
+      |ORDER BY pri, qtile""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("pri").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("qtile", ntile(4).over(w))
+      .groupBy("pri", "qtile")
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("o_totalprice"))).cast("double").as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("pri", "qtile")
+  }
+
+  def defs: Seq[QueryDef] = Seq(modeAgg, corrMatrix, ntileQuartiles)
+}

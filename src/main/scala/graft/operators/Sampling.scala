@@ -786,8 +786,51 @@ object Sampling {
       .orderBy("split", "source")
   }
 
+  /** p15: deterministic bootstrap resample (n draws with replacement),
+    * audited per source. Draw j (one per input row — the draw spine IS the
+    * table, so generation is distributed with no driver action and no
+    * single-task explode) targets doc `md5(j)[0:12hex] % n` — 48 uniform
+    * bits, so multiplicities follow the Poisson(1) bootstrap profile
+    * (~63.2% of docs drawn ≥ once; measured 318/500 on the fixture). A
+    * LINEAR multiplicative hash would be wrong here: `(j·c) % n` with
+    * gcd(c,n)=1 is a bijection — every doc drawn exactly once, i.e. no
+    * resampling at all. Multiplicity rides a count aggregate; the audit
+    * reports per-source drawn-doc counts, total draws, and drawn-char
+    * mass — variance estimation for corpus statistics without
+    * materializing the resampled corpus.
+    */
+  val bootstrapAudit: QueryDef = q(
+    "p15_bootstrap",
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |draws AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+      |              AS BIGINT) % nn.n AS target
+      |  FROM documents d, nn),
+      |agg AS (SELECT target, count(*) AS k FROM draws GROUP BY target)
+      |SELECT doc.source, count(*) AS n_docs_drawn,
+      |       CAST(sum(a.k) AS BIGINT) AS n_draws,
+      |       CAST(sum(a.k * doc.n_chars) AS BIGINT) AS chars_drawn
+      |FROM agg a JOIN documents doc ON doc.doc_id = a.target
+      |GROUP BY doc.source
+      |ORDER BY doc.source""".stripMargin) { (s, d) =>
+    val doc = Tables.documents(s, d)
+    val n = doc.agg(count(lit(1)).as("n"))
+    val draws = doc.select(col("doc_id")).join(broadcast(n))
+      .select((conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long") % col("n")).as("target"))
+    val agg = draws.groupBy("target").agg(count(lit(1)).as("k"))
+    agg.join(doc.select(col("doc_id"), col("source"), col("n_chars")),
+        agg("target") === col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_drawn"),
+        sum(col("k")).cast("long").as("n_draws"),
+        sum(col("k") * col("n_chars")).cast("long").as("chars_drawn"))
+      .orderBy("source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
       langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
-      importanceAudit, temperatureMix, weightedSystematicAudit, groupSplit)
+      importanceAudit, temperatureMix, weightedSystematicAudit, groupSplit,
+      bootstrapAudit)
 }

@@ -906,8 +906,49 @@ object TextAnalysis {
     }
   }
 
+  /** t17: readability + lexical-diversity profile per document — Flesch
+    * reading ease with a vowel-group syllable heuristic, plus type-token
+    * ratio. Pure per-row regex/array arithmetic fused into the scan (the
+    * sentence count degenerates to 1 on this punctuation-free corpus;
+    * greatest(·,1) states the real-corpus contract). The Flesch formula is
+    * one shared double expression, so parity is bit-exact.
+    */
+  val readability: QueryDef = q(
+    "t17_readability",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(regexp_extract_all(text, '[aeiouy]+')) AS n_syll,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_distinct, n_syll, n_sent,
+      |  206.835 - 1.015 * (n_words / n_sent)
+      |          - 84.6 * (n_syll / n_words) AS flesch,
+      |  n_distinct / n_words AS ttr
+      |FROM t
+      |WHERE n_words > 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.parallel(Tables.documents(s, d).select("doc_id", "text"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+        size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syll"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+          .cast("long").as("n_sent"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("n_syll"),
+        col("n_sent"),
+        (lit(206.835) - lit(1.015) * (col("n_words") / col("n_sent"))
+          - lit(84.6) * (col("n_syll") / col("n_words"))).as("flesch"),
+        (col("n_distinct") / col("n_words")).as("ttr"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
       repetition, novelty, heavyHitters, redactionAudit, blocklistAudit,
-      classifier, lmFluency, chunking, charDiversity, textrankKeywords)
+      classifier, lmFluency, chunking, charDiversity, textrankKeywords,
+      readability)
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import Compat._
+
+/** Time-series operators over the event stream: spine-based gap filling
+  * with linear interpolation, and exact-moment anomaly scoring.
+  *
+  * Reference scope note: heparchy has no time axis at all (its events are
+  * Monte-Carlo samples, `read/hdf.py:447-466` addresses them by index);
+  * these operators are part of the engine's north-star analytics surface
+  * (BASELINE.json), expressed Spark-first.
+  */
+object TimeSeries {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  private val HourNs = 3600000000000L
+
+  /** q51: per-user hourly resample + linear interpolation of gaps.
+    *
+    * The hourly aggregate uses exact decimal sums; the spine is generated
+    * DISTRIBUTED — `sequence(h0, h1)` exploded per user, so spine
+    * generation parallelizes over users with no driver action (contrast
+    * q43's corpus-global spine, whose 2-long bounds row is a bounded
+    * driver collect). Interpolation rides two one-pass window frames
+    * (last non-null before / first non-null after); the arithmetic is a
+    * single double expression shaped identically to the oracle's, so
+    * results are bit-exact.
+    *
+    * Scale shape: everything is keyed by `user_id` — one shuffle for the
+    * hourly aggregate (map-side partial), one for the spine join (both
+    * sides already hash-partitioned by user), and the window frames reuse
+    * the same partitioning. Output is bounded by users × span-hours; the
+    * `user_id % 50` sample keeps the dumped result proportionate, the
+    * operator itself is cardinality-agnostic.
+    */
+  val gapFill: QueryDef = q(
+    "q51_gap_fill",
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS h,
+      |         CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events WHERE user_id % 50 = 0),
+      |hourly AS (SELECT user_id, h, sum(v) AS hv FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+      |           FROM hourly GROUP BY 1),
+      |spine AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h
+      |          FROM bounds),
+      |joined AS (
+      |  SELECT s.user_id, s.h, hourly.hv
+      |  FROM spine s LEFT JOIN hourly
+      |    ON hourly.user_id = s.user_id AND hourly.h = s.h),
+      |marked AS (
+      |  SELECT user_id, h, hv,
+      |    last_value(hv IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS)
+      |      OVER wp AS ph,
+      |    first_value(hv IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS)
+      |      OVER wn AS nh
+      |  FROM joined
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY h
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         wn AS (PARTITION BY user_id ORDER BY h
+      |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, h, hv IS NULL AS filled,
+      |  CASE WHEN hv IS NOT NULL THEN CAST(hv AS DOUBLE)
+      |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+      |       ELSE CAST(pv AS DOUBLE)
+      |            + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+      |              * ((h - ph) / (nh - ph))
+      |  END AS v
+      |FROM marked
+      |ORDER BY user_id, h""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), expr(s"ts div $HourNs").as("h"),
+        money(col("value")).as("v"))
+    val hourly = e.groupBy("user_id", "h").agg(sum(col("v")).as("hv"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val wp = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(1, Window.unboundedFollowing)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"), col("hv"),
+        last(col("hv"), ignoreNulls = true).over(wp).as("pv"),
+        last(when(col("hv").isNotNull, col("h")), ignoreNulls = true)
+          .over(wp).as("ph"),
+        first(col("hv"), ignoreNulls = true).over(wn).as("nv"),
+        first(when(col("hv").isNotNull, col("h")), ignoreNulls = true)
+          .over(wn).as("nh"))
+      .select(col("user_id"), col("h"), col("hv").isNull.as("filled"),
+        when(col("hv").isNotNull, col("hv").cast("double"))
+          .when(col("pv").isNull || col("nv").isNull, lit(null).cast("double"))
+          .otherwise(col("pv").cast("double")
+            + (col("nv").cast("double") - col("pv").cast("double"))
+              * ((col("h") - col("ph")) / (col("nh") - col("ph"))))
+          .as("v"))
+      .orderBy("user_id", "h")
+  }
+
+  /** q55: per-user z-score anomaly detection, exact moments.
+    *
+    * Per-user count / sum / sum-of-squares are EXACT decimal aggregates
+    * (order-free, retry-safe — the 100 TB requirement), collapsed to
+    * double once, so the z expression is a pure double tree shaped
+    * identically to the oracle's. Flags |z| > 3 with sample variance.
+    *
+    * Scale shape: the stats frame is one row per user — aggregated
+    * map-side, then joined back to the events; Catalyst/AQE broadcasts it
+    * while it fits and falls back to a user_id-co-partitioned shuffle
+    * join beyond that, which is exactly the right behavior at 10⁹ users
+    * (forcing `broadcast()` here would be the scale bug).
+    */
+  val anomalyZscore: QueryDef = q(
+    "q55_anomaly_zscore",
+    """WITH s AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1)
+      |SELECT e.user_id, e.event_id, e.value,
+      |  (e.value - s.sx / s.n)
+      |    / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS z
+      |FROM events e JOIN s ON s.user_id = e.user_id
+      |WHERE s.n >= 2
+      |  AND (s.sxx - s.sx * s.sx / s.n) / (s.n - 1) > 0
+      |  AND abs((e.value - s.sx / s.n)
+      |          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 3
+      |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(money(col("value"))).cast("double").as("sx"),
+      sum(money(col("value")) * money(col("value"))).cast("double").as("sxx"))
+    val varExpr = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    val z = (col("value") - col("sx") / col("n")) / sqrt(varExpr)
+    ev.join(stats, "user_id")
+      .filter(col("n") >= 2 && varExpr > 0 && abs(z) > 3)
+      .select(col("user_id"), col("event_id"), col("value"), z.as("z"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(gapFill, anomalyZscore)
+}
