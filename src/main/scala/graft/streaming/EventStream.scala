@@ -185,6 +185,70 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** One running-z-score anomaly: the event scored against the exact
+    * moments of the user's PRIOR events (value carried as integer cents).
+    */
+  final case class Anomaly(user_id: Long, event_id: Long, cents: Long, z: Double)
+
+  /** Streaming running z-score anomaly detection — the incremental twin of
+    * the batch q55 shape, under the PREFIX contract: each event is scored
+    * against the exact moments of the user's PRIOR events only (the only
+    * information a stream can have at emission time), flagged when
+    * |z| > 3 with sample variance over n ≥ 2 priors.
+    *
+    * State per user is THREE LONGS (n, Σ, Σ²) in exact integer cents —
+    * order-free, overflow-safe to ~10⁶ events/user at this value range,
+    * and byte-identical to the batch prefix-window computation
+    * (spec-pinned): both sides evaluate the same double expression over
+    * the same exact integers. Micro-batch sequencing and watermark + TTL
+    * eviction follow [[transitions]]: per-user per-trigger slices are
+    * sorted by (ts, event_id), idle users' moments drop after the TTL (a
+    * re-appearing user restarts cold — bounded state is the 100 TB
+    * contract, a forever-moment registry is the failure mode).
+    */
+  def anomalies(events: Dataset[Ev]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    val ttlMs = StateTtlMs
+
+    def update(
+        userId: Long, batch: Iterator[EvT],
+        state: GroupState[(Long, Long, Long, Long)]): Iterator[Anomaly] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var (lastTs, n, sx, sxx) = state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
+        val out = Seq.newBuilder[Anomaly]
+        batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          val c = math.round(e.value * 100)
+          if (n >= 2) {
+            // the SAME double tree the batch prefix-window query builds:
+            // every operand enters as an exact integer, divisions are the
+            // only rounding points, so stream ≡ batch bit-for-bit
+            val v = (sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1)
+            if (v > 0) {
+              val z = (c.toDouble - sx.toDouble / n) / math.sqrt(v)
+              if (math.abs(z) > 3) out += Anomaly(userId, e.event_id, c, z)
+            }
+          }
+          n += 1; sx += c; sxx += c * c; lastTs = e.ts
+        }
+        state.update((lastTs, n, sx, sxx))
+        state.setTimeoutTimestamp(
+          math.max(lastTs / 1000000L + ttlMs, state.getCurrentWatermarkMs() + 1))
+        out.result().iterator
+      }
+    }
+
+    events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("et", "2 hours")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming exact dedup: drops events whose `event_id` was already seen,
     * with state BOUNDED by the watermark — the streaming form of the batch
     * `d01` exact dedup. `dropDuplicatesWithinWatermark` keeps a key's state

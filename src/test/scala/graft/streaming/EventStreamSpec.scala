@@ -255,4 +255,100 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == evs.size, "replayed rows must be dropped")
     assert(out.select("event_id").distinct().count() == evs.size)
   }
+
+  /** The batch prefix-window reference for [[EventStream.anomalies]]:
+    * exact integer cents, the identical double tree, |z| > 3 over n ≥ 2
+    * priors with positive sample variance.
+    */
+  private def batchPrefixAnomalies(
+      evs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withMoments = evs
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("c")).over(w))
+      .withColumn("sxx", sum(col("c") * col("c")).over(w))
+    val vex = (col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+      (col("n") - 1)
+    val z = (col("c").cast("double") - col("sx").cast("double") / col("n")) /
+      sqrt(vex)
+    withMoments
+      .filter(col("n") >= 2 && vex > 0 && abs(z) > 3)
+      .select(col("user_id"), col("event_id"), col("c"), z.as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+  }
+
+  test("streaming anomalies equal the batch prefix z-scores bit-for-bit") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev]
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    input.addData(evs.collect().toSeq)
+    val q = EventStream.anomalies(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomalies").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("anomalies")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("cents"), r.getAs[Double]("z")))
+      .toSet
+    val batch = batchPrefixAnomalies(
+      graft.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value"))
+    assert(batch.nonEmpty, "fixture must flag at least one anomaly")
+    // SET equality on raw doubles — the stream's Scala arithmetic and the
+    // batch window's codegen'd expression must round identically
+    assert(streamed == batch)
+  }
+
+  test("anomaly moments stitch exactly across micro-batches") {
+    import spark.implicits._
+    // two users, all events inside one hour (no TTL eviction possible),
+    // cut mid-stream: the carried (n, Σ, Σ²) must score post-cut events
+    // against the FULL prefix, not a cold restart
+    // base offset keeps the first event's event-time ABOVE the initial
+    // watermark (epoch 0) — an et = 0 row would be dropped as late
+    def ev(id: Long, user: Long, minute: Long, v: Double) =
+      EventStream.Ev(id, (3600L + minute * 60L) * 1000000000L, user, "click", v)
+    val quiet = Seq(10.11, 10.15, 10.09, 10.13, 10.10)
+    val evs = (1L to 2L).flatMap { u =>
+      quiet.zipWithIndex.map { case (v, i) =>
+        ev(u * 100 + i, u, i.toLong, v)
+      } :+ ev(u * 100 + 9, u, 9L, 99.99) // the post-cut outlier
+    }
+    val (pre, post) = evs.partition(_.ts < (3600L + 4L * 60) * 1000000000L)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    input.addData(pre)
+    val q = EventStream.anomalies(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stitch").start()
+    q.processAllAvailable()
+    input.addData(post)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stitch")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("cents"), r.getAs[Double]("z")))
+      .toSet
+    val batch = batchPrefixAnomalies(evs.toDF())
+    assert(batch.map(t => (t._1, t._2)) ==
+      Set((1L, 109L), (2L, 209L)), "exactly the two outliers flag")
+    assert(streamed == batch)
+  }
 }
