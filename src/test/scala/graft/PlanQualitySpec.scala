@@ -544,6 +544,62 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q51 gap-fill: distributed spine explode, user-partitioned windows") {
+    val p = plan("q51_gap_fill")
+    // the per-user spine is generated by explode on executors, not a
+    // driver loop or a corpus-global recursion
+    assert(p.contains("Generate explode"), p)
+    // interpolation windows partition by user_id — a global (empty)
+    // window spec would serialize the whole frame through one task
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe"),
+      "window spec must carry a partition key: " + p)
+    // all four frame functions fuse into ONE Window operator (one sort)
+    assert("\\+- Window ".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q52/q53 moment aggregates stay hash, single scan for the matrix") {
+    val p52 = plan("q52_mode_agg")
+    assert(p52.contains("HashAggregate") && !p52.contains("SortAggregate"), p52)
+    val p53 = plan("q53_corr_matrix")
+    // 15 moments in ONE pass: exactly one parquet scan feeds the matrix
+    assert("FileScan parquet".r.findAllIn(p53).size == 1, p53)
+    assert(!p53.contains("SortAggregate"), p53)
+  }
+
+  test("q54 ntile window partitions by priority (no single-partition sort)") {
+    val p = plan("q54_ntile_quartiles")
+    assert(p.contains("windowspecdefinition(pri"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q55 z-score joins stats back without re-scanning per user") {
+    val p = plan("q55_anomaly_zscore")
+    // the stats side is an aggregate of the same scan; both sides key on
+    // user_id and the anomaly filter rides the join output — no
+    // correlated re-scan, no cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("d18 overlap scaffold keeps hash aggregation on long keys") {
+    val p = plan("d18_overlap_containment")
+    assert(p.contains("xxhash64"), "shingles must travel as 64-bit hashes: " + p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("t17 readability is scan-fused: no shuffle before the final sort") {
+    val p = plan("t17_readability")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("lang"), "readability must not read unused columns")
+  }
+
+  test("p15 bootstrap broadcasts the 1-row count, hash-aggregates draws") {
+    val p = plan("p15_bootstrap")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
