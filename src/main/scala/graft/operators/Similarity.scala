@@ -1651,9 +1651,68 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** s16: maximum-inner-product search (MIPS) through the cosine
+    * reduction — the un-normalized-embedding retrieval case (recommender
+    * scores, unnormalized two-tower outputs) where cosine top-k is the
+    * WRONG answer and raw dot product is wanted.
+    *
+    * The engine runs the standard norm-augmentation reduction
+    * (Shrivastava & Li, NeurIPS 2014): corpus x → [x; √(M²−|x|²)],
+    * query q → [q; 0] with M = max corpus norm, under which
+    * cos(q̃, x̃) = (q·x)/(|q|·M) — per-query-monotone in the dot, so
+    * augmented-COSINE ranking ≡ dot ranking, and the whole cosine ANN
+    * stack (SRP buckets, IVF routing) becomes applicable to MIPS
+    * unchanged. The ranking here is genuinely computed on the reduced
+    * cosine in doubles; because quantized dots are ≤ 1.6e13 < 2⁵³ the
+    * division is order-preserving EXACTLY, and the oracle — which ranks
+    * by the raw BIGINT dot — must agree row-for-row: the gate checks the
+    * reduction theorem, not just arithmetic.
+    *
+    * Scale shape: M is ONE broadcast scalar (max aggregate); query side
+    * broadcasts (the s01 serving shape); corpus side is a scan — no
+    * shuffle of the corpus.
+    */
+  val mipsTopk: QueryDef = q(
+    "s16_mips_topk",
+    s"""WITH $oracleNorms,
+       |q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+       |dots AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |    CAST(sum(${xiSql("q")} * ${xiSql("c")}) AS BIGINT) AS dot
+       |  FROM q, embeddings c, j
+       |  WHERE c.vec_id <> q.qid
+       |  GROUP BY q.qid, c.vec_id)
+       |SELECT qid, rn, cid, dot FROM (
+       |  SELECT qid, cid, dot,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rn
+       |  FROM dots)
+       |WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
+    val m2 = e.agg(max(col("sq")).as("m2"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
+    val cs = e.select(col("vec_id").as("cid"), col("qv").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("mips").desc, col("cid"))
+    broadcast(qs).join(cs, col("cid") =!= col("qid"))
+      .join(broadcast(m2))
+      .select(col("qid"), col("cid"),
+        expr(dotRawSql("qe", "ce")).as("dot"),
+        col("q_sq"), col("m2"))
+      // the reduced-cosine score: (q·x)/(|q|·M) — augmented-space cosine
+      .withColumn("mips",
+        (col("dot").cast("double") / lit(1.0e12)) /
+          (sqrt(col("q_sq").cast("double") / lit(1.0e12)) *
+            sqrt(col("m2").cast("double") / lit(1.0e12))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "rn", "cid", "dot")
+      .orderBy("qid", "rn")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
       ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles,
-      ivfPqAdc)
+      ivfPqAdc, mipsTopk)
 }
