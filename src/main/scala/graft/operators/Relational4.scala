@@ -145,5 +145,75 @@ object Relational4 {
       .orderBy("pri", "qtile")
   }
 
-  def defs: Seq[QueryDef] = Seq(modeAgg, corrMatrix, ntileQuartiles)
+  private val profNumeric = Seq(
+    "l_discount" -> "d", "l_extendedprice" -> "p",
+    "l_quantity" -> "qt", "l_tax" -> "t")
+  private val profString = Seq(
+    "l_linestatus" -> "ls", "l_returnflag" -> "rf")
+
+  /** q56: ANALYZE-style column profile — per column: row count, null
+    * count, EXACT distinct count, min/max (numerics normalized through
+    * DECIMAL(12,2) so both engines print identical strings), and the
+    * exact decimal sum for numerics.
+    *
+    * One aggregate pass; the multi-column exact distincts expand the scan
+    * (Spark's Expand operator — one replica per distinct spec), which is
+    * the deliberate exact-profile contract: at 100 TB swap the
+    * `countDistinct` columns for `approx_count_distinct` and the plan
+    * collapses back to one non-expanded pass (the q30 HLL pattern). The
+    * 6 output rows come from `stack` over the single aggregate row.
+    */
+  val columnProfile: QueryDef = {
+    def m(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val numSql = profNumeric.map { case (c, a) =>
+      s"""count($c) AS c_$a, count(DISTINCT $c) AS d_$a,
+         |      CAST(min(${m(c)}) AS VARCHAR) AS mn_$a,
+         |      CAST(max(${m(c)}) AS VARCHAR) AS mx_$a,
+         |      ${Compat.sumDoubleSql(m(c))} AS s_$a""".stripMargin
+    }
+    val strSql = profString.map { case (c, a) =>
+      s"""count($c) AS c_$a, count(DISTINCT $c) AS d_$a,
+         |      min($c) AS mn_$a, max($c) AS mx_$a""".stripMargin
+    }
+    val rows = (profNumeric.map { case (c, a) =>
+      s"SELECT '$c' AS col_name, n AS n_rows, n - c_$a AS n_nulls, d_$a AS n_distinct, mn_$a AS min_val, mx_$a AS max_val, s_$a AS sum_val FROM s"
+    } ++ profString.map { case (c, a) =>
+      s"SELECT '$c', n, n - c_$a, d_$a, mn_$a, mx_$a, CAST(NULL AS DOUBLE) FROM s"
+    }).mkString("\nUNION ALL\n")
+    q(
+      "q56_column_profile",
+      s"""WITH s AS (
+         |  SELECT count(*) AS n,
+         |    ${(numSql ++ strSql).mkString(",\n    ")}
+         |  FROM lineitem)
+         |$rows
+         |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val aggs = count(lit(1)).as("n") +:
+        (profNumeric.flatMap { case (c, a) =>
+          Seq(count(col(c)).as(s"c_$a"),
+            countDistinct(col(c)).as(s"d_$a"),
+            min(money(col(c))).cast("string").as(s"mn_$a"),
+            max(money(col(c))).cast("string").as(s"mx_$a"),
+            sum(money(col(c))).cast("double").as(s"s_$a"))
+        } ++ profString.flatMap { case (c, a) =>
+          Seq(count(col(c)).as(s"c_$a"),
+            countDistinct(col(c)).as(s"d_$a"),
+            min(col(c)).as(s"mn_$a"),
+            max(col(c)).as(s"mx_$a"))
+        })
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = (profNumeric.map { case (c, a) =>
+        s"'$c', n, n - c_$a, d_$a, mn_$a, mx_$a, s_$a"
+      } ++ profString.map { case (c, a) =>
+        s"'$c', n, n - c_$a, d_$a, mn_$a, mx_$a, CAST(NULL AS DOUBLE)"
+      }).mkString(", ")
+      one.select(expr(s"stack(${profNumeric.size + profString.size}, " +
+          s"$stackArgs) AS (col_name, n_rows, n_nulls, n_distinct, " +
+          "min_val, max_val, sum_val)"))
+        .orderBy("col_name")
+    }
+  }
+
+  def defs: Seq[QueryDef] = Seq(modeAgg, corrMatrix, ntileQuartiles, columnProfile)
 }

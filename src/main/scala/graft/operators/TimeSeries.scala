@@ -149,5 +149,51 @@ object TimeSeries {
       .orderBy("user_id", "event_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(gapFill, anomalyZscore)
+  /** q57: multi-touch (linear) conversion attribution — each purchase
+    * splits its value equally across the user's clicks in the preceding
+    * 30 minutes, reported per click. The credit is integer micro-units
+    * with floor division (`value·10⁶ div n_touch`) — exact, identical on
+    * both engines, and auditable: Σcredit ≤ Σpurchase value with the
+    * remainder = division truncation, never float drift.
+    *
+    * Scale shape: the click↔purchase join is an equi-join on `user_id`
+    * with a band predicate — per-user fan-out is bounded by a user's own
+    * click×purchase density inside 30 min (the q25 band-decomposition
+    * argument); the n_touch window and final aggregate reuse the join's
+    * user-co-partitioned output. This is the batch twin of the streaming
+    * [[graft.streaming.EventStream.attribution]] interval join.
+    */
+  val attribution: QueryDef = q(
+    "q57_attribution",
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts,
+      |             CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS vmic
+      |      FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT c.click_id, p.purchase_id, p.vmic,
+      |        count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+      |      FROM c JOIN p ON p.user_id = c.user_id
+      |        AND epoch_ns(p.ts) - epoch_ns(c.ts) BETWEEN 0 AND 1800000000000)
+      |SELECT click_id, count(*) AS n_conversions,
+      |       CAST(sum(vmic // n_touch) AS BIGINT) AS credit_micro
+      |FROM m GROUP BY click_id
+      |ORDER BY click_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"),
+        (money(col("value")) * 1000000).cast("long").as("vmic"))
+    val wpid = Window.partitionBy("purchase_id")
+    c.join(p, Seq("user_id"))
+      .filter((col("pts") - col("cts")).between(0L, 1800000000000L))
+      .withColumn("n_touch", count(lit(1)).over(wpid))
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(expr("vmic div n_touch")).cast("long").as("credit_micro"))
+      .orderBy("click_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(gapFill, anomalyZscore, attribution)
 }
