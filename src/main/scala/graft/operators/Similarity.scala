@@ -1710,9 +1710,111 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // nDCG@3 discounts 1/log2(rank+1), scaled to exact 1e12 longs at
+  // CODEGEN time so per-query DCG is an ORDER-FREE integer sum (a raw
+  // double sum of the discounts would be merge-order-dependent, and
+  // log2 itself differs by ulps between JVM Math.log and C libm — both
+  // engines get the same literal instead of computing the log).
+  private val dcgW: Map[Int, Long] = Map(
+    1 -> 1000000000000L,
+    2 -> math.floor(1.0e12 / (math.log(3.0) / math.log(2.0))).toLong,
+    3 -> 500000000000L)
+  private val idcgScaled: Long = dcgW.values.sum
+
+  /** s17: retrieval-quality metrics for the bucketed ANN path — MRR and
+    * binary-relevance nDCG@3 per query, with the EXACT top-3 as the
+    * relevance set and the SRP-bucketed top-3 as the ranking under
+    * evaluation. Completes the eval family (s05 recall → rank-aware
+    * metrics): recall says whether the truth was found, MRR/nDCG say
+    * how highly the approximate index ranked it.
+    *
+    * Determinism: discounts enter as exact scaled-long literals (see
+    * [[dcgW]]) so the DCG sum is integer; MRR is one IEEE divide on the
+    * exact integer min-rank. Scale shape is s05's: corpus never
+    * key-shuffled, per-query windows over ≤|queries| partitions, metric
+    * join touches 3·|queries| rows. A query whose bucket matched NO
+    * candidates has no ranking to evaluate and emits no row (both sides
+    * state this; s05's recall view is where empty-result queries show up
+    * as 0).
+    */
+  val retrievalMetrics: QueryDef = q(
+    "s17_retrieval_metrics",
+    s"""WITH $oracleNorms,
+       |e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |      FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, embedding, bucket FROM e WHERE vec_id < 10),
+       |edots AS (
+       |  SELECT qv.qid, c.vec_id AS cid,
+       |    CAST(sum(${xiSql("qv")} * ${xiSql("c")}) AS BIGINT) AS dot
+       |  FROM qv, embeddings c, j
+       |  WHERE c.vec_id <> qv.qid
+       |  GROUP BY qv.qid, c.vec_id),
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |    FROM (SELECT qid, cid, $oracleCos AS cos
+       |          FROM edots JOIN norms na ON na.vec_id = qid
+       |                     JOIN norms nb ON nb.vec_id = cid))
+       |  WHERE rn <= 3),
+       |bdots AS (
+       |  SELECT qv.qid, c.vec_id AS cid,
+       |    CAST(sum(${xiSql("qv")} * ${xiSql("c")}) AS BIGINT) AS dot
+       |  FROM qv JOIN e c ON c.bucket = qv.bucket AND c.vec_id <> qv.qid, j
+       |  GROUP BY qv.qid, c.vec_id),
+       |approx AS (
+       |  SELECT qid, cid, rn FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |    FROM (SELECT qid, cid, $oracleCos AS cos
+       |          FROM bdots JOIN norms na ON na.vec_id = qid
+       |                     JOIN norms nb ON nb.vec_id = cid))
+       |  WHERE rn <= 3)
+       |SELECT a.qid,
+       |  coalesce(1.0 / min(CASE WHEN x.cid IS NOT NULL THEN a.rn END), 0.0) AS mrr,
+       |  CAST(sum(CASE WHEN x.cid IS NOT NULL THEN
+       |         CASE a.rn WHEN 1 THEN ${dcgW(1)} WHEN 2 THEN ${dcgW(2)}
+       |                   WHEN 3 THEN ${dcgW(3)} END
+       |       ELSE 0 END) AS DOUBLE) / CAST($idcgScaled AS DOUBLE) AS ndcg
+       |FROM approx a
+       |LEFT JOIN exact x ON x.qid = a.qid AND x.cid = a.cid
+       |GROUP BY a.qid
+       |ORDER BY a.qid""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
+      .withColumn("bucket", bucketCol("embedding"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"),
+        col("sq").as("q_sq"), col("bucket").as("qbucket"))
+    val cs = e.select(col("vec_id").as("cid"), col("qv").as("ce"),
+      col("sq").as("c_sq"), col("bucket").as("cbucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    def top3(pairs: DataFrame): DataFrame = pairs
+      .select(col("qid"), col("cid"),
+        cosCol(expr(dotRawSql("qe", "ce")), col("q_sq"), col("c_sq")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val exact = top3(broadcast(qs).join(cs, col("cid") =!= col("qid")))
+      .select(col("qid").as("xqid"), col("cid").as("xcid"))
+    val approx = top3(broadcast(qs).join(cs,
+      col("qbucket") === col("cbucket") && col("cid") =!= col("qid")))
+      .select("qid", "cid", "rn")
+    val rel = col("xcid").isNotNull
+    val wDisc = when(col("rn") === 1, lit(dcgW(1)))
+      .when(col("rn") === 2, lit(dcgW(2)))
+      .when(col("rn") === 3, lit(dcgW(3)))
+    approx.join(broadcast(exact),
+        col("qid") === col("xqid") && col("cid") === col("xcid"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        coalesce(lit(1.0) / min(when(rel, col("rn"))), lit(0.0)).as("mrr"),
+        (sum(when(rel, wDisc).otherwise(lit(0L))).cast("double") /
+          lit(idcgScaled).cast("double")).as("ndcg"))
+      .orderBy("qid")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
       ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles,
-      ivfPqAdc, mipsTopk)
+      ivfPqAdc, mipsTopk, retrievalMetrics)
 }
