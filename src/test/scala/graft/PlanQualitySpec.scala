@@ -600,6 +600,34 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("q56 column profile: one Expand pass, no per-column re-scan") {
+    val p = plan("q56_column_profile")
+    // the multi-distinct profile reads the table ONCE (Expand replicates
+    // rows in-memory); six SELECTs unioned would scan six times
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("q57 attribution joins on user_id (equi), never nested-loop") {
+    val p = plan("q57_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("user_id"), p)
+  }
+
+  test("s16 MIPS: corpus never shuffles; max-norm and queries broadcast") {
+    val p = plan("s16_mips_topk")
+    assert(p.contains("BroadcastExchange"), p)
+    // the corpus side must reach the join without a hash exchange — only
+    // the per-query top-k window may shuffle scored pairs
+    assert(!"Exchange hashpartitioning\\([^)\\n]*cid".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("s17 metrics: exact/approx rankings and metric join stay broadcast-shaped") {
+    val p = plan("s17_retrieval_metrics")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
