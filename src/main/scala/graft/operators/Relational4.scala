@@ -215,5 +215,33 @@ object Relational4 {
     }
   }
 
-  def defs: Seq[QueryDef] = Seq(modeAgg, corrMatrix, ntileQuartiles, columnProfile)
+  /** q58: relative-standing analytics — percent_rank and cume_dist per
+    * priority partition (the remaining ANSI window rank family beyond
+    * q08/q31/q54). Both are exact integer ratios evaluated in one double
+    * division, so cross-engine parity is bit-exact; the `% 100` sample
+    * keeps the dumped result proportionate while every row still rides
+    * the full-partition window.
+    */
+  val relativeStanding: QueryDef = q(
+    "q58_percent_rank",
+    """SELECT o_orderpriority AS pri, o_orderkey,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |QUALIFY o_orderkey % 100 = 0
+      |ORDER BY pri, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .orderBy("pri", "o_orderkey")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(modeAgg, corrMatrix, ntileQuartiles, columnProfile, relativeStanding)
 }
