@@ -8,9 +8,15 @@ object Bench {
     // queueing, not query cost.
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    // Scale experiments (sf3+) override the shuffle width independently of
+    // the thread count: partitions = cores is right at the graded sf0.1,
+    // but a 30× store at 32 partitions measures per-partition sort depth,
+    // not plan quality — on a real cluster partitions track data volume.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = EngineSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
