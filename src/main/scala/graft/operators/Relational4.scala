@@ -189,6 +189,13 @@ object Relational4 {
          |$rows
          |ORDER BY col_name""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
+      // STRING min/max live in their OWN keyless aggregate: one string-
+      // buffered aggregate function in the main pass forces the whole
+      // multi-distinct dedup aggregate (keyed on all profiled columns +
+      // gid) to SortAggregate — a 6-column sort of the Expand output,
+      // measured 7.8 s -> 1.6 s at sf0.1 from this split. The keyless
+      // side pass has no grouping key, so its SortAggregate needs no sort
+      // at all, and the 1-row result broadcast-joins back.
       val aggs = count(lit(1)).as("n") +:
         (profNumeric.flatMap { case (c, a) =>
           Seq(count(col(c)).as(s"c_$a"),
@@ -198,11 +205,13 @@ object Relational4 {
             sum(money(col(c))).cast("double").as(s"s_$a"))
         } ++ profString.flatMap { case (c, a) =>
           Seq(count(col(c)).as(s"c_$a"),
-            countDistinct(col(c)).as(s"d_$a"),
-            min(col(c)).as(s"mn_$a"),
-            max(col(c)).as(s"mx_$a"))
+            countDistinct(col(c)).as(s"d_$a"))
         })
+      val strAggs = profString.flatMap { case (c, a) =>
+        Seq(min(col(c)).as(s"mn_$a"), max(col(c)).as(s"mx_$a"))
+      }
       val one = li.agg(aggs.head, aggs.tail: _*)
+        .join(broadcast(li.agg(strAggs.head, strAggs.tail: _*)))
       val stackArgs = (profNumeric.map { case (c, a) =>
         s"'$c', n, n - c_$a, d_$a, mn_$a, mx_$a, s_$a"
       } ++ profString.map { case (c, a) =>
