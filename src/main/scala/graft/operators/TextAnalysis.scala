@@ -946,9 +946,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t18: collocation strength — corpus-level top-20 adjacent word pairs
+    * by LIFT, `P(x,y)/(P(x)·P(y))` with a min-support floor (the PMI
+    * ranking without the log: lift is the same order as PMI, and log2
+    * would cost cross-libm determinism for nothing — the p11/t05
+    * rational-surrogate discipline). Every operand is an exact integer
+    * count; the lift double is ONE shared expression tree, so ordering
+    * and values are bit-identical across engines.
+    *
+    * Scale shape: token counts and pair counts are plain hash aggregates
+    * (O(1) state per key); the unigram joins key on the word — vocab is
+    * sublinear in corpus, AQE broadcasts it when it fits and skew-splits
+    * hub words when it doesn't; top-20 is TakeOrdered, never a global
+    * sort.
+    */
+  val collocations: QueryDef = q(
+    "t18_collocations",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT unnest(ws) AS t FROM w),
+      |uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      |bg AS (SELECT ws[CAST(i AS INT)] AS x, ws[CAST(i AS INT)+1] AS y
+      |       FROM (SELECT ws, unnest(range(1, greatest(len(ws)-1, 0)+1)) AS i
+      |             FROM w)),
+      |pc AS (SELECT x, y, count(*) AS cxy FROM bg GROUP BY x, y),
+      |np AS (SELECT count(*) AS n_pair FROM bg),
+      |lifted AS (
+      |  SELECT pc.x, pc.y, pc.cxy,
+      |    (CAST(np.n_pair AS DOUBLE) * pc.cxy)
+      |      / (CAST(ux.c AS DOUBLE) * uy.c) AS lift
+      |  FROM pc, np
+      |  JOIN uni ux ON ux.t = pc.x
+      |  JOIN uni uy ON uy.t = pc.y
+      |  WHERE pc.cxy >= 40)
+      |SELECT x, y, cxy, lift FROM lifted
+      |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Tables.parallel(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val tok = w.select(explode(col("ws")).as("t"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val bg = w.select(explode(expr(
+        """if(size(ws) < 2, array(),
+          |   transform(sequence(1, size(ws)-1),
+          |     i -> struct(ws[i-1] AS x, ws[i] AS y)))""".stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val pc = bg.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 40)
+    val np = bg.agg(count(lit(1)).as("n_pair"))
+    pc.join(broadcast(np))
+      .join(uni.select(col("t").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("cy")), "y")
+      .select(col("x"), col("y"), col("cxy"),
+        ((col("n_pair").cast("double") * col("cxy")) /
+          (col("cx").cast("double") * col("cy"))).as("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
       repetition, novelty, heavyHitters, redactionAudit, blocklistAudit,
       classifier, lmFluency, chunking, charDiversity, textrankKeywords,
-      readability)
+      readability, collocations)
 }
