@@ -828,9 +828,50 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** p16: deterministic epoch-aligned source interleave — the global
+    * training ORDER that walks every source proportionally (row j of a
+    * source with n_s rows gets virtual time j/n_s, so every source
+    * finishes its epoch at vtime 1.0 and small sources spread evenly
+    * between large ones). This is the loader-side mixing schedule that
+    * p06/p12 compute WEIGHTS for, stated as a deterministic merge.
+    *
+    * Scale shape: per-source row numbering is a source-partitioned
+    * window; counts broadcast back; the audited prefix rides
+    * TakeOrdered (never a global sort), and only the bounded 200-row
+    * prefix sees a single-partition position window. vtime is one
+    * shared double division of exact integers — bit-identical ordering
+    * on both engines.
+    */
+  val interleaveAudit: QueryDef = q(
+    "p16_interleave",
+    """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+      |j AS (SELECT d.source, d.doc_id,
+      |        row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS j
+      |      FROM documents d),
+      |v AS (SELECT j.source, j.doc_id, j.j, CAST(j.j AS DOUBLE) / n.ns AS vtime
+      |      FROM j JOIN n ON n.source = j.source),
+      |top AS (SELECT * FROM v ORDER BY vtime, source, doc_id LIMIT 200)
+      |SELECT row_number() OVER (ORDER BY vtime, source, doc_id) AS pos,
+      |       source, doc_id, j, vtime
+      |FROM top ORDER BY pos""".stripMargin) { (s, d) =>
+    val doc = Tables.documents(s, d).select("source", "doc_id")
+    val n = doc.groupBy("source").agg(count(lit(1)).as("ns"))
+    val ws = Window.partitionBy("source").orderBy("doc_id")
+    val top = doc
+      .withColumn("j", row_number().over(ws))
+      .join(broadcast(n), "source")
+      .withColumn("vtime", col("j").cast("double") / col("ns"))
+      .orderBy(col("vtime"), col("source"), col("doc_id"))
+      .limit(200)
+    val wPos = Window.orderBy(col("vtime"), col("source"), col("doc_id"))
+    top.withColumn("pos", row_number().over(wPos))
+      .select("pos", "source", "doc_id", "j", "vtime")
+      .orderBy("pos")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
       langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
       importanceAudit, temperatureMix, weightedSystematicAudit, groupSplit,
-      bootstrapAudit)
+      bootstrapAudit, interleaveAudit)
 }

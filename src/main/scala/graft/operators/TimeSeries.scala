@@ -195,5 +195,42 @@ object TimeSeries {
       .orderBy("click_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(gapFill, anomalyZscore, attribution)
+  /** q59: gaps-and-islands — maximal runs of CONSECUTIVE active hours per
+    * user (the classic `value − row_number()` grouping constant: inside a
+    * consecutive run the difference is invariant, across a gap it jumps).
+    * The complement of q51's gap fill: q51 reconstructs what's missing,
+    * q59 reports the contiguous structure of what's present. One
+    * user-partitioned window + one hash aggregate; runs of length 1
+    * filtered to keep the result about genuine streaks.
+    */
+  val islands: QueryDef = q(
+    "q59_islands",
+    """WITH hourly AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS h
+      |  FROM events WHERE user_id % 20 = 0),
+      |marked AS (
+      |  SELECT user_id, h,
+      |    h - row_number() OVER (PARTITION BY user_id ORDER BY h) AS grp
+      |  FROM hourly)
+      |SELECT user_id, min(h) AS start_h, max(h) AS end_h,
+      |       count(*) AS len_hours
+      |FROM marked GROUP BY user_id, grp
+      |HAVING count(*) >= 2
+      |ORDER BY user_id, start_h""".stripMargin) { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), expr(s"ts div $HourNs").as("h"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("h")
+    hourly
+      .withColumn("grp", col("h") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(min(col("h")).as("start_h"), max(col("h")).as("end_h"),
+        count(lit(1)).as("len_hours"))
+      .filter(col("len_hours") >= 2)
+      .select("user_id", "start_h", "end_h", "len_hours")
+      .orderBy("user_id", "start_h")
+  }
+
+  def defs: Seq[QueryDef] = Seq(gapFill, anomalyZscore, attribution, islands)
 }
