@@ -1816,9 +1816,57 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** s18: cluster-quality audit of the trained IVF index — per-cluster
+    * size and EXACT within-cluster sum of squared (quantized) distances
+    * to the trained centroid, i.e. the k-means objective the training
+    * chain minimizes, stated as a query. The per-vector SSE is a long
+    * (≤ ~1e15 at 64 dims); the cluster sums ride DECIMAL(38,0) on the
+    * engine and HUGEINT on the oracle — exact on both, compared as
+    * strings, with the per-vector mean collapsed to double once.
+    *
+    * Scale shape: assignments are the s10 map-only argmax (no corpus
+    * shuffle); the SSE projection is a row-local `zip_with` against the
+    * broadcast literal centroid map; one 8-key aggregate ends it. The
+    * audit closes the training loop: s10 proves routing parity, s18
+    * proves the OBJECTIVE both engines reach is identical.
+    */
+  val clusterSse: QueryDef = q(
+    "s18_cluster_sse",
+    s"""WITH $oracleNorms,
+       |$oracleAssign,
+       |$oracleTrainedAssign,
+       |diffs AS (
+       |  SELECT a.cid, e.vec_id,
+       |    CAST(sum((${xiDim("e", "nc.dim")} - nc.c)
+       |             * (${xiDim("e", "nc.dim")} - nc.c)) AS BIGINT) AS vs
+       |  FROM assign2 a
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN nc ON nc.cid = a.cid
+       |  GROUP BY a.cid, e.vec_id)
+       |SELECT cid, count(*) AS n,
+       |       CAST(sum(vs) AS VARCHAR) AS sse,
+       |       CAST(CAST(sum(vs) AS VARCHAR) AS DOUBLE) / count(*) AS mean_sse
+       |FROM diffs GROUP BY cid
+       |ORDER BY cid""".stripMargin) { (s, d) =>
+    val emb = Tables.parallel(Tables.embeddings(s, d))
+    val model = ivfIndex(emb, nlist = 8, iters = 1)
+    val centMap = map(model.centroids.flatMap { case (cid, cv, _) =>
+      Seq(lit(cid), typedLit(cv))
+    }: _*)
+    val sseDec = sum(col("vs").cast("decimal(38,0)"))
+    model.assignments
+      .withColumn("cv", element_at(centMap, col("cid")))
+      .withColumn("vs", expr(
+        "aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sseDec.cast("string").as("sse"),
+        (sseDec.cast("double") / count(lit(1))).as("mean_sse"))
+      .orderBy("cid")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
       ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles,
-      ivfPqAdc, mipsTopk, retrievalMetrics)
+      ivfPqAdc, mipsTopk, retrievalMetrics, clusterSse)
 }
