@@ -636,6 +636,34 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t18 collocations: top-20 is TakeOrdered, counts stay hash") {
+    val p = plan("t18_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q59 islands: one user-partitioned window, hash run-aggregate") {
+    val p = plan("q59_islands")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("p16 interleave: epoch prefix rides TakeOrdered, not a global sort") {
+    val p = plan("p16_interleave")
+    // the corpus-wide merge order must NOT be a full sort: only the
+    // bounded 200-row prefix is ordered (TakeOrdered), and only that
+    // prefix sees the single-partition position window
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("windowspecdefinition(source"), p)
+  }
+
+  test("s18 cluster SSE: row-local zip_with, one small aggregate, no join on corpus") {
+    val p = plan("s18_cluster_sse")
+    assert(p.contains("zip_with"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus must not key-shuffle: " + p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
