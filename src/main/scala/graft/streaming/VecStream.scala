@@ -61,4 +61,26 @@ object VecStream {
   def loadIndex(spark: SparkSession, model: IvfModel, indexDir: String): IvfModel =
     model.copy(assignments = spark.read.parquet(indexDir)
       .select(col("vec_id"), col("qv"), col("sq"), col("cid").cast("long")))
+
+  /** Streaming ANN SERVING: each micro-batch of query vectors probes the
+    * frozen index ([[Similarity.ivfSearch]] — broadcast probes, the
+    * corpus never shuffles) and lands its results under a per-batch
+    * directory (idempotent under retry, the [[EventStream.ingest]]
+    * commit pattern). Search is stateless given the model, so streamed
+    * results over batches Q₁…Qₙ equal the batch search over Q₁∪…∪Qₙ
+    * row-for-row (VecStreamSpec) — the query side of the ingest loop
+    * above: vectors stream IN through ivfIngest, queries stream THROUGH
+    * here, and the model retrains offline on its own cadence.
+    */
+  def searchStream(queries: DataFrame, model: IvfModel, k: Int, nprobe: Int,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.ivfSearch(model, batch, k, nprobe)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

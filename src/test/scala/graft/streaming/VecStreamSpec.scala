@@ -89,4 +89,32 @@ class VecStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.length == 30 && ids.distinct.length == 30,
       "checkpoint must prevent re-routing already-ingested files")
   }
+
+  test("streaming query serving equals the batch search over all batches") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val model = Similarity.ivfIndex(emb, nlist = 4, iters = 2)
+    val fullModel = model.copy(assignments = Similarity.ivfAssign(model, emb))
+
+    // stage 10 query vectors as 2 arrival files
+    val qIn = tmp("vec-qin")
+    emb.filter(col("vec_id") < 5).coalesce(1).write.mode("append").parquet(qIn)
+    emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      .coalesce(1).write.mode("append").parquet(qIn)
+
+    val outDir = tmp("vec-serve") + "/out"
+    VecStream.searchStream(VecStream.vectors(spark, qIn), fullModel,
+      k = 3, nprobe = 2, outDir, tmp("vec-serve-ckpt"))
+      .awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "rn", "cid", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val streamed = rows(spark.read.parquet(outDir))
+    val batch = rows(Similarity.ivfSearch(fullModel,
+      emb.filter(col("vec_id") < 10), k = 3, nprobe = 2))
+    assert(streamed == batch,
+      "stateless serving: streamed micro-batch results must equal the " +
+        "batch search over the union of query batches")
+  }
 }
