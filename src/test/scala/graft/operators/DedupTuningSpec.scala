@@ -103,4 +103,31 @@ class DedupTuningSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")),
       "every source pair reported, including zero-overlap ones")
   }
+
+  test("overlap coefficient catches a contained sub-document Jaccard misses") {
+    import spark.implicits._
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val long = words("w", 200)
+    val sub = long.split(" ").slice(40, 80).mkString(" ") // 40 of 200 words
+    val docs = Seq(
+      (1L, long),
+      (2L, sub),
+      (3L, words("z", 50))).toDF("doc_id", "text")
+
+    val ov = Dedup.overlapPairs(docs, overlapThreshold = 0.9, dfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("overlap")).toMap
+    // doc 2's shingles are a strict subset of doc 1's → overlap = 1.0
+    assert(ov.keySet == Set((1L, 2L)), s"exactly the contained pair: $ov")
+    assert(ov((1L, 2L)) == 1.0, "strict containment scores exactly 1.0")
+
+    // the SAME pair is invisible to Jaccard at any near-dup threshold:
+    // inter/(union) = 38/198 ≈ 0.19 — below even the permissive 0.2
+    val jac = Dedup.jaccardPairs(docs, jaccardThreshold = 0.2, dfCap = 50)
+      .collect()
+    assert(jac.isEmpty,
+      "Jaccard dilutes the contained pair below threshold — the case " +
+        "d18 exists for")
+  }
 }
