@@ -251,6 +251,43 @@ object Relational4 {
       .orderBy("pri", "o_orderkey")
   }
 
+  /** q60: ordered string aggregation (LISTAGG) — per priority, the top-5
+    * order keys by price concatenated IN RANK ORDER plus their exact
+    * price sum. `collect_list` has no deterministic order, so the rank
+    * rides inside the collected struct and `array_sort` imposes the
+    * order before joining — the general recipe for deterministic list
+    * aggregation on Spark. The top-5 pre-trim keeps per-group list state
+    * bounded (WindowGroupLimit), which is what makes LISTAGG safe at
+    * scale: never aggregate an unbounded group into a string.
+    */
+  val stringAgg: QueryDef = q(
+    "q60_string_agg",
+    """WITH top5 AS (
+      |  SELECT o_orderpriority AS pri, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders QUALIFY rn <= 5)
+      |SELECT pri,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_keys,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS top_sum
+      |FROM top5 GROUP BY pri
+      |ORDER BY pri""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("pri")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("pri")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(rn, o_orderkey))), " +
+          "x -> CAST(x.o_orderkey AS STRING)), ',')").as("top_keys"),
+        sum(money(col("o_totalprice"))).cast("double").as("top_sum"))
+      .orderBy("pri")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(modeAgg, corrMatrix, ntileQuartiles, columnProfile, relativeStanding)
+    Seq(modeAgg, corrMatrix, ntileQuartiles, columnProfile, relativeStanding,
+      stringAgg)
 }
