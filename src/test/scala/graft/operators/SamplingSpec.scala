@@ -153,4 +153,28 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("k").as[Long].collect().toSet
     assert(Set(2L, 4L).subsetOf(sel), "rows with w >= step always selected")
   }
+
+  test("p16 interleave is proportional: a 2:1 source alternates 2-then-1") {
+    import spark.implicits._
+    // source A has 10 rows, source B has 5: at equal epoch progress the
+    // schedule must emit exactly two A-rows per B-row, every cycle
+    val docs = ((0 until 10).map(i => ("A", i.toLong)) ++
+      (0 until 5).map(i => ("B", 100L + i))).toDF("source", "doc_id")
+    docs.createOrReplaceTempView("p16docs")
+    val n = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val order = docs
+      .withColumn("j", row_number().over(ws))
+      .join(n, "source")
+      .withColumn("vtime", col("j").cast("double") / col("ns"))
+      .orderBy(col("vtime"), col("source"), col("doc_id"))
+      .select("source").collect().map(_.getString(0)).toSeq
+    assert(order.size == 15)
+    // every epoch-fifth contains 2 A's and 1 B; B never starves
+    order.grouped(3).foreach { cycle =>
+      assert(cycle.count(_ == "A") == 2 && cycle.count(_ == "B") == 1,
+        s"cycle $cycle breaks the 2:1 proportion")
+    }
+  }
 }
