@@ -211,6 +211,43 @@ object Dedup {
     * any setting: per-row signatures, band equi-join moving only
     * (band, id) pairs, merge hint so both sides reuse one exchange.
     */
+  /** Band planner for [[lshCandidatesTuned]]: given a signature budget and
+    * the Jaccard threshold the pipeline confirms at, pick the (bands,
+    * rows-per-band) split minimizing total expected error mass around the
+    * threshold. Candidate probability at similarity s under (b, r) is the
+    * S-curve `1 − (1 − s^r)^b`; the planner scores each divisor split by
+    * ∫₀^τ P(s) ds (false-candidate mass, paid in verification compute)
+    * plus ∫τ^1 (1 − P(s)) ds (false-negative mass, paid in recall),
+    * integrated numerically on a fixed grid — pure driver-side arithmetic,
+    * no data touched. `fnWeight` skews the trade: verification cost is
+    * usually cheap (the confirm step prunes), missed duplicates are not,
+    * so the default weights FN mass 10×. The classic rule-of-thumb
+    * τ ≈ (1/b)^(1/r) falls out: the chosen split's S-curve midpoint lands
+    * near the requested threshold (BandPlanSpec).
+    */
+  def planBanding(numSigs: Int, threshold: Double,
+      fnWeight: Double = 10.0): (Int, Int) = {
+    require(numSigs > 0 && threshold > 0 && threshold < 1,
+      s"need numSigs > 0 and threshold in (0,1), got $numSigs, $threshold")
+    val splits = (1 to numSigs).filter(numSigs % _ == 0)
+    def errorMass(b: Int): Double = {
+      val r = numSigs / b
+      val n = 1000
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (fp + fnWeight * fn) / n
+    }
+    val b = splits.minBy(errorMass)
+    (b, numSigs / b)
+  }
+
   def lshCandidatesTuned(
       doc: DataFrame, numSigs: Int, numBands: Int): DataFrame = {
     require(numSigs > 0 && numBands > 0 && numSigs % numBands == 0,

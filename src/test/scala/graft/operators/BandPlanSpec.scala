@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** [[Dedup.planBanding]]: the chosen (bands, rows) split must put the
+  * S-curve's steep region at the requested threshold, move monotonically
+  * with the threshold, and actually drive [[Dedup.lshCandidatesTuned]].
+  */
+class BandPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  override def afterAll(): Unit = spark.stop()
+
+  private def midpoint(b: Int, r: Int): Double =
+    math.pow(1.0 / b, 1.0 / r) // where P(candidate) = 1 − (1−s^r)^b ≈ ½
+
+  test("the S-curve midpoint of the chosen split lands near the threshold") {
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val (b, r) = Dedup.planBanding(64, t)
+      assert(b * r == 64)
+      val mid = midpoint(b, r)
+      // FN-weighted planning biases the curve slightly LEFT of τ (catch
+      // more), never far right of it
+      assert(mid < t + 0.05 && mid > t - 0.35,
+        s"threshold $t chose ($b, $r) with midpoint $mid")
+    }
+  }
+
+  test("higher thresholds choose fewer, wider bands (monotone r)") {
+    val rs = Seq(0.2, 0.4, 0.6, 0.8).map { t =>
+      val (_, r) = Dedup.planBanding(64, t); r
+    }
+    assert(rs == rs.sorted, s"rows-per-band must grow with threshold: $rs")
+  }
+
+  test("a planned banding is a valid lshCandidatesTuned parameterization") {
+    import spark.implicits._
+    val (b, _) = Dedup.planBanding(8, 0.5, fnWeight = 10.0)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text with no overlap whatsoever here now"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.lshCandidatesTuned(docs, numSigs = 8, numBands = b)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.contains((1L, 2L)), "exact duplicates must be candidates")
+  }
+}
