@@ -232,5 +232,78 @@ object TimeSeries {
       .orderBy("user_id", "start_h")
   }
 
-  def defs: Seq[QueryDef] = Seq(gapFill, anomalyZscore, attribution, islands)
+  /** q61: sweep-line concurrency — max CONCURRENT sessions per hour. User
+    * sessions (30-min-gap rule, q23's definition) become ±1 boundary
+    * deltas; concurrency at any instant is the prefix sum of deltas in
+    * (t, starts-first) order, and the hourly profile is the per-bucket
+    * max of that running count.
+    *
+    * The prefix sum is TWO-LEVEL (the p13 pattern): a within-hour-bucket
+    * running sum (bucket-partitioned window) plus a per-bucket offset
+    * from the totals of all PRIOR buckets — so no corpus-wide
+    * single-partition window ever exists; the only global window runs
+    * over the bucket spine (one row per hour of history, bounded by the
+    * time span, not the data volume). The oracle states the naive global
+    * running sum; integer exactness makes the two forms identical.
+    * Boundary semantics: ends are placed at s1+1 ns so a session is
+    * concurrent through its last event's instant; peer deltas collapse
+    * under the RANGE frame, so intra-instant order cannot matter.
+    */
+  val concurrency: QueryDef = q(
+    "q61_concurrency",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+      |lagged AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |              > 1800000000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t) AS sid, t
+      |  FROM lagged),
+      |bounds AS (
+      |  SELECT user_id, sid, min(t) AS s0, max(t) AS s1
+      |  FROM sess GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT s0 AS t, 1 AS d FROM bounds
+      |  UNION ALL
+      |  SELECT s1 + 1 AS t, -1 AS d FROM bounds),
+      |run AS (
+      |  SELECT t, d,
+      |    CAST(sum(d) OVER (ORDER BY t, d DESC) AS BIGINT) AS conc
+      |  FROM deltas)
+      |SELECT t // 3600000000000 AS hour_id,
+      |       CAST(max(conc) AS BIGINT) AS max_concurrent
+      |FROM run GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val wu = Window.partitionBy("user_id").orderBy("t")
+    val lagged = Tables.events(s, d).select(col("user_id"), col("ts").as("t"))
+      .withColumn("new_s",
+        when(lag(col("t"), 1).over(wu).isNull ||
+          col("t") - lag(col("t"), 1).over(wu) > 1800000000000L, 1)
+          .otherwise(0))
+    val bounds = lagged
+      .withColumn("sid", sum(col("new_s")).over(wu))
+      .groupBy("user_id", "sid")
+      .agg(min(col("t")).as("s0"), max(col("t")).as("s1"))
+    val deltas = bounds.select(col("s0").as("t"), lit(1).as("d"))
+      .unionAll(bounds.select((col("s1") + 1).as("t"), lit(-1).as("d")))
+      .withColumn("bucket", expr(s"t div $HourNs"))
+    val wb = Window.partitionBy("bucket").orderBy(col("t"), col("d").desc)
+    val run = deltas.withColumn("local", sum(col("d")).over(wb))
+    // bucket spine: one row per active hour — the ONLY global-order
+    // window, bounded by history length (the p13 two-level contract)
+    val wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val off = deltas.groupBy("bucket").agg(sum(col("d")).as("bt"))
+      .withColumn("offset", coalesce(sum(col("bt")).over(wo), lit(0L)))
+    run.join(off.select("bucket", "offset"), "bucket")
+      .groupBy(col("bucket").as("hour_id"))
+      .agg(max(col("local") + col("offset")).as("max_concurrent"))
+      .orderBy("hour_id")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(gapFill, anomalyZscore, attribution, islands, concurrency)
 }
