@@ -664,6 +664,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("q61 concurrency: the only global-order window is the bucket spine") {
+    val p = plan("q61_concurrency")
+    // within-bucket running sums partition by bucket; user sessions
+    // partition by user — exactly ONE unpartitioned window spec may
+    // exist (the per-hour offset spine, bounded by history length)
+    val unpartitioned = "windowspecdefinition\\(bucket#\\d+L ASC"
+      .r.findAllIn(p).size
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(p.contains("windowspecdefinition(bucket"), p)
+    assert(unpartitioned == 1,
+      s"expected exactly one spine window, found $unpartitioned: " + p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE prints codegen stage markers (*(n)) only in the final plan —
     // execute first, then inspect.
