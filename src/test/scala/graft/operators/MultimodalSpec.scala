@@ -169,4 +169,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Multimodal.resizeImage(media, outW, outH).collect().head
     assert(got.pixel_sum == expect && got.src_w == w && got.src_h == h)
   }
+
+  test("decodeImage is codec-agnostic: JPEG bytes ride the same pipeline") {
+    import spark.implicits._
+    // transcode the committed PNG fixture to JPEG with the JDK encoder;
+    // the decode operator must handle it UNCHANGED (ImageIO sniffs the
+    // container), with exact dimensions and lossy-but-bounded pixels
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/gradient.png").toURI))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    // JPEG has no alpha: render onto an RGB canvas first
+    val rgb = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.createGraphics().drawImage(img, 0, 0, null)
+    assert(javax.imageio.ImageIO.write(rgb, "jpg", bos), "JDK must encode JPEG")
+    val jpeg = bos.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", jpeg)).toDS()
+    val feats = Multimodal.decodeImage(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val (p, j) = (feats(1L), feats(2L))
+    assert(j.width == p.width && j.height == p.height,
+      "lossy compression must not change dimensions")
+    // per-channel-pixel mean drift under default-quality JPEG stays small
+    val perSample = math.abs(j.pixel_sum - p.pixel_sum).toDouble /
+      (3.0 * p.width * p.height)
+    assert(perSample < 3.0,
+      s"JPEG round-trip drifted $perSample per channel-sample")
+  }
 }
