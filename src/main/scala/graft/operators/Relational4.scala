@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -287,7 +287,44 @@ object Relational4 {
       .orderBy("pri")
   }
 
+  /** q62: approximate-quantile SELF-GATE (the q30 HLL pattern applied to
+    * quantile sketches): exact p25/p50/p75 of the integer quantity per
+    * flag — interpolation over small ints is exact in double on any
+    * engine — plus a boolean that EACH ENGINE'S OWN sketch
+    * (approx_percentile / approx_quantile; different algorithms, never
+    * compared to each other) landed within ±2.5 units of its own exact
+    * value. Makes the sketch row fully hash-checkable without demanding
+    * cross-engine sketch equality, and states the production contract:
+    * an approximate quantile is only usable WITH a known error bound.
+    */
+  val approxQuantiles: QueryDef = q(
+    "q62_approx_quantiles",
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  abs(approx_quantile(l_quantity, 0.25)
+      |      - quantile_cont(l_quantity, 0.25)) <= 2.5
+      |  AND abs(approx_quantile(l_quantity, 0.5)
+      |      - quantile_cont(l_quantity, 0.5)) <= 2.5
+      |  AND abs(approx_quantile(l_quantity, 0.75)
+      |      - quantile_cont(l_quantity, 0.75)) <= 2.5 AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    def ok(p: Double): Column =
+      abs(expr(s"approx_percentile(l_quantity, $p)") -
+        expr(s"percentile(l_quantity, $p)")) <= 2.5
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        (ok(0.25) && ok(0.5) && ok(0.75)).as("approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(modeAgg, corrMatrix, ntileQuartiles, columnProfile, relativeStanding,
-      stringAgg)
+      stringAgg, approxQuantiles)
 }
