@@ -75,6 +75,16 @@ object GraftFunctions {
         "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     if (missing("vec_sum"))
       spark.udf.register("vec_sum", VecAgg.vecSum)
+    // PQ kernels: codebook-as-bound-state codegen (see PqExpressions.scala)
+    if (missing("pq_encode"))
+      registry.createOrReplaceTempFunction(
+        "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+    if (missing("pq_adc_dot"))
+      registry.createOrReplaceTempFunction(
+        "pq_adc_dot", exprs => PqAdcDot(exprs(0), exprs(1), exprs(2)), "built-in")
+    if (missing("pq_recon_sq"))
+      registry.createOrReplaceTempFunction(
+        "pq_recon_sq", exprs => PqReconSq(exprs(0), exprs(1)), "built-in")
     // Spark ships Bloom-filter expressions for its runtime-filter rewrite
     // but does not expose them in the function registry; graft's
     // incremental-ingest screen (Dedup.IndexScreen) uses them as a

@@ -867,14 +867,24 @@ object Dedup {
     * signatures (`sig` with m0..m7), and LSH band keys (`bands`) — shared
     * by d03 (candidate pairs) and d11 (sketch-accuracy audit).
     */
-  private val minhashOracleCtes: String = {
-    val sigCols = (0 until SIGS).map { k =>
-      val src = if (k < 4) "h1" else "h2"
+  private def minhashOracleCtesTuned(numSigs: Int, numBands: Int): String = {
+    val nDigests = (numSigs + 3) / 4
+    // digest j of [[minhashSigsTuned]] is h{j+1} here: h1 = md5(s),
+    // h2 = md5('s:'||s) (kept verbatim so the 8-sig path is
+    // byte-identical to the original d03/d11 oracle), h{j+1} = md5('sj:'||s)
+    val digests = (0 until nDigests).map {
+      case 0 => "md5(s) AS h1"
+      case 1 => "md5('s:'||s) AS h2"
+      case j => s"md5('s$j:'||s) AS h${j + 1}"
+    }.mkString(", ")
+    val sigCols = (0 until numSigs).map { k =>
+      val src = s"h${k / 4 + 1}"
       val pos = (k % 4) * 8 + 1
       s"min(substr($src, $pos, 8)) AS m$k"
     }.mkString(", ")
-    val bandSelects = (0 until BANDS).map { b =>
-      val parts = (0 until SIGS / BANDS).map(r => s"m${b * (SIGS / BANDS) + r}")
+    val rows = numSigs / numBands
+    val bandSelects = (0 until numBands).map { b =>
+      val parts = (0 until rows).map(r => s"m${b * rows + r}")
         .mkString("||")
       s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_val FROM sig"
     }.mkString(" UNION ALL ")
@@ -883,10 +893,12 @@ object Dedup {
        |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
        |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
        |        FROM w),
-       |hs AS (SELECT doc_id, md5(s) AS h1, md5('s:'||s) AS h2 FROM tri),
+       |hs AS (SELECT doc_id, $digests FROM tri),
        |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
        |bands AS ($bandSelects)""".stripMargin
   }
+
+  private val minhashOracleCtes: String = minhashOracleCtesTuned(SIGS, BANDS)
 
   /** d03 runs the band join over DISTINCT texts (the [[collapseExact]]
     * skew armor): a boilerplate text with 10⁶ exact copies would otherwise
@@ -1084,6 +1096,39 @@ object Dedup {
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(col("doc_id"), fp.cast("long").as("simhash"))
+  }
+
+  /** The d19 pipeline's banding is NOT hand-picked: [[planBanding]]
+    * chooses it from a signature budget and the confirm threshold, and
+    * BOTH the engine pipeline and the oracle SQL are built from the
+    * planner's output — the planner drives the gated query, and the gate
+    * proves the planned banding computes what it claims. At (numSigs=12,
+    * τ=0.5, fnWeight=10) the planner lands on 6 bands × 2 rows
+    * (S-curve midpoint (1/6)^(1/2) ≈ 0.41, just under the threshold — the
+    * FN-weighted trade; BandPlanSpec pins the choice and its stability).
+    */
+  private[operators] val PlannedSigs = 12
+  private[operators] val PlannedThreshold = 0.5
+  private[operators] val (plannedBands, plannedRowsPerBand) =
+    planBanding(PlannedSigs, PlannedThreshold)
+
+  /** Planner-driven LSH candidates: [[lshCandidatesTuned]] at the
+    * [[planBanding]]-chosen banding. Same scale shape as d03 at any
+    * setting — per-row signatures, band equi-join moving only (band, id)
+    * pairs, one reused exchange for both sides.
+    */
+  val lshPlanned: QueryDef = q(
+    "d19_lsh_planned",
+    s"""WITH ${minhashOracleCtesTuned(PlannedSigs, plannedBands)}
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a
+       |JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |            AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val base = Tables.parallel(
+      Tables.documents(s, d).select("doc_id", "text"))
+    lshCandidatesTuned(base, PlannedSigs, plannedBands)
+      .orderBy("doc_a", "doc_b")
   }
 
   val simhash: QueryDef = q(
@@ -1730,5 +1775,5 @@ object Dedup {
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
       simhashPairs, simhashPairs64, contamination, minhashEstimate,
       canonicalKeep, editDistNeighborhood, sourceOverlapAudit,
-      overlapContainment)
+      overlapContainment, lshPlanned)
 }

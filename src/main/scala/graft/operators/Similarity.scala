@@ -577,6 +577,37 @@ object Similarity {
     *
     * Both shapes are plan-asserted in IvfSpec and return identical rows.
     */
+  /** Pick the candidate-join shape for an IVF-style probe relation from
+    * the PROBE side's estimated size (plan stats × nprobe fan-out — no
+    * extra job in the common case, the same signal Spark's own
+    * autoBroadcastJoinThreshold uses). Shared by [[ivfSearch]] and
+    * [[ivfPqSearch]] so the composed IVF-PQ path inherits the same
+    * 10⁸-row-probe armor: small probe sets broadcast (the corpus NEVER
+    * shuffles); larger ones hash-shuffle on the list id, bounding
+    * per-reducer state by the largest list + its probes instead of the
+    * whole probe set.
+    */
+  private def sizeGatedProbe(qs: DataFrame, probes: DataFrame, nprobe: Int,
+      maxBroadcastProbeBytes: Long): DataFrame = {
+    val qBytes = qs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probeBytes = qBytes * nprobe
+    val useBroadcast = probeBytes <= BigInt(maxBroadcastProbeBytes) || {
+      // Without CBO a Filter inherits its child's size estimate, so the
+      // common serving shape — a small query set filtered out of the large
+      // corpus scan — inherits the full scan size and would mis-route the
+      // corpus into a shuffle. The estimate is therefore trusted only when
+      // it says "small"; "large" is confirmed by measuring the probe side
+      // itself: one aggregate job over the QUERY frame (never the corpus)
+      // gives exact row count and vector width.
+      val m = qs.agg(count(lit(1)).as("n"), max(size(col("qe"))).as("dim")).head()
+      val nq = m.getLong(0)
+      val dim = if (m.isNullAt(1)) 0L else m.getInt(1).toLong
+      // 8 bytes per quantized component + ~96 bytes of row overhead
+      nq * nprobe * (8L * dim + 96L) <= maxBroadcastProbeBytes
+    }
+    if (useBroadcast) broadcast(probes) else probes.hint("shuffle_hash")
+  }
+
   def ivfSearch(model: IvfModel, queries: DataFrame, k: Int, nprobe: Int,
       maxBroadcastProbeBytes: Long = 64L << 20): DataFrame = {
     require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0 (got $k, $nprobe)")
@@ -594,25 +625,7 @@ object Similarity {
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qe"), col("q_sq"), col("pcid"))
-    val qBytes = qs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val probeBytes = qBytes * nprobe
-    val useBroadcast = probeBytes <= BigInt(maxBroadcastProbeBytes) || {
-      // Without CBO a Filter inherits its child's size estimate, so the
-      // common serving shape — a small query set filtered out of the large
-      // corpus scan — inherits the full scan size and would mis-route the
-      // corpus into a shuffle. The estimate is therefore trusted only when
-      // it says "small"; "large" is confirmed by measuring the probe side
-      // itself: one aggregate job over the QUERY frame (never the corpus)
-      // gives exact row count and vector width.
-      val m = qs.agg(count(lit(1)).as("n"), max(size(col("qe"))).as("dim")).head()
-      val nq = m.getLong(0)
-      val dim = if (m.isNullAt(1)) 0L else m.getInt(1).toLong
-      // 8 bytes per quantized component + ~96 bytes of row overhead
-      nq * nprobe * (8L * dim + 96L) <= maxBroadcastProbeBytes
-    }
-    val probeRel =
-      if (useBroadcast) broadcast(probes)
-      else probes.hint("shuffle_hash")
+    val probeRel = sizeGatedProbe(qs, probes, nprobe, maxBroadcastProbeBytes)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     model.assignments
       .join(probeRel,
@@ -1245,20 +1258,20 @@ object Similarity {
     var cbs: Array[Array[Array[Long]]] = Array.tabulate(m) { mi =>
       seedRows.map(_.getSeq[Long](1).slice(mi * dsub, (mi + 1) * dsub).toArray)
     }
-    // per-subspace argmin code against the current literal codewords;
-    // d2 is the TRUE squared L2 distance (sub·sub − 2·sub·cw + cw·cw, all
-    // exact longs), so ties resolve identically to the oracle's Σ(x−c)²
-    def codeCols: Seq[Column] = (0 until m).map { mi =>
-      val sub = slice(col("qv"), mi * dsub + 1, dsub)
-      val scored = (0 until ksub).map { ci =>
-        val cw = cbs(mi)(ci)
-        val d2 = call_function("long_dot", sub, sub) -
-          lit(2L) * call_function("long_dot", sub, typedlit(cw.toSeq)) +
-          lit(dotLongs(cw, cw))
-        struct(d2.as("d2"), lit(ci).as("cid"))
-      }
-      val best = if (scored.length == 1) scored.head else least(scored: _*)
-      best.getField("cid").as(s"code_$mi")
+    // per-subspace argmin code against the current codebooks, computed by
+    // ONE bound-state codegen'd expression (pq_encode) whose generated
+    // code is O(1) in ksub — a least(struct(d2, cid), ...) chain of ksub
+    // terms breaks Janino's 64 KB method limit at production codebook
+    // sizes (m=8, ksub=256) and silently drops the whole ADC scan to
+    // interpreted evaluation. Ties resolve to the smallest code id,
+    // identical to the full-d2 least() ordering (the sub·sub term is
+    // constant within a subspace), so the oracle's Σ(x−c)² ties agree.
+    def codeCols: Seq[Column] = {
+      val codes = call_function("pq_encode",
+        typedlit(cbs.toSeq.map(_.toSeq.map(_.toSeq))), col("qv"))
+      // subexpression elimination shares the single pq_encode eval across
+      // the m projections (ProjectExec, on by default)
+      (0 until m).map(mi => element_at(codes, mi + 1).as(s"code_$mi"))
     }
     for (_ <- 1 to iters) {
       // stack the m (code, subvector) pairs per row and sum per
@@ -1302,27 +1315,30 @@ object Similarity {
     * composition for 100 TB is IVF routing (s10) + this ADC pass inside
     * each probed list.
     */
-  /** Reconstructed squared norm of a coded row: literal-LUT lookup per
-    * subspace on the `code_mi` columns (exact — subspace codewords are
-    * orthogonal by construction).
+  /** The model's codebooks as ONE nested-array literal — a single
+    * reference object in generated code, regardless of ksub.
+    */
+  private def pqCbLit(model: PqModel): Column =
+    typedlit(model.codebooks.toSeq.map(_.toSeq.map(_.toSeq)))
+
+  /** The row's m code columns folded back into one small array. */
+  private def pqCodesArr(model: PqModel): Column =
+    array((0 until model.m).map(mi => col(s"code_$mi")): _*)
+
+  /** Reconstructed squared norm of a coded row: bound-state LUT lookup
+    * per subspace on the `code_mi` columns (exact — subspace codewords
+    * are orthogonal by construction). See [[graft.functions.PqReconSq]].
     */
   private def pqReconSq(model: PqModel): Column =
-    (0 until model.m).map { mi =>
-      val csqs: Seq[Long] = model.codebooks(mi).map(cw => dotLongs(cw, cw)).toSeq
-      element_at(typedlit(csqs), col(s"code_$mi") + 1)
-    }.reduce(_ + _)
+    call_function("pq_recon_sq", pqCbLit(model), pqCodesArr(model))
 
-  /** Asymmetric-distance dot: the query's exact subvector against the
-    * candidate's looked-up codeword, per subspace, codegen'd `long_dot`.
-    * Expects the query's quantized vector in column `qe`.
+  /** Asymmetric-distance dot: the query's exact subvectors against the
+    * candidate's looked-up codewords, one bound-state codegen'd loop
+    * ([[graft.functions.PqAdcDot]]). Expects the query's quantized
+    * vector in column `qe`.
     */
   private def pqAdot(model: PqModel): Column =
-    (0 until model.m).map { mi =>
-      val cws: Seq[Seq[Long]] = model.codebooks(mi).map(_.toSeq).toSeq
-      call_function("long_dot",
-        slice(col("qe"), mi * model.dsub + 1, model.dsub),
-        element_at(typedlit(cws), col(s"code_$mi") + 1))
-    }.reduce(_ + _)
+    call_function("pq_adc_dot", pqCbLit(model), col("qe"), pqCodesArr(model))
 
   def pqSearch(model: PqModel, queries: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"need k > 0 (got $k)")
@@ -1348,12 +1364,15 @@ object Similarity {
     * Plan: probe selection is the ivfSearch first stage (queries ×
     * broadcast centroid literals, nprobe kept per query); the corpus side
     * is codes ⋈ list assignment ONCE (vec_id equi-join); candidates come
-    * from the broadcast probe join on the list id; ADC scoring is the
-    * same literal-LUT projection as [[pqSearch]]. The corpus is never
-    * key-shuffled, and scored row count drops from n to n·nprobe/nlist.
+    * from the probe join on the list id — [[sizeGatedProbe]] picks
+    * broadcast (small probe sets; the corpus never shuffles) or a
+    * shuffled hash join on the list id (batch-probe sets a broadcast
+    * would OOM), exactly as [[ivfSearch]] does; ADC scoring is the same
+    * bound-state LUT projection as [[pqSearch]]. Scored row count drops
+    * from n to n·nprobe/nlist.
     */
   def ivfPqSearch(ivf: IvfModel, pq: PqModel, queries: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, maxBroadcastProbeBytes: Long = 64L << 20): DataFrame = {
     require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0 (got $k, $nprobe)")
     val spark = ivf.assignments.sparkSession
     import spark.implicits._
@@ -1371,8 +1390,9 @@ object Similarity {
       .select(col("qid"), col("qe"), col("q_sq"), col("pcid"))
     val listed = pq.codes
       .join(ivf.assignments.select(col("vec_id"), col("cid").as("lcid")), "vec_id")
+    val probeRel = sizeGatedProbe(qs, probes, nprobe, maxBroadcastProbeBytes)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    listed.join(broadcast(probes),
+    listed.join(probeRel,
         col("lcid") === col("pcid") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
         cosCol(pqAdot(pq), col("q_sq"), pqReconSq(pq)).as("cos"))

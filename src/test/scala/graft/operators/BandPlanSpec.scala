@@ -35,6 +35,32 @@ class BandPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rs == rs.sorted, s"rows-per-band must grow with threshold: $rs")
   }
 
+  test("d19 is DRIVEN by the planner: its banding is planBanding's output " +
+      "and both the engine pipeline and the oracle restate that choice") {
+    // the registered query's parameters come from the planner, not a
+    // hand-picked constant — recomputing the plan must reproduce them
+    val (b, r) = Dedup.planBanding(Dedup.PlannedSigs, Dedup.PlannedThreshold)
+    assert((b, r) === ((Dedup.plannedBands, Dedup.plannedRowsPerBand)))
+    assert(b * r === Dedup.PlannedSigs)
+    // the oracle SQL is BUILT from the same planner output: one band
+    // branch per planned band, each concatenating r signature slots
+    val sql = Dedup.lshPlanned.oracle.get
+    assert("AS band_idx".r.findAllIn(sql).size === b,
+      s"oracle must restate exactly $b bands:\n$sql")
+    val lastSlot = s"m${Dedup.PlannedSigs - 1}"
+    assert(sql.contains(lastSlot),
+      s"oracle must consume all ${Dedup.PlannedSigs} signature slots")
+    // and the engine pipeline at the planned banding IS the registered
+    // query (same rows on the sf0.001 corpus)
+    val d = "/root/testdata/sf0.001"
+    val viaPlanner = Dedup.lshPlanned.run(spark, d).collect().toSeq
+    val direct = Dedup.lshCandidatesTuned(
+        graft.Tables.documents(spark, d).select("doc_id", "text"),
+        Dedup.PlannedSigs, b)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(viaPlanner === direct)
+  }
+
   test("a planned banding is a valid lshCandidatesTuned parameterization") {
     import spark.implicits._
     val (b, _) = Dedup.planBanding(8, 0.5, fnWeight = 10.0)

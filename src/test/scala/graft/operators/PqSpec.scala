@@ -88,6 +88,69 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashKeys.forall(_.startsWith("qid")), s"corpus-side shuffle: $hashKeys\n$p")
   }
 
+  test("ADC whole-stage codegen survives a production codebook (m=8, ksub=256)") {
+    // the round-9 literal-LUT encode broke Janino's 64 KB method limit at
+    // this size and silently dropped the whole ADC scan to interpreted
+    // evaluation; the bound-state PqEncode/PqAdcDot/PqReconSq expressions
+    // must keep generated code O(1) in ksub. Compile every codegen stage
+    // of the search plan DIRECTLY (CodeGenerator.compile throws on Janino
+    // failure) and assert no method exceeds the huge-method fallback
+    // threshold Spark would otherwise silently interpret past.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val model = Similarity.pqIndex(emb, m = 8, ksub = 256, iters = 1)
+    assert(model.ksub === 256 && model.dsub === 8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.pqSearch(model, queries, k = 3)
+        .queryExecution.executedPlan
+      val stages = plan.collect { case w: WholeStageCodegenExec => w }
+      assert(stages.nonEmpty, plan.toString)
+      stages.foreach { w =>
+        val (_, code) = w.doCodeGen()
+        val (_, stats) = CodeGenerator.compile(code) // throws if Janino fails
+        assert(stats.maxMethodCodeSize <= 65535,
+          s"stage would silently fall back to interpreted: " +
+            s"maxMethodCodeSize=${stats.maxMethodCodeSize}")
+      }
+      info(s"compiled ${stages.size} codegen stages at m=8, ksub=256")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ADC codegen and interpreted evaluation agree at m=8, ksub=256") {
+    // pins eval() ≡ doGenCode() for the bound-state kernels on a real
+    // corpus: identical top-k under wholeStage codegen on and off
+    val model = Similarity.pqIndex(emb, m = 8, ksub = 256, iters = 1)
+    def run(): Seq[(Long, Int, Long, Double)] =
+      Similarity.pqSearch(model, queries, k = 5).orderBy("qid", "rn")
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = try run()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withCodegen === interpreted)
+    assert(withCodegen.nonEmpty)
+  }
+
+  test("ivfPqSearch probe fallback: broadcast when small, shuffled hash " +
+      "join on the list id when the probe side would OOM a broadcast") {
+    val ivf = Similarity.ivfIndex(emb, nlist = 4, iters = 1)
+    val pq = Similarity.pqIndex(emb, m = 4, ksub = 4, iters = 1)
+    val small = Similarity.ivfPqSearch(ivf, pq, queries, k = 3, nprobe = 2)
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastExchange"), smallPlan)
+    // forcing the gate shut must flip the candidate join to shuffled-hash
+    // (the 10⁸-row batch-probe shape) without changing a single row
+    val big = Similarity.ivfPqSearch(ivf, pq, queries, k = 3, nprobe = 2,
+      maxBroadcastProbeBytes = 0L)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("ShuffledHashJoin"), bigPlan)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(big) === rows(small))
+  }
+
   test("ivfPqSearch with nprobe = nlist degrades to exhaustive pqSearch") {
     val ivf = Similarity.ivfIndex(emb, nlist = 4, iters = 1)
     val pq = Similarity.pqIndex(emb, m = 4, ksub = 4, iters = 1)
