@@ -193,7 +193,7 @@ object Relational4 {
       // buffered aggregate function in the main pass forces the whole
       // multi-distinct dedup aggregate (keyed on all profiled columns +
       // gid) to SortAggregate — a 6-column sort of the Expand output,
-      // measured 7.8 s -> 1.6 s at sf0.1 from this split. The keyless
+      // measured 7.8 s -> 4.6 s at sf0.1 from this split (suite-context; BASELINE.md). The keyless
       // side pass has no grouping key, so its SortAggregate needs no sort
       // at all, and the 1-row result broadcast-joins back.
       val aggs = count(lit(1)).as("n") +:

@@ -248,6 +248,16 @@ object TimeSeries {
     * Boundary semantics: ends are placed at s1+1 ns so a session is
     * concurrent through its last event's instant; peer deltas collapse
     * under the RANGE frame, so intra-instant order cannot matter.
+    *
+    * DELTA-POINT semantics (the reported contract, stated identically by
+    * the oracle): a row appears only for hours containing a session
+    * boundary, and its max is taken over the delta instants — an hour
+    * fully spanned by open sessions with no boundary emits no row (its
+    * level is the running offset, recoverable from the spine), and an
+    * hour whose first delta is a −1 reports from that delta's level, not
+    * the carried-in peak. Consumers wanting a dense per-hour level curve
+    * join the hour spine against the cumulative offsets — one extra
+    * spine-sized pass, no new corpus scan.
     */
   val concurrency: QueryDef = q(
     "q61_concurrency",

@@ -61,7 +61,11 @@ object JsonlDocs {
     raw.groupBy(input_file_name().as("file"))
       .agg(
         count(lit(1)).as("n_lines"),
-        count(when(col("_corrupt_record").isNull,
+        // n_ok counts rows [[clean]] actually keeps — parseable AND
+        // carrying the required id/text (a structurally-valid `{}` line
+        // is parseable but rejected, and must not inflate n_ok)
+        count(when(col("_corrupt_record").isNull &&
+          col("doc_id").isNotNull && col("text").isNotNull,
           coalesce(col("doc_id"), lit(0L)))).as("n_ok"))
       .select(col("file"), col("n_ok"),
         (col("n_lines") - col("n_ok")).as("n_corrupt"))

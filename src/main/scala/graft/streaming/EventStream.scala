@@ -205,6 +205,16 @@ object EventStream {
     * sorted by (ts, event_id), idle users' moments drop after the TTL (a
     * re-appearing user restarts cold — bounded state is the 100 TB
     * contract, a forever-moment registry is the failure mode).
+    *
+    * PREFIX-BY-ARRIVAL contract for cross-trigger late data: "prior"
+    * means prior IN ARRIVAL ORDER. An in-watermark event arriving a
+    * trigger late is scored against moments that already include
+    * later-timestamped events — the stream ≡ batch(ts-order) identity is
+    * exact only when arrival order respects timestamp order (the common
+    * log-shipping case; EventStreamSpec pins BOTH the in-order identity
+    * and the out-of-order arrival-order semantics). Buffering up to the
+    * watermark before folding would recover ts-order at the cost of a
+    * per-user buffer; this operator chooses 3-long state.
     */
   def anomalies(events: Dataset[Ev]): Dataset[Anomaly] = {
     import events.sparkSession.implicits._
@@ -220,7 +230,12 @@ object EventStream {
         var (lastTs, n, sx, sxx) = state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
         val out = Seq.newBuilder[Anomaly]
         batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-          val c = math.round(e.value * 100)
+          // the batch side quantizes through CAST(value AS DECIMAL(12,2)):
+          // HALF_UP on the double's shortest decimal form, away from zero.
+          // math.round would differ on negative half-cent values
+          // (-0.125 → -12 vs -13), so mirror the cast exactly
+          val c = (BigDecimal(e.value)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
           if (n >= 2) {
             // the SAME double tree the batch prefix-window query builds:
             // every operand enters as an exact integer, divisions are the
@@ -231,7 +246,14 @@ object EventStream {
               if (math.abs(z) > 3) out += Anomaly(userId, e.event_id, c, z)
             }
           }
-          n += 1; sx += c; sxx += c * c; lastTs = e.ts
+          // addExact/multiplyExact: c² reaches 1e20 for DECIMAL(12,2)-range
+          // values — past Long at ~3e9 cents. Overflow must fail loudly
+          // (wrong z-scores silently otherwise); production ranges needing
+          // more headroom should widen to two-long / BigInt accumulation
+          n += 1
+          sx = Math.addExact(sx, c)
+          sxx = Math.addExact(sxx, Math.multiplyExact(c, c))
+          lastTs = e.ts
         }
         state.update((lastTs, n, sx, sxx))
         state.setTimeoutTimestamp(
@@ -247,6 +269,141 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** One ±1 session-boundary delta, emitted when a session CLOSES: +1 at
+    * the session's first event, −1 at one nanosecond past its last (the
+    * q61 convention — a session is concurrent through its last instant).
+    */
+  final case class SessionDelta(t: Long, d: Int)
+
+  /** Per-hour concurrency components under the TWO-LEVEL contract: the
+    * bucket's final profile is `local_max + Σ bucket_total of all PRIOR
+    * buckets` — the same offset stitching the batch q61 uses, done by the
+    * consumer over the (tiny, one-row-per-hour) emitted spine.
+    */
+  final case class HourConc(bucket: Long, local_max: Long, bucket_total: Long,
+    n_deltas: Long)
+
+  /** [[SessionDelta]] plus its hour bucket and the derived event-time
+    * column the stage-2 watermark rides on.
+    */
+  final case class DeltaT(t: Long, d: Int, bucket: Long,
+    et: java.sql.Timestamp)
+
+  val HourNs: Long = 3600L * 1000000000L
+
+  /** Stage 1 of the streaming q61 twin: gap-based sessions (the 30-min
+    * rule of [[sessionize]]) emitted as ±1 boundary deltas WHEN THE
+    * SESSION CLOSES — either an in-order event opens the next session, or
+    * event-time TTL eviction closes a trailing one. A session's end moves
+    * while it is open, so close-time is the earliest a stream can emit
+    * its −1 truthfully; the TTL (≥ the gap, with the watermark filtering
+    * anything older) guarantees eviction can never split a session a
+    * later event would have extended — closure is exact, not lossy.
+    * Sequencing contract matches [[anomalies]]: per-arrival-order across
+    * triggers, (ts, event_id)-sorted within a trigger.
+    *
+    * Scale shape: state per user is TWO LONGS (open session's start +
+    * last event); emitted deltas are one pair per session, a tiny
+    * fraction of event volume. The composition point with [[concurrency]]
+    * is an intermediate sink (e.g. [[ingest]]'s idempotent parquet dirs
+    * or a topic) — two chained stateful queries, each with bounded state,
+    * rather than one multi-stateful-operator query whose FMGWS chaining
+    * Structured Streaming restricts.
+    */
+  def sessionDeltas(events: Dataset[Ev]): Dataset[SessionDelta] = {
+    import events.sparkSession.implicits._
+    val ttlMs = StateTtlMs
+    val gapNs = SessionGapNs
+
+    def update(
+        userId: Long, batch: Iterator[EvT],
+        state: GroupState[(Long, Long)]): Iterator[SessionDelta] = {
+      if (state.hasTimedOut) {
+        val (s0, s1) = state.get
+        state.remove()
+        Iterator(SessionDelta(s0, 1), SessionDelta(s1 + 1, -1))
+      } else {
+        var open = state.getOption // (s0, lastTs) of the open session
+        val out = Seq.newBuilder[SessionDelta]
+        batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          open match {
+            case Some((s0, s1)) if e.ts - s1 > gapNs =>
+              out += SessionDelta(s0, 1) += SessionDelta(s1 + 1, -1)
+              open = Some((e.ts, e.ts))
+            case Some((s0, _)) => open = Some((s0, math.max(open.get._2, e.ts)))
+            case None => open = Some((e.ts, e.ts))
+          }
+        }
+        val (s0, s1) = open.get
+        state.update((s0, s1))
+        state.setTimeoutTimestamp(
+          math.max(s1 / 1000000L + ttlMs, state.getCurrentWatermarkMs() + 1))
+        out.result().iterator
+      }
+    }
+
+    events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("et", "2 hours")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Stage 2 of the streaming q61 twin: the sweep-line profile as per-HOUR
+    * keyed state. Each bucket's state is its delta list so far (bounded by
+    * sessions touching that hour — per-bucket volume, never corpus
+    * volume); every trigger re-sorts the bucket's deltas in the batch
+    * order (t, starts-first) and emits the updated (local_max,
+    * bucket_total) pair in Update mode. The consumer stitches final
+    * values over the hour spine: `conc(b) = local_max(b) + Σ_{b'<b}
+    * bucket_total(b')` — exactly the batch q61 two-level prefix sum, so
+    * stream ≡ batch is an integer identity (spec-pinned, including a
+    * mid-hour trigger cut). Buckets evict once the watermark passes their
+    * end + TTL: by then no in-watermark delta can land in them, the
+    * emitted pair is final, and state stays bounded by the TTL horizon.
+    *
+    * Delta-point semantics (same as batch q61): only hours containing a
+    * session boundary emit a row; fully-spanned quiet hours inherit the
+    * prior spine level at stitch time.
+    */
+  def concurrency(deltas: Dataset[SessionDelta]): Dataset[HourConc] = {
+    import deltas.sparkSession.implicits._
+    val ttlMs = StateTtlMs
+    val hourNs = HourNs
+
+    def update(
+        bucket: Long, batch: Iterator[DeltaT],
+        state: GroupState[Seq[(Long, Int)]]): Iterator[HourConc] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val all = (state.getOption.getOrElse(Seq.empty) ++
+          batch.map(x => (x.t, x.d))).sortBy { case (t, d) => (t, -d) }
+        state.update(all)
+        var run = 0L; var mx = Long.MinValue
+        all.foreach { case (_, d) => run += d; if (run > mx) mx = run }
+        val bucketEndMs = (bucket + 1) * (hourNs / 1000000L)
+        state.setTimeoutTimestamp(
+          math.max(bucketEndMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+        // n_deltas is the update sequence: a bucket's row with the most
+        // deltas folded in supersedes earlier Update-mode emissions
+        Iterator.single(HourConc(bucket, mx, run, all.length.toLong))
+      }
+    }
+
+    deltas
+      .withColumn("bucket", expr(s"t div $hourNs"))
+      .withColumn("et", timestamp_micros(expr("t div 1000")))
+      .withWatermark("et", "2 hours")
+      .as[DeltaT]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Streaming exact dedup: drops events whose `event_id` was already seen,

@@ -19,7 +19,10 @@ class JsonlDocsSpec extends AnyFunSuite with BeforeAndAfterAll {
     """{"doc_id": 3, "text": "delta epsilon zeta", "lang": "en", "source": "s0", "n_chars": 18}""")
   private val badLines = Seq(
     """{"doc_id": 4, "text": "unterminated""",
-    """not json at all""")
+    """not json at all""",
+    // parseable JSON but missing the required id/text: clean() rejects
+    // it, so audit's n_ok must not count it (r9 advice fix)
+    """{"lang": "xx"}""")
 
   private def stage(): (String, String) = {
     val d = Files.createTempDirectory(Paths.get("target"), "jsonl")
@@ -43,7 +46,8 @@ class JsonlDocsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byFile = a.map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
     val plain = byFile.collectFirst { case (f, v) if f.endsWith(".jsonl") => v }.get
     val gzip = byFile.collectFirst { case (f, v) if f.endsWith(".gz") => v }.get
-    assert(plain == ((3L, 2L)), s"plain file: $plain")
+    assert(plain == ((3L, 3L)),
+      s"plain file (the schema-valid-but-empty line counts corrupt): $plain")
     assert(gzip == ((3L, 0L)), s"gzip member decodes transparently: $gzip")
   }
 

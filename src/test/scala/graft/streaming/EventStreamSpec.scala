@@ -313,6 +313,141 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming session deltas + hourly sweep state reproduce the " +
+      "batch q61 concurrency profile (two-level offset stitching)") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev].collect().toSeq.sortBy(e => (e.ts, e.event_id))
+    val maxTs = evs.map(_.ts).max
+    // sentinel user advances the watermark far enough that TTL eviction
+    // closes every real user's trailing session (its own session never
+    // closes and never emits)
+    def sentinel(i: Long) = EventStream.Ev(
+      -i, maxTs + (10L * 3600 + i) * 1000000000L, -1L, "flush", 0.0)
+    val cut = evs.length / 2
+    val in1 =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    val q1 = EventStream.sessionDeltas(in1.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_deltas").start()
+    in1.addData(evs.take(cut)); q1.processAllAvailable()
+    in1.addData(evs.drop(cut)); q1.processAllAvailable()
+    in1.addData(Seq(sentinel(1))); q1.processAllAvailable()
+    in1.addData(Seq(sentinel(2))); q1.processAllAvailable()
+    q1.stop()
+    val deltas = spark.table("sess_deltas")
+      .collect().map(r => EventStream.SessionDelta(r.getLong(0), r.getInt(1)))
+      .toSeq
+
+    // the stream's closed-session deltas are EXACTLY the batch bounds'
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t")
+    val lagged = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").as("t"))
+      .withColumn("new_s", when(lag(col("t"), 1).over(wu).isNull ||
+        col("t") - lag(col("t"), 1).over(wu) > 1800000000000L, 1).otherwise(0))
+    val bounds = lagged.withColumn("sid", sum(col("new_s")).over(wu))
+      .groupBy("user_id", "sid")
+      .agg(min(col("t")).as("s0"), max(col("t")).as("s1"))
+    val batchDeltas = bounds.select(col("s0").as("t"), lit(1).as("d"))
+      .unionAll(bounds.select((col("s1") + 1).as("t"), lit(-1).as("d")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(deltas.map(d => (d.t, d.d)).sorted === batchDeltas)
+
+    // stage 2 across a trigger cut: per-bucket sweep state, then the
+    // consumer-side spine stitch
+    val in2 =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.SessionDelta](
+        spark)
+    val q2 = EventStream.concurrency(in2.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("conc").start()
+    val dcut = deltas.length / 2
+    in2.addData(deltas.take(dcut)); q2.processAllAvailable()
+    in2.addData(deltas.drop(dcut)); q2.processAllAvailable()
+    q2.stop()
+    // final emission per bucket = the one with the most deltas folded in
+    val finals = spark.table("conc").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (b, rows) => (b, rows.map(_._2).maxBy(_._3)) }
+    val stitched = finals.toSeq.sortBy(_._1)
+      .foldLeft((0L, Vector.empty[(Long, Long)])) {
+        case ((offset, acc), (b, (localMax, total, _))) =>
+          (offset + total, acc :+ (b, localMax + offset))
+      }._2.toMap
+
+    val batchQ61 = graft.operators.TimeSeries.concurrency.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batchQ61.nonEmpty)
+    assert(stitched === batchQ61)
+  }
+
+  test("anomalies pin the HALF_UP cents quantization (negative half-cent)") {
+    import spark.implicits._
+    def ev(id: Long, minute: Long, v: Double) =
+      EventStream.Ev(id, (3600L + minute * 60L) * 1000000000L, 7L, "click", v)
+    // two low-variance priors, then a -0.125 outlier: DECIMAL(12,2)
+    // HALF_UP rounds away from zero → -13 cents (math.round gives -12)
+    val evs = Seq(ev(1, 0, 10.00), ev(2, 1, 10.02), ev(3, 2, -0.125))
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    input.addData(evs)
+    val q = EventStream.anomalies(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("halfup").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("halfup").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("cents"),
+        r.getAs[Double]("z"))).toSet
+    assert(got.map(_._1) === Set(3L))
+    assert(got.head._2 === -13L, s"HALF_UP must give -13 cents: $got")
+    val batch = batchPrefixAnomalies(evs.toDF())
+    assert(got.map(t => (t._1, t._2)) === batch.map(t => (t._2, t._3)))
+  }
+
+  test("anomalies score cross-trigger late data by ARRIVAL order " +
+      "(the documented prefix-by-arrival contract)") {
+    import spark.implicits._
+    def ev(id: Long, minute: Long, v: Double) =
+      EventStream.Ev(id, (3600L + minute * 60L) * 1000000000L, 5L, "click", v)
+    // trigger 1: minutes 0,1,2,4,5 (minute 3 missing); trigger 2 delivers
+    // the minute-3 outlier LATE but inside the 2 h watermark
+    val quiet = Seq(ev(1, 0, 10.11), ev(2, 1, 10.15), ev(3, 2, 10.09),
+      ev(5, 4, 10.13), ev(6, 5, 10.10))
+    val late = ev(4, 3, 99.99)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    input.addData(quiet)
+    val q = EventStream.anomalies(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("latearrival").start()
+    q.processAllAvailable()
+    input.addData(Seq(late))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("latearrival").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("z"))).toSet
+    // expected: scored against ALL FIVE earlier-arriving events (arrival
+    // order), not the three that precede it in timestamp order
+    def zAgainst(priors: Seq[Double], v: Double): Double = {
+      val cs = priors.map(p =>
+        (BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+      val c = (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+      val n = cs.length; val sx = cs.sum; val sxx = cs.map(x => x * x).sum
+      val vv = (sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1)
+      (c.toDouble - sx.toDouble / n) / math.sqrt(vv)
+    }
+    val zArrival = zAgainst(Seq(10.11, 10.15, 10.09, 10.13, 10.10), 99.99)
+    val zTsOrder = zAgainst(Seq(10.11, 10.15, 10.09), 99.99)
+    assert(got === Set((4L, zArrival)))
+    assert(zArrival !== zTsOrder, "fixture must distinguish the contracts")
+  }
+
   test("anomaly moments stitch exactly across micro-batches") {
     import spark.implicits._
     // two users, all events inside one hour (no TTL eviction possible),
