@@ -43,10 +43,35 @@ object Bench {
     // A failed pass records +Infinity so min() prefers the pass that
     // actually completed (a fast time-to-throw must not masquerade as a
     // fast run); both passes failing reports -1.
+    // Suite-context diagnostics (r9 verdict item 7 — heavy queries read
+    // ~35% slower inside the 138-query suite than standalone at equal
+    // canary): SPARK_GRAFT_GC_STATS=1 records per-query GC wall-clock
+    // into the full JSON; SPARK_GRAFT_GC_BETWEEN=1 forces a full GC
+    // before each timed query (the A/B that isolates heap-pressure
+    // carryover from plan cost). Both off in graded runs.
+    val gcStatsOn = sys.env.contains("SPARK_GRAFT_GC_STATS")
+    val gcBetween = sys.env.contains("SPARK_GRAFT_GC_BETWEEN")
+    def gcTimeMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val gcMs = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val jitMs = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    def jitTimeMs(): Long =
+      java.lang.management.ManagementFactory.getCompilationMXBean
+        .getTotalCompilationTime
     def pass(): Map[String, Double] = queries.map { case (name, fn) =>
+      if (gcBetween) System.gc()
+      val g0 = if (gcStatsOn) gcTimeMs() else 0L
+      val j0 = if (gcStatsOn) jitTimeMs() else 0L
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
+      if (gcStatsOn) {
+        gcMs(name) = gcMs(name) + (gcTimeMs() - g0)
+        jitMs(name) = jitMs(name) + (jitTimeMs() - j0)
+      }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
     // In-run LOAD CANARY (graft.LoadCanary): measured immediately before
@@ -90,8 +115,15 @@ object Bench {
     // tail can truncate mid-object, a file write cannot.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gcJson =
+      if (gcStatsOn)
+        gcMs.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","gc_ms":{""", ",", "}") +
+          jitMs.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString(""","jit_ms":{""", ",", "}")
+      else ""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_ratio":$canaryRatio,"canary_ref_sec":${LoadCanary.referenceSec},"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_ratio":$canaryRatio,"canary_ref_sec":${LoadCanary.referenceSec},"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"queries":$fullQs$gcJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }

@@ -77,6 +77,18 @@ object EngineSession {
       // without it (eligibility of the engine's unhinted fact-join shape
       // is asserted in PlanQualitySpec with the thresholds dropped).
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // Generated-class cache sized for the catalog, not Spark's default
+      // 100 entries: a session cycling through the 139-query catalog
+      // holds ~700 codegen units, so at the default every pass re-pays
+      // Janino compilation + JIT warm-up for evicted classes — measured
+      // as the r9 "in-suite vs standalone" gap (full-suite sf0.1 bench
+      // 79.9 s -> 54.0 s, d14 3.2 s -> 1.7 s, from this one conf; 97 s
+      // of JIT-compiler time during timed passes -> 59 s). The same
+      // thrash hits any production session serving a wide query mix;
+      // entries are compiled-class handles, so the memory cost is small
+      // relative to executor heaps. Static conf — must be set before the
+      // first session builds.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   def local(cores: String = defaultCores): SparkSession = {
     val s = builder(cores).getOrCreate()
@@ -97,4 +109,6 @@ object EngineSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // catalog-sized codegen class cache (see builder() for the numbers)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
 }

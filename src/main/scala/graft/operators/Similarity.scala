@@ -197,8 +197,17 @@ object Similarity {
     * toward the smaller centroid id (negated id in the struct ordering).
     * Shared by s03 (IVF probe lists) and s06 (SemDeDup clusters).
     */
-  private def seededAssign(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") < 8)
+  private def seededAssign(e: DataFrame): DataFrame =
+    seededAssignFrom(e, e)
+
+  /** [[seededAssign]] with the centroid source decoupled from the
+    * assigned frame: `centSrc` supplies the model (vec_id < 8 — the
+    * SHARED index), `e` is the frame each of whose rows gets its nearest
+    * centroid. The split is what lets s19 assign a FILTERED corpus
+    * against the unfiltered index.
+    */
+  private def seededAssignFrom(centSrc: DataFrame, e: DataFrame): DataFrame = {
+    val cents = centSrc.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("qv"), col("sq")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1)
@@ -260,6 +269,80 @@ object Similarity {
        |ORDER BY qid, rn""".stripMargin) { (s, d) =>
     val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
     val assigned = seededAssign(e)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("pcid"), col("qv").as("cv"), col("sq").as("c_sq"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("pcid"))
+    val probes = qs.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qe"), col("q_sq"), col("pcid"),
+        cosCol(expr(dotRawSql("qe", "cv")), col("q_sq"), col("c_sq")).as("pcos"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= 2)
+      .select(col("qid"), col("qe"), col("q_sq"), col("pcid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    assigned
+      .join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosCol(expr(dotRawSql("qe", "qv")), col("q_sq"), col("sq")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "rn", "cid", "cos")
+      .orderBy("qid", "rn")
+  }
+
+  /** s19: METADATA-FILTERED ANN — the production retrieval shape every
+    * vector store ships (search restricted to candidates satisfying a
+    * structured predicate, here `label < 2`) composed with the s03
+    * IVF routing chain against the SHARED unfiltered index.
+    *
+    * The scale decision is WHERE the filter runs: pre-filter (restrict
+    * the corpus before routing) vs post-filter (search, then discard).
+    * Post-filtering an ANN loses recall (the top-k may contain zero
+    * qualifying rows); pre-filtering is exact-under-routing and, because
+    * nearest-centroid assignment is a PER-ROW map, filtering before or
+    * after assignment returns identical candidates — so the filter can
+    * ride the parquet scan (PushedFilters, plan-asserted in
+    * PlanQualitySpec) and only surviving rows pay quantization, the
+    * centroid argmax, and the probe join. The oracle states the
+    * equivalent post-assignment filter; integer exactness makes the two
+    * placements hash-identical.
+    */
+  val annFiltered: QueryDef = q(
+    "s19_ann_filtered",
+    s"""WITH $oracleNorms,
+       |$oracleAssign,
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT vec_id AS qid, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM ascore WHERE vec_id < 10) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN embeddings fe ON fe.vec_id = a.vec_id AND fe.label < 2),
+       |cdots AS (
+       |  SELECT cand.qid, cand.cid,
+       |    CAST(sum(${xiSql("a")} * ${xiSql("b")}) AS BIGINT) AS dot
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+       |            JOIN embeddings b ON b.vec_id = cand.cid, j
+       |  GROUP BY cand.qid, cand.cid),
+       |scored AS (
+       |  SELECT qid, cid, $oracleCos AS cos
+       |  FROM cdots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid)
+       |SELECT qid, rn, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
+    // corpus side: the predicate applied at the SCAN (pushdown-eligible),
+    // before quantization and assignment — the pre-filter plan shape
+    val fe = withQuant(Tables.parallel(
+      Tables.embeddings(s, d).filter(col("label") < 2)))
+    val assigned = seededAssignFrom(e, fe)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("pcid"), col("qv").as("cv"), col("sq").as("c_sq"))
     val qs = e.filter(col("vec_id") < 10)
@@ -1888,5 +1971,5 @@ object Similarity {
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
       ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles,
-      ivfPqAdc, mipsTopk, retrievalMetrics, clusterSse)
+      ivfPqAdc, mipsTopk, retrievalMetrics, clusterSse, annFiltered)
 }

@@ -622,6 +622,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("user_id"), p)
   }
 
+  test("s19 filtered ANN: the metadata predicate reaches the parquet scan " +
+      "(pre-filter, not post-filter)") {
+    val p = plan("s19_ann_filtered")
+    // the label predicate must be PUSHED — only qualifying rows pay
+    // quantization, the centroid argmax, and the probe join
+    assert(p.contains("LessThan(label,2)"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the only nested-loop is the intentional 8-row centroid crossJoin
+    // (probe selection, same as s03); the corpus-side candidate join must
+    // stay an equi-join
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s16 MIPS: corpus never shuffles; max-norm and queries broadcast") {
     val p = plan("s16_mips_topk")
     assert(p.contains("BroadcastExchange"), p)
