@@ -126,6 +126,33 @@ object EventStream {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Spark's NATIVE session windows (`session_window` aggregate) over the
+    * event stream — the built-in counterpart to the custom-state
+    * [[sessionize]]/[[sessionDeltas]] pair, with the same 30-minute gap
+    * rule. Returns one FINAL row per closed session (Append mode: a
+    * session emits once the watermark passes its end + gap), carrying the
+    * session bounds in event-time micros and the event count.
+    *
+    * Why both exist: `session_window` is the right default — state
+    * management, merging of overlapping partial sessions, and watermark
+    * eviction are the engine's problem, and the aggregation is
+    * merge-order-free — while the FMGWS twins exist for semantics the
+    * built-in cannot express (emitting ±1 boundary deltas mid-session,
+    * running per-session counters, the q61 composition). The spec pins
+    * this against the batch gap-rule sessionization: same session count,
+    * same bounds, same per-session event counts.
+    */
+  def sessionWindows(events: Dataset[Ev]): DataFrame =
+    events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("et", "2 hours")
+      .groupBy(col("user_id"), session_window(col("et"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s0_us"),
+        unix_micros(col("session_window.end")).as("s1_us"),
+        col("n_events"))
+
   /** One emitted behavioral transition (the streaming form of the batch
     * q42 matrix cell contribution).
     */

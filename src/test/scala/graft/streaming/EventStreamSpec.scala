@@ -384,6 +384,54 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stitched === batchQ61)
   }
 
+  test("built-in session_window aggregate matches the batch gap-rule " +
+      "sessionization (bounds + event counts)") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev].collect().toSeq.sortBy(e => (e.ts, e.event_id))
+    val maxTs = evs.map(_.ts).max
+    def sentinel(i: Long) = EventStream.Ev(
+      -i, maxTs + (10L * 3600 + i) * 1000000000L, -1L, "flush", 0.0)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    val q = EventStream.sessionWindows(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("native_sess").start()
+    val cut = evs.length / 2
+    input.addData(evs.take(cut)); q.processAllAvailable()
+    input.addData(evs.drop(cut)); q.processAllAvailable()
+    input.addData(Seq(sentinel(1))); q.processAllAvailable()
+    input.addData(Seq(sentinel(2))); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("native_sess")
+      .filter(col("user_id") >= 0) // the sentinel's own session never closes
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // batch reference: gap-rule sessions; session_window's end is
+    // last-event time + the 30-minute gap
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t")
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").as("t"))
+      .withColumn("new_s", when(lag(col("t"), 1).over(wu).isNull ||
+        col("t") - lag(col("t"), 1).over(wu) > 1800000000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wu))
+      .groupBy("user_id", "sid")
+      .agg(min(col("t")).as("s0"), max(col("t")).as("s1"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), expr("s0 div 1000").as("s0_us"),
+        expr("s1 div 1000 + 1800000000").as("s1_us"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("anomalies pin the HALF_UP cents quantization (negative half-cent)") {
     import spark.implicits._
     def ev(id: Long, minute: Long, v: Double) =
