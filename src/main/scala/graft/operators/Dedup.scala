@@ -162,6 +162,31 @@ object Dedup {
     * `doc_id` yields corpus-level per-source signatures in one pass —
     * the d16 cross-source overlap estimator rides this.
     */
+  /** MinHash signatures from ANY (key, s) shingle relation — the digest +
+    * min-aggregate stage shared by the word-trigram pipeline
+    * ([[minhashSigsKeyed]]) and the char-5-gram one (d20). Duplicate
+    * shingle rows are welcome (min() is idempotent to them), which lets
+    * extractors skip per-doc distinctness.
+    */
+  private def sigsFromShingles(
+      shingled: DataFrame, numSigs: Int, key: String): DataFrame = {
+    val nDigests = (numSigs + 3) / 4
+    val digests = (0 until nDigests).map {
+      case 0 => md5(col("s")).as("h0")
+      case 1 => md5(concat(lit("s:"), col("s"))).as("h1")
+      case j => md5(concat(lit(s"s$j:"), col("s"))).as(s"h$j")
+    }
+    val hashed = shingled.select(col(key) +: digests: _*)
+    val aggs = (0 until numSigs).map { k =>
+      val src = s"h${k / 4}"
+      val pos = (k % 4) * 8 + 1
+      min(expr(s"cast(conv(substr($src, $pos, 8), 16, 10) as bigint)")).as(s"ml$k")
+    }
+    hashed.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: (0 until numSigs).map(k =>
+        expr(s"lpad(lower(conv(ml$k, 10, 16)), 8, '0')").as(s"m$k")): _*)
+  }
+
   private[operators] def minhashSigsKeyed(
       doc: DataFrame, numSigs: Int, key: String): DataFrame = {
     // double-md5 per shingle is CPU-dense enough that scan parallelism
@@ -174,28 +199,27 @@ object Dedup {
     // via explode(sequence) + a plain concat projection keeps the whole
     // row codegen'd where a transform lambda evaluates interpreted
     // (measured faster despite emitting duplicate shingle rows)
-    val nDigests = (numSigs + 3) / 4
     val tri = doc
       .withColumn("ws", split(col("text"), " "))
       .select(col(key), col("ws"), explode(expr(
         "if(size(ws) < 3, array(), sequence(1, size(ws)-2))")).as("i"))
       .select(col(key),
         expr("concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])").as("s"))
-    val digests = (0 until nDigests).map {
-      case 0 => md5(col("s")).as("h0")
-      case 1 => md5(concat(lit("s:"), col("s"))).as("h1")
-      case j => md5(concat(lit(s"s$j:"), col("s"))).as(s"h$j")
-    }
-    val hashed = tri.select(col(key) +: digests: _*)
-    val aggs = (0 until numSigs).map { k =>
-      val src = s"h${k / 4}"
-      val pos = (k % 4) * 8 + 1
-      min(expr(s"cast(conv(substr($src, $pos, 8), 16, 10) as bigint)")).as(s"ml$k")
-    }
-    hashed.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
-      .select(col(key) +: (0 until numSigs).map(k =>
-        expr(s"lpad(lower(conv(ml$k, 10, 16)), 8, '0')").as(s"m$k")): _*)
+    sigsFromShingles(tri, numSigs, key)
   }
+
+  /** Character 5-gram shingles: (doc_id, s) for every overlapping 5-char
+    * window of `text`. The tokenization-free dual of the word-trigram
+    * extractor — whitespace/punctuation mangling that breaks word
+    * shingles leaves most char windows intact, so char-gram LSH (d20)
+    * catches the near-dups a retokenized copy hides from d03. Pure
+    * row-local map, duplicate windows allowed (min() idempotence).
+    */
+  private def charShingles(doc: DataFrame): DataFrame =
+    doc
+      .select(col("doc_id"), col("text"), explode(expr(
+        "if(length(text) < 5, array(), sequence(1, length(text)-4))")).as("i"))
+      .select(col("doc_id"), expr("substr(text, i, 5)").as("s"))
 
   /** LSH candidate pairs (doc_a < doc_b) from the band equi-join. */
   private[operators] def lshCandidates(doc: DataFrame): DataFrame =
@@ -1131,6 +1155,66 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d20: MinHash+LSH near-dup candidates over CHARACTER 5-gram shingles
+    * — the tokenization-free sibling of d03. Word shingles break when a
+    * copy is re-wrapped, re-punctuated, or differently tokenized (every
+    * trigram containing a changed boundary differs); char windows
+    * degrade smoothly under the same edits, so this lane catches the
+    * mangled-copy near-dups d03's lexical lane misses. Production dedup
+    * runs both lanes and unions candidates before the confirm step.
+    * Same scale shape as d03 at char density: per-row signatures (8
+    * slices of two md5s per window), band equi-join moving only
+    * (band, id) pairs, merge hint reusing one exchange. Doc-level like
+    * d11 (its oracle states doc-level); a skewed corpus feeds this the
+    * [[collapseExact]] representatives exactly as d03 does.
+    */
+  val minhashCharLsh: QueryDef = {
+    val sigCols = (0 until SIGS).map { k =>
+      val src = if (k < 4) "h1" else "h2"
+      val pos = (k % 4) * 8 + 1
+      s"min(substr($src, $pos, 8)) AS m$k"
+    }.mkString(", ")
+    val rows = SIGS / BANDS
+    val bandSelects = (0 until BANDS).map { b =>
+      val parts = (0 until rows).map(r => s"m${b * rows + r}").mkString("||")
+      s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    q("d20_dedup_charngram",
+      s"""WITH cg AS (SELECT doc_id, substr(text, CAST(i AS INT), 5) AS s
+         |        FROM (SELECT doc_id, text,
+         |                unnest(range(1, greatest(len(text)-4, 0)+1)) AS i
+         |              FROM documents)),
+         |hs AS (SELECT doc_id, md5(s) AS h1, md5('s:'||s) AS h2 FROM cg),
+         |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a
+         |JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |            AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val base = Tables.parallel(
+        Tables.documents(s, d).select("doc_id", "text"))
+      val sig = sigsFromShingles(charShingles(base), SIGS, "doc_id")
+      val rows = SIGS / BANDS
+      val bandArr = array((0 until BANDS).map { b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+            .as("band_val"))
+      }: _*)
+      val bands = sig.select(col("doc_id"), explode(bandArr).as("band"))
+        .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
+        col("band_val"))
+      val b = bands.select(col("doc_id").as("doc_b"),
+        col("band_idx").as("bi"), col("band_val").as("bv"))
+      a.hint("merge")
+        .join(b, col("band_idx") === col("bi") &&
+          col("band_val") === col("bv") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   val simhash: QueryDef = q(
     "d04_dedup_simhash",
     s"""WITH $simhashCtes
@@ -1775,5 +1859,5 @@ object Dedup {
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
       simhashPairs, simhashPairs64, contamination, minhashEstimate,
       canonicalKeep, editDistNeighborhood, sourceOverlapAudit,
-      overlapContainment, lshPlanned)
+      overlapContainment, lshPlanned, minhashCharLsh)
 }

@@ -869,9 +869,54 @@ object Sampling {
       .orderBy("pos")
   }
 
+  /** p17: deterministic per-epoch shuffle order — every training epoch
+    * needs the corpus in a DIFFERENT pseudo-random order, reproducibly
+    * (job restarts and multi-reader coordination both demand that
+    * position be a pure function of (epoch, doc_id), never of engine
+    * scheduling). The sort key is a 48-bit md5 slice of
+    * `'e<epoch>:<doc_id>'`; positions are assigned by the p13/q61
+    * TWO-LEVEL pattern — the key's TOP 8 BITS are the bucket, so
+    * (bucket, key) order IS key order: a within-bucket rank
+    * (bucket-partitioned window) plus per-bucket offsets from a 256-row
+    * spine. No corpus-wide single-partition window ever exists; the
+    * oracle states the naive global row_number and integer exactness
+    * makes the forms identical. Epoch count scales the output, not the
+    * shuffle: each epoch is an independent bucket-partitioned pass.
+    */
+  val epochOrder: QueryDef = q(
+    "p17_epoch_order",
+    """WITH ep AS (SELECT unnest(range(0, 2)) AS epoch),
+      |hk AS (SELECT d.doc_id, ep.epoch,
+      |         CAST(('0x'||substr(md5('e'||ep.epoch||':'||d.doc_id), 1, 12)) AS BIGINT) AS h
+      |       FROM documents d, ep)
+      |SELECT epoch, doc_id,
+      |       row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+      |FROM hk
+      |ORDER BY epoch, pos""".stripMargin) { (s, d) =>
+    val hk = Tables.parallel(Tables.documents(s, d).select("doc_id"))
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(concat('e', epoch, ':', doc_id)), 1, 12), 16, 10) as bigint)"))
+      // top 8 bits of the 48-bit key: bucket order is a PREFIX of key
+      // order, which is what makes the two-level rank exact
+      .withColumn("bucket", expr("h div 1099511627776"))
+    val wb = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+    val ranked = hk.withColumn("rn", row_number().over(wb))
+    // 256-row-per-epoch spine: the only global-order window
+    val wo = Window.partitionBy("epoch").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hk.groupBy("epoch", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wo), lit(0L)))
+      .select("epoch", "bucket", "offset")
+    ranked.join(off, Seq("epoch", "bucket"))
+      .select(col("epoch"), col("doc_id"),
+        (col("offset") + col("rn")).as("pos"))
+      .orderBy("epoch", "pos")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
       langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
       importanceAudit, temperatureMix, weightedSystematicAudit, groupSplit,
-      bootstrapAudit, interleaveAudit)
+      bootstrapAudit, interleaveAudit, epochOrder)
 }

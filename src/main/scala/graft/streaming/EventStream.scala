@@ -477,6 +477,39 @@ object EventStream {
         col("ct"), col("pt"))
   }
 
+  /** Stream-STREAM interval join, LEFT OUTER: attribution where
+    * unconverted clicks are part of the answer. A streaming left-outer
+    * join cannot emit the null row eagerly — a matching purchase may
+    * still arrive — so the engine holds each click until the watermark
+    * passes its join horizon and only then emits the (click, null) row.
+    * That is the semantics gap vs [[attribution]]'s inner join: identical
+    * matched rows, plus every expired click exactly once with null
+    * purchase columns, all under the same bounded state (both sides
+    * watermarked, time bounded in both directions). The spec pins the
+    * composed result against the batch left-outer reference — including
+    * that null rows appear only after the watermark actually expires the
+    * horizon.
+    */
+  def attributionOuter(events: Dataset[Ev], horizonMin: Int = 30): DataFrame = {
+    val base = events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+    val clicks = base.filter(col("event_type") === "click")
+      .withWatermark("et", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("et").as("ct"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .withWatermark("et", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("et").as("pt"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("pt") >= col("ct") &&
+        col("pt") <= col("ct") + expr(s"INTERVAL $horizonMin MINUTES"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("ct"), col("pt"))
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * (small, broadcast) static dimension — the standard pattern for
     * attaching reference data to an event stream without stateful joins.

@@ -622,6 +622,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("user_id"), p)
   }
 
+  test("d20 char-ngram LSH: band join is equi, sig pipeline computed once " +
+      "(reused exchange), min-agg stays hash") {
+    val df = QueryCatalog.byName("d20_dedup_charngram").run(spark, sf)
+    df.collect() // AQE-final plan: ReusedExchange appears after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortAggregate"),
+      "signature min-agg must be a HashAggregate (long buffers): " + p)
+  }
+
+  test("p17 epoch order: every window is partitioned (two-level rank, " +
+      "no corpus-wide single-partition sort)") {
+    val p = plan("p17_epoch_order")
+    // the bulk rank runs per (epoch, bucket); the spine offset runs per
+    // epoch over 256 bucket rows — no unpartitioned window anywhere
+    assert(p.contains("windowspecdefinition(epoch"), p)
+    val unpartitioned = "windowspecdefinition\\((?!epoch)".r.findAllIn(p).toSeq
+    assert(unpartitioned.isEmpty, s"unpartitioned window present: $p")
+  }
+
   test("s19 filtered ANN: the metadata predicate reaches the parquet scan " +
       "(pre-filter, not post-filter)") {
     val p = plan("s19_ann_filtered")

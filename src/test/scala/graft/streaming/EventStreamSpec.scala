@@ -231,6 +231,67 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.nonEmpty, "fixture must exercise the join")
   }
 
+  test("stream-stream LEFT OUTER interval join: matches equal the batch " +
+      "left join; unconverted clicks emit null exactly once after expiry") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev].collect().toSeq.sortBy(e => (e.ts, e.event_id))
+    val maxTs = evs.map(_.ts).max
+    // watermark-advancing flush rows: the join watermark is the MIN over
+    // BOTH filtered inputs, so the flush must flow through each side
+    // (a foreign event_type would leave the watermark pinned 1 h behind
+    // the latest real click — observed: exactly that click's null row
+    // never expires). Negative ids keep them out of the comparison.
+    def flush(i: Long) = EventStream.Ev(
+      -i, maxTs + (10L * 3600 + i) * 1000000000L, -1L,
+      if (i % 2 == 0) "click" else "purchase", 0.0)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+        spark)
+    val q = EventStream.attributionOuter(input.toDS(), horizonMin = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_outer").start()
+    input.addData(evs); q.processAllAvailable()
+    // BEFORE the watermark passes the horizon, null rows for the recent
+    // tail cannot have been emitted: every emitted null click is already
+    // expired relative to the pre-flush watermark
+    val wmUs = (maxTs / 1000) - 3600L * 1000000L
+    val earlyNulls = spark.table("attrib_outer")
+      .filter(col("purchase_id").isNull).select("ct").collect()
+      .map(r => r.getTimestamp(0).getTime * 1000 + 1800L * 1000000L)
+    assert(earlyNulls.forall(_ < wmUs),
+      "a null row emitted before its horizon expired")
+    // null rows emit on the batch AFTER the watermark passes a click's
+    // horizon; several advancing triggers drain the expiry queue fully
+    (1L to 4L).foreach { i =>
+      input.addData(Seq(flush(i))); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("attrib_outer")
+      .filter(col("click_id") >= 0) // drop the flush rows' own emissions
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+
+    val e = graft.Tables.events(spark, sfDir)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        expr("ts div 1000").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        expr("ts div 1000").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + lit(30L * 60 * 1000000L), "left_outer")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(batch.exists(_._2.isEmpty), "fixture must have unconverted clicks")
+    assert(batch.exists(_._2.nonEmpty), "fixture must have conversions")
+    assert(streamed === batch)
+  }
+
   test("watermark-bounded streaming dedup drops replayed events") {
     import spark.implicits._
     val evs = graft.Tables.events(spark, sfDir)
