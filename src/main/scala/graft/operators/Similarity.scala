@@ -1713,9 +1713,12 @@ object Similarity {
     * training restatements are the SAME factored SQL the standalone
     * gates pin, so s15 verifies precisely the composition.
     */
-  val ivfPqAdc: QueryDef = q(
-    "s15_ivfpq_adc",
-    s"""WITH $oraclePqTrain,
+  /** The s15 oracle's WITH body through the ADC `scored` relation —
+    * shared verbatim by s15 (top-3 of the ADC scores) and s20 (ADC
+    * top-10 as the recall stage, exact re-rank on top).
+    */
+  private def oracleIvfPqScored: String =
+    s"""$oraclePqTrain,
        |$oracleNorms,
        |$oracleAssign,
        |$oracleTrainedAssign,
@@ -1740,7 +1743,11 @@ object Similarity {
        |           / (sqrt(CAST(na.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
        |            * sqrt(CAST(recon.rsq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))) AS cos
        |  FROM padots JOIN norms na ON na.vec_id = padots.qid
-       |              JOIN recon ON recon.vec_id = padots.cid)
+       |              JOIN recon ON recon.vec_id = padots.cid)""".stripMargin
+
+  val ivfPqAdc: QueryDef = q(
+    "s15_ivfpq_adc",
+    s"""WITH $oracleIvfPqScored
        |SELECT qid, rn, cid, cos FROM (
        |  SELECT qid, cid, cos,
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
@@ -1751,6 +1758,71 @@ object Similarity {
     val ivf = ivfIndex(emb, nlist = 8, iters = 1)
     val pq = pqIndex(emb, m = 4, ksub = 4, iters = 1)
     ivfPqSearch(ivf, pq, emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+      .orderBy("qid", "rn")
+  }
+
+  /** Two-stage retrieval: IVF-PQ ADC as the RECALL stage (top `kCand`
+    * candidates per query, codes-only scan), exact re-rank as the
+    * PRECISION stage (true integer dots on the q×kCand surviving pairs,
+    * top `kFinal`). This is the composition every production vector
+    * search actually ships — ADC scores are approximate by construction
+    * (pqRecall measures how approximate), so the final ranking should
+    * come from true vectors, and at q×kCand rows that exact pass is
+    * nearly free: the candidate ids broadcast INTO the corpus scan, the
+    * corpus streams map-only (never key-shuffles), and only matching
+    * rows surface their full vectors.
+    */
+  def ivfPqRerank(ivf: IvfModel, pq: PqModel, corpus: DataFrame,
+      queries: DataFrame, kFinal: Int, kCand: Int, nprobe: Int): DataFrame = {
+    require(kFinal > 0 && kCand >= kFinal,
+      s"need kCand >= kFinal > 0 (got $kCand, $kFinal)")
+    val cand = ivfPqSearch(ivf, pq, queries, kCand, nprobe)
+      .select(col("qid"), col("cid"))
+    val cs = withQuant(corpus)
+      .select(col("vec_id").as("cid"), col("qv").as("ce"), col("sq").as("c_sq"))
+    val qs = withQuant(queries)
+      .select(col("vec_id").as("q2"), col("qv").as("qe"), col("sq").as("q_sq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cs.join(broadcast(cand), "cid")
+      .join(broadcast(qs), col("qid") === col("q2"))
+      .select(col("qid"), col("cid"),
+        cosCol(expr(dotRawSql("qe", "ce")), col("q_sq"), col("c_sq")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kFinal)
+      .select("qid", "rn", "cid", "cos")
+  }
+
+  /** s20: the two-stage pipeline under the gate — the s15 chain at
+    * kCand=10 restated by the shared oracle core, exact re-rank stated
+    * as the s01 dot CTEs over the candidate set, top-3 per query.
+    */
+  val ivfPqRerankQ: QueryDef = q(
+    "s20_ivfpq_rerank",
+    s"""WITH $oracleIvfPqScored,
+       |cand10 AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM scored) WHERE rn <= 10),
+       |cdots AS (
+       |  SELECT c.qid, c.cid,
+       |    CAST(sum(${xiSql("a")} * ${xiSql("b")}) AS BIGINT) AS dot
+       |  FROM cand10 c JOIN embeddings a ON a.vec_id = c.qid
+       |                JOIN embeddings b ON b.vec_id = c.cid, j
+       |  GROUP BY c.qid, c.cid),
+       |rescored AS (
+       |  SELECT qid, cid, $oracleCos AS cos
+       |  FROM cdots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid)
+       |SELECT qid, rn, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM rescored)
+       |WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val emb = Tables.parallel(Tables.embeddings(s, d))
+    val ivf = ivfIndex(emb, nlist = 8, iters = 1)
+    val pq = pqIndex(emb, m = 4, ksub = 4, iters = 1)
+    ivfPqRerank(ivf, pq, emb, emb.filter(col("vec_id") < 8),
+        kFinal = 3, kCand = 10, nprobe = 2)
       .orderBy("qid", "rn")
   }
 
@@ -1971,5 +2043,6 @@ object Similarity {
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
       ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles,
-      ivfPqAdc, mipsTopk, retrievalMetrics, clusterSse, annFiltered)
+      ivfPqAdc, mipsTopk, retrievalMetrics, clusterSse, annFiltered,
+      ivfPqRerankQ)
 }
