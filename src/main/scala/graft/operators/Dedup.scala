@@ -1162,11 +1162,14 @@ object Dedup {
     * degrade smoothly under the same edits, so this lane catches the
     * mangled-copy near-dups d03's lexical lane misses. Production dedup
     * runs both lanes and unions candidates before the confirm step.
-    * Same scale shape as d03 at char density: per-row signatures (8
-    * slices of two md5s per window), band equi-join moving only
-    * (band, id) pairs, merge hint reusing one exchange. Doc-level like
-    * d11 (its oracle states doc-level); a skewed corpus feeds this the
-    * [[collapseExact]] representatives exactly as d03 does.
+    * Same scale shape AND same skew armor as d03: signatures are
+    * computed over DISTINCT texts ([[collapseExact]] — boilerplate with
+    * 10⁶ exact copies contributes ONE row to the char band join instead
+    * of 10⁶ on one hot band key), same-text pairs re-enter through the
+    * diagonal (texts of ≥ 5 chars, the window-existence bound both
+    * engines share), and duplicate docs through the streamed expansion
+    * joins — DedupSkewSpec pins the multiplicity arithmetic under 2000×
+    * dup mass. The oracle states the equivalent doc-level join.
     */
   val minhashCharLsh: QueryDef = {
     val sigCols = (0 until SIGS).map { k =>
@@ -1192,27 +1195,41 @@ object Dedup {
          |JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |            AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val base = Tables.parallel(
-        Tables.documents(s, d).select("doc_id", "text"))
-      val sig = sigsFromShingles(charShingles(base), SIGS, "doc_id")
-      val rows = SIGS / BANDS
-      val bandArr = array((0 until BANDS).map { b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
-            .as("band_val"))
-      }: _*)
-      val bands = sig.select(col("doc_id"), explode(bandArr).as("band"))
-        .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
-        col("band_val"))
-      val b = bands.select(col("doc_id").as("doc_b"),
-        col("band_idx").as("bi"), col("band_val").as("bv"))
-      a.hint("merge")
-        .join(b, col("band_idx") === col("bi") &&
-          col("band_val") === col("bv") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val collapsed = collapseExact(base)
+      val reps = collapsed.select(col("rep_id").as("doc_id"), col("text"))
+      val repCand = charLshCandidates(reps)
+        .select(col("doc_a").as("r1"), col("doc_b").as("r2"))
+      val diag = collapsed
+        .filter(col("n_copies") >= 2 && length(col("text")) >= 5)
+        .select(col("rep_id").as("r1"), col("rep_id").as("r2"))
+      expandRepPairs(repCand.union(diag), repMap(base, collapsed), Nil)
         .orderBy("doc_a", "doc_b")
     }
+  }
+
+  /** Char-band candidate pairs (doc_a < doc_b) over whatever frame is
+    * passed in — the d20 kernel, callable on [[collapseExact]]
+    * representatives (the gated query does) or raw docs.
+    */
+  private[operators] def charLshCandidates(doc: DataFrame): DataFrame = {
+    val sig = sigsFromShingles(charShingles(doc), SIGS, "doc_id")
+    val rows = SIGS / BANDS
+    val bandArr = array((0 until BANDS).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+          .as("band_val"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
+      col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("band_idx").as("bi"), col("band_val").as("bv"))
+    a.hint("merge")
+      .join(b, col("band_idx") === col("bi") &&
+        col("band_val") === col("bv") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
   }
 
   val simhash: QueryDef = q(

@@ -105,6 +105,23 @@ class DedupSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 2 || out.length == 3)
   }
 
+  test("d20 char lane emits exactly the multiplicity-expanded candidates " +
+      "(same collapse armor as d03)") {
+    val collapsed = Dedup.collapseExact(docs).collect()
+    val mult = collapsed.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val repPairs = Dedup.charLshCandidates(
+        graft.Tables.documents(spark, dir).select("doc_id", "text")
+          .groupBy("text")
+          .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+          .select(col("rep_id").as("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // all three texts are >= 5 chars, so every multi-copy text pairs
+    val expected = repPairs.map { case (a, b) => mult(a) * mult(b) }.sum +
+      mult.values.map(choose2).sum
+    val out = graft.QueryCatalog.byName("d20_dedup_charngram").run(spark, dir)
+    assert(out.count() == expected)
+  }
+
   test("d03 emits exactly the multiplicity-expanded LSH candidates") {
     val collapsed = Dedup.collapseExact(docs).collect()
     val mult = collapsed.map(r => r.getLong(1) -> r.getLong(2)).toMap
