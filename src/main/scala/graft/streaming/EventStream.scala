@@ -526,11 +526,22 @@ object EventStream {
     * exactly-once per batch. Readers see `batch_id` as an ordinary
     * discovered partition column of `spark.read.parquet(outDir)`.
     */
-  def ingest(stream: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+  /** @param checkpointDir WAL + source-offset checkpoint: with it set,
+    *   a stopped (or killed) ingest RESUMES from the last committed
+    *   offset — already-committed batches are not reprocessed, a batch
+    *   that wrote but did not commit replays onto its own batch_id path
+    *   (idempotent overwrite), so the output holds every input row
+    *   exactly once across restarts (spec-pinned). Production ingest
+    *   always sets it; the default None keeps ad-hoc/test callers
+    *   unchanged.
+    */
+  def ingest(stream: DataFrame, outDir: String,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
-      .start()
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }
