@@ -1872,9 +1872,132 @@ object Dedup {
     }
   }
 
+  /** d21: IDF-WEIGHTED Jaccard verification of the LSH candidates — the
+    * rare-term-aware confirm step. Raw trigram Jaccard (d05/d11) treats
+    * "the quick brown" and a shared serial number alike; weighting each
+    * DISTINCT shared word by `floor(1e6·N/df)` makes overlap on rare
+    * vocabulary dominate, which is what a curation pipeline actually
+    * wants to confirm before dropping a document. Every operand is an
+    * exact integer (idf units cap at 1e6·N ≈ 4.5e11 at sf3, per-doc sums
+    * well inside 2^53), so the similarity is ONE double division —
+    * bit-identical across engines, no sqrt, no decimal conversion.
+    *
+    * Scale shape: idf is a VOCAB-sized table (AQE broadcasts it); the
+    * only corpus-scale moves are the term explode and the per-doc
+    * weight aggregate; the pair-term intersection joins touch |pairs|
+    * rows. Doc-level like d11 (its oracle states doc-level); a skewed
+    * corpus feeds this the [[collapseExact]] representatives.
+    */
+  val idfJaccard: QueryDef = q(
+    "d21_idf_jaccard",
+    s"""WITH $minhashOracleCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a
+       |         JOIN bands b ON a.band_idx = b.band_idx
+       |                     AND a.band_val = b.band_val
+       |                     AND a.doc_id < b.doc_id),
+       |wterm AS (SELECT DISTINCT doc_id, unnest(ws) AS t FROM w),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |idf AS (SELECT t, CAST(1000000 * nn.n // count(*) AS BIGINT) AS iw
+       |        FROM wterm, nn GROUP BY t, nn.n),
+       |docw AS (SELECT doc_id, CAST(sum(iw) AS BIGINT) AS tw
+       |         FROM wterm JOIN idf USING (t) GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, CAST(sum(idf.iw) AS BIGINT) AS iw
+       |          FROM cand c
+       |          JOIN wterm ta ON ta.doc_id = c.doc_a
+       |          JOIN wterm tb ON tb.doc_id = c.doc_b AND tb.t = ta.t
+       |          JOIN idf ON idf.t = ta.t
+       |          GROUP BY c.doc_a, c.doc_b)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |       COALESCE(i.iw, 0) AS inter_w,
+       |       wa.tw + wb.tw - COALESCE(i.iw, 0) AS union_w,
+       |       CAST(COALESCE(i.iw, 0) AS DOUBLE)
+       |         / (wa.tw + wb.tw - COALESCE(i.iw, 0)) AS sim
+       |FROM cand c JOIN docw wa ON wa.doc_id = c.doc_a
+       |            JOIN docw wb ON wb.doc_id = c.doc_b
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (s, d) =>
+    val base = Tables.parallel(Tables.documents(s, d).select("doc_id", "text"))
+    val cand = lshCandidates(base)
+    val wterm = base.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("t"))
+    val nn = base.agg(count(lit(1)).as("n"))
+    val idf = wterm.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nn))
+      .select(col("t"), expr("CAST(1000000 * n div df AS BIGINT)").as("iw"))
+    val docw = wterm.join(idf, "t").groupBy("doc_id")
+      .agg(sum(col("iw")).as("tw"))
+    val inter = cand
+      .join(wterm.select(col("doc_id").as("doc_a"), col("t")), "doc_a")
+      .join(wterm.select(col("doc_id").as("doc_b"), col("t").as("t2")),
+        Seq("doc_b"))
+      .filter(col("t") === col("t2"))
+      .join(idf, "t")
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("iw")).as("iiw"))
+    cand
+      .join(docw.select(col("doc_id").as("doc_a"), col("tw").as("wa")), "doc_a")
+      .join(docw.select(col("doc_id").as("doc_b"), col("tw").as("wb")), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("iiw"), lit(0L)).as("inter_w"),
+        (col("wa") + col("wb") - coalesce(col("iiw"), lit(0L))).as("union_w"))
+      .withColumn("sim",
+        col("inter_w").cast("double") /
+          (col("union_w")).cast("double"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** p18: LEAKAGE-SAFE train/val/test split — the p03 deterministic hash
+    * split keyed on the near-dup CLUSTER instead of the document, so two
+    * near-duplicates can never straddle train and test (the eval-leakage
+    * vector a doc-keyed split leaves open; Dodge et al. 2021 measure the
+    * damage). Each doc's group key is its d07 cluster representative
+    * (COALESCE to its own id for unclustered docs); the split is a pure
+    * function of that key, so it is stable under retries, reshards, and
+    * corpus appends that do not touch the cluster. Lives in Dedup (not
+    * Sampling) because the grouping is the dedup module's clustering;
+    * the p14 group-split covers the metadata-key variant.
+    *
+    * Scale shape: d07's candidate scaffold + adaptive CC produce the
+    * (tiny) cluster table; docs LEFT-join it on doc_id — the only
+    * corpus-scale move — and the split itself is a row-local md5.
+    */
+  val leakageSafeSplit: QueryDef = q(
+    "p18_leakage_safe_split",
+    s"""WITH RECURSIVE $pairCtes,
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM conf
+       |        UNION ALL SELECT doc_b, doc_a FROM conf),
+       |reach(doc_id, r) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT und.a, reach.r FROM und JOIN reach ON reach.doc_id = und.b),
+       |cl AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+       |grp AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS grp
+       |        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+       |SELECT doc_id, grp,
+       |  CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |       WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM grp
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.parallel(Tables.documents(s, d).select("doc_id", "text"))
+    val cl = jaccardClusters(docs, 0.2, 50)
+      .select(col("doc_id").as("cdoc"), col("cluster"))
+    docs.join(cl, col("doc_id") === col("cdoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("grp"))
+      .withColumn("split", expr(
+        """CASE WHEN substr(md5(CAST(grp AS STRING)), 1, 2) < 'cd' THEN 'train'
+          |     WHEN substr(md5(CAST(grp AS STRING)), 1, 2) < 'e6' THEN 'val'
+          |     ELSE 'test' END""".stripMargin))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
       simhashPairs, simhashPairs64, contamination, minhashEstimate,
       canonicalKeep, editDistNeighborhood, sourceOverlapAudit,
-      overlapContainment, lshPlanned, minhashCharLsh)
+      overlapContainment, lshPlanned, minhashCharLsh, leakageSafeSplit,
+      idfJaccard)
 }
