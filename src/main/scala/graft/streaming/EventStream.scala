@@ -212,6 +212,55 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Exact integer cents of a double `value`, mirroring the batch side's
+    * CAST(value AS DECIMAL(12,2)) — HALF_UP on the double's shortest
+    * decimal form, away from zero. Shared by [[anomalies]] and
+    * [[userTotals]] so every streaming op quantizes identically.
+    */
+  private[streaming] def centsOf(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+      .toLongExact
+
+  /** Live per-user totals. */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Per-user running totals via `transformWithState` — Structured
+    * Streaming's CURRENT arbitrary-state API (Spark 4; typed state
+    * handles + explicit timers, RocksDB-backed), shown here so the
+    * engine exercises both state APIs: the FMGWS operators above predate
+    * it and remain for their finer semantics, this is the shape new
+    * stateful operators should take. State per user is one (n, Σcents)
+    * pair in a [[org.apache.spark.sql.streaming.ValueState]]; eviction
+    * is an explicit EVENT-TIME TIMER at last-event + [[StateTtlMs]]
+    * (re-registered per trigger, the previous timer deleted — timers
+    * accumulate otherwise), firing `handleExpiredTimer` which drops the
+    * user. Requires the RocksDB state store provider (the spec sets
+    * `spark.sql.streaming.stateStore.providerClass`); totals are exact
+    * integer cents via [[centsOf]], so stream ≡ batch is an integer
+    * identity (spec-pinned across a trigger cut).
+    */
+  /** @param ttlMs idle horizon before a user's totals drop. NOTE the
+    *   semantic difference from the FMGWS family: an event-time TIMER
+    *   fires when the watermark passes it even if the key has data in
+    *   the same trigger (FMGWS timeouts fire only for data-less keys),
+    *   so a user idle past the TTL RESTARTS FROM ZERO on return —
+    *   eviction here is by idle time, not by "idle and silent". Both
+    *   contracts are spec-pinned; size ttlMs to the stream's real idle
+    *   distribution.
+    */
+  def userTotals(events: Dataset[Ev],
+      ttlMs: Long = StateTtlMs): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("et", "2 hours")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update)
+  }
+
   /** One running-z-score anomaly: the event scored against the exact
     * moments of the user's PRIOR events (value carried as integer cents).
     */

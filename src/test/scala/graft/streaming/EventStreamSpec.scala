@@ -591,6 +591,76 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zArrival !== zTsOrder, "fixture must distinguish the contracts")
   }
 
+  test("transformWithState user totals equal the batch aggregate across " +
+      "a trigger cut (modern state API, RocksDB-backed)") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev].collect().toSeq.sortBy(e => (e.ts, e.event_id))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+          spark)
+      // TTL beyond the fixture's span: the identity pin must not race
+      // idle-eviction (pinned separately below)
+      val q = EventStream.userTotals(input.toDS(), ttlMs = 30L * 24 * 3600 * 1000)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_totals").start()
+      val cut = evs.length / 2
+      input.addData(evs.take(cut)); q.processAllAvailable()
+      input.addData(evs.drop(cut)); q.processAllAvailable()
+      q.stop()
+      // Update mode: the final emission per user carries the full totals
+      val streamed = spark.table("tws_totals").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (u, rows) => (u, rows.map(_._2).maxBy(_._1)) }
+      val batch = graft.Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")).as("s"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("transformWithState timer eviction: a user idle past the TTL " +
+      "restarts from zero (timers fire even for keys with new data)") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, hour: Long) = EventStream.Ev(
+      id, hour * 3600L * 1000000000L + 1L, user, "click", 1.0)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev](
+          spark)
+      val q = EventStream.userTotals(input.toDS(), ttlMs = 2L * 3600 * 1000)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_evict").start()
+      input.addData(Seq(ev(1, 7, 1), ev(2, 7, 1))) // user 7: 2 events
+      q.processAllAvailable()
+      // 30 h later another user advances the watermark far past 7's TTL
+      input.addData(Seq(ev(3, 8, 31)))
+      q.processAllAvailable()
+      // user 7 returns: the timer fired, totals restart at 1
+      input.addData(Seq(ev(4, 7, 32)))
+      q.processAllAvailable()
+      q.stop()
+      val last7 = spark.table("tws_evict").filter(col("user_id") === 7)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).maxBy(_._1)
+      assert(last7 === ((2L, 200L)), "pre-eviction totals")
+      val all7 = spark.table("tws_evict").filter(col("user_id") === 7)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(all7.contains((1L, 100L)),
+        s"the returning user must restart from zero: $all7")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("anomaly moments stitch exactly across micro-batches") {
     import spark.implicits._
     // two users, all events inside one hour (no TTL eviction possible),
