@@ -302,6 +302,91 @@ object Multimodal {
     }
   }
 
+  /** One fixed-length analysis frame of a decoded clip. */
+  final case class AudioFrame(
+      media_id: Long,
+      frame_idx: Int,
+      n_in_frame: Long,
+      energy: Long,
+      zero_crossings: Long)
+
+  /** FRAME-level feature extraction over the real WAV decode: the clip is
+    * cut into fixed `frameLen`-sample windows (non-overlapping, partial
+    * tail kept) and each frame reports exact integer energy (Σx²) and
+    * zero crossings (pairs with strictly opposite signs, counted WITHIN
+    * the frame — the boundary pair belongs to neither). This is the
+    * front half of every audio featurizer (VAD, silence trimming,
+    * speech-vs-music heuristics run on exactly these series); downstream
+    * models consume the frame table like any other feature column.
+    *
+    * Scale shape: identical to [[decodeWav]] — per-partition batch
+    * decode, one output row per frame, no shuffle until whatever
+    * aggregate the caller adds. All-integer features, so the m05
+    * discipline holds: the oracle re-derives them arithmetically from
+    * the synthetic sample formula, never from another codec run.
+    */
+  def wavFrames(media: Dataset[MediaRow], frameLen: Int = 256): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    require(frameLen > 0, s"frameLen must be positive (got $frameLen)")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.content))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"media_id ${r.media_id}: expected mono PCM16LE, got $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        def sample(i: Int): Long =
+          ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+        (0 until (n + frameLen - 1) / frameLen).map { f =>
+          val from = f * frameLen
+          val until = math.min(from + frameLen, n)
+          var energy = 0L; var zc = 0L
+          var i = from
+          while (i < until) {
+            val x = sample(i)
+            energy += x * x
+            if (i > from && sample(i - 1) * x < 0) zc += 1
+            i += 1
+          }
+          AudioFrame(r.media_id, f, (until - from).toLong, energy, zc)
+        }
+      }
+    }
+  }
+
+  /** m07: the frame-feature audit — [[wavFrames]] over the synthetic
+    * clips, pinned to the oracle's closed-form restatement of the same
+    * per-frame sums (the m04/m05/m06 discipline).
+    */
+  val wavFrameAudit: QueryDef = q(
+    "m07_wav_frames",
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, 256 + doc_id % 256 AS n FROM documents),
+      |idx AS (SELECT unnest(range(0, 512)) AS i),
+      |s AS (
+      |  SELECT media_id, n, i,
+      |         ((i * 7919 + media_id * 104729) % 65536) - 32768 AS x
+      |  FROM v JOIN idx ON idx.i < v.n),
+      |p AS (
+      |  SELECT media_id, i // 256 AS frame_idx, x,
+      |    CASE WHEN i % 256 <> 0
+      |          AND x * lag(x) OVER (PARTITION BY media_id ORDER BY i) < 0
+      |         THEN 1 ELSE 0 END AS zc
+      |  FROM s)
+      |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       CAST(count(*) AS BIGINT) AS n_in_frame,
+      |       CAST(sum(x * x) AS BIGINT) AS energy,
+      |       CAST(sum(zc) AS BIGINT) AS zero_crossings
+      |FROM p GROUP BY media_id, frame_idx
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    wavFrames(syntheticAudio(s, d)).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   final case class ResizedFeatures(
       media_id: Long,
       src_w: Int,
@@ -512,5 +597,6 @@ object Multimodal {
   }
 
   def defs: Seq[QueryDef] =
-    Seq(binaryMeta, decodeAgg, frameAudit, pngAudit, wavAudit, resizeAudit)
+    Seq(binaryMeta, decodeAgg, frameAudit, pngAudit, wavAudit, resizeAudit,
+      wavFrameAudit)
 }

@@ -122,6 +122,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("wavFrames: frame features partition the clip exactly (energies " +
+      "sum to the whole-clip energy; zc law on a sign-alternating frame)") {
+    import spark.implicits._
+    val ids = Seq(0L, 255L, 256L, 777L)
+    val media = ids.toDS().repartition(3)
+      .map(id => Multimodal.MediaRow(id, "audio", Multimodal.syntheticWav(id)))
+    val frames = Multimodal.wavFrames(media).collect()
+    val whole = Multimodal.decodeWav(media).collect()
+      .map(f => f.media_id -> f.energy).toMap
+    ids.foreach { id =>
+      val fs = frames.filter(_.media_id == id)
+      assert(fs.map(_.n_in_frame).sum == 256 + (id % 256),
+        s"id=$id frames must cover the clip exactly once")
+      assert(fs.map(_.energy).sum == whole(id),
+        s"id=$id frame energies must sum to the clip energy")
+      // per-frame zc law against the sample formula (within-frame pairs)
+      val n = (256 + (id % 256)).toInt
+      val xs = (0 until n).map(i => ((i * 7919L + id * 104729L) % 65536L) - 32768L)
+      fs.foreach { fr =>
+        val from = fr.frame_idx * 256
+        val until = math.min(from + 256, n)
+        val zc = (from + 1 until until).count(i => xs(i - 1) * xs(i) < 0)
+        assert(fr.zero_crossings == zc, s"id=$id frame=${fr.frame_idx}")
+      }
+    }
+  }
+
   test("resizeStub: strided downsample preserves schema and determinism") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
     val small = Multimodal.resizeStub(media, factor = 4)
