@@ -324,7 +324,49 @@ object Relational4 {
       .orderBy("l_returnflag")
   }
 
+  /** q63: the APPROXIMATE column profile — q56's documented 100 TB swap
+    * made real under the gate. Exact multi-distinct profiling pays one
+    * Expand pass whose cost grows with column count; at warehouse scale
+    * ANALYZE runs `approx_count_distinct` (HLL — one pass, mergeable,
+    * O(1) state per column) instead. Sketches differ across engines, so
+    * the q30/q62 SELF-GATE discipline applies: each engine audits ITS
+    * OWN sketch against its own exact count within a stated 6% bound
+    * (engine rsd 0.02 ⇒ ±3σ ≈ 6%), and only the exact counts + the
+    * audit verdicts are compared across engines.
+    */
+  val profileApprox: QueryDef = {
+    val cols = profNumeric ++ profString
+    val oracleAggs = cols.map { case (c, a) =>
+      s"count(DISTINCT $c) AS d_$a, approx_count_distinct($c) AS ad_$a"
+    }.mkString(",\n    ")
+    val oracleRows = cols.map { case (c, a) =>
+      s"SELECT '$c' AS col_name, d_$a AS n_distinct, " +
+        s"abs(ad_$a - d_$a) <= 0.06 * d_$a AS approx_ok FROM s"
+    }.mkString("\nUNION ALL\n")
+    q(
+      "q63_profile_approx",
+      s"""WITH s AS (
+         |  SELECT
+         |    $oracleAggs
+         |  FROM lineitem)
+         |$oracleRows
+         |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val aggs = cols.flatMap { case (c, a) =>
+        Seq(countDistinct(col(c)).as(s"d_$a"),
+          approx_count_distinct(col(c), 0.02).as(s"ad_$a"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      cols.map { case (c, a) =>
+        one.select(lit(c).as("col_name"),
+          col(s"d_$a").as("n_distinct"),
+          (abs(col(s"ad_$a") - col(s"d_$a")) <=
+            lit(0.06) * col(s"d_$a")).as("approx_ok"))
+      }.reduce(_.unionAll(_)).orderBy("col_name")
+    }
+  }
+
   def defs: Seq[QueryDef] =
     Seq(modeAgg, corrMatrix, ntileQuartiles, columnProfile, relativeStanding,
-      stringAgg, approxQuantiles)
+      stringAgg, approxQuantiles, profileApprox)
 }
