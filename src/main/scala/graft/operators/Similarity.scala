@@ -1135,6 +1135,97 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Deterministic synchronous LABEL PROPAGATION over an undirected edge
+    * list: every node starts as its own community (label = id); each
+    * round, every node adopts the MODE of its neighbors' labels, ties to
+    * the smallest label — the classic LPA community detector with its
+    * nondeterminism removed (synchronous rounds + total tie order), so
+    * round k is a pure function of the graph and reproduces on any
+    * engine (the s21 oracle unrolls the same rounds).
+    *
+    * Scale shape: the s13 discipline — labels are a NODE-sized frame,
+    * each round is edges ⋈ labels (one bounded shuffle keyed by the
+    * neighbor) + a per-(node, label) count + a per-node top-1 window;
+    * the edge list is materialized once (callers pass a checkpointed
+    * frame) so iteration plans do not grow.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"need iters >= 0 (got $iters)")
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = und.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("v2")).orderBy(col("c").desc, col("lab"))
+      labels = und.join(labels.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v2"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v2").as("v"), col("lab"))
+    }
+    labels.select(col("v"), col("lab").as("community"))
+  }
+
+  /** s21: LPA communities over the s08 kNN graph (3 deterministic
+    * rounds). The oracle restates the kNN construction AND unrolls all
+    * three mode-adoption rounds — the s13 pattern: the gate pins the
+    * whole iterative computation.
+    */
+  val knnLpa: QueryDef = {
+    def round(k: Int): String = {
+      val prev = s"l${k - 1}"
+      s"""r$k AS (SELECT e0.src AS v, l.lab, count(*) AS c
+         |       FROM e0 JOIN $prev l ON l.v = e0.dst
+         |       GROUP BY e0.src, l.lab),
+         |l$k AS (SELECT v, lab FROM (
+         |  SELECT v, lab,
+         |         row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+         |  FROM r$k) WHERE rn = 1)""".stripMargin
+    }
+    q("s21_knn_lpa",
+      s"""WITH $oracleNorms,
+         |pd AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(sum(${xiSql("a")} * ${xiSql("b")}) AS BIGINT) AS dot
+         |  FROM embeddings a
+         |  JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id, j
+         |  GROUP BY a.vec_id, b.vec_id),
+         |ps AS (
+         |  SELECT va, vb, $oracleCos AS cos
+         |  FROM pd JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb),
+         |knn AS (
+         |  SELECT va AS src, vb AS dst FROM (
+         |    SELECT va, vb,
+         |           row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+         |    FROM ps) WHERE rn <= 3),
+         |e0 AS (SELECT src, dst FROM knn
+         |       UNION SELECT dst, src FROM knn),
+         |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM e0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v AS vec_id, lab AS community FROM l3
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = withQuant(Tables.parallel(Tables.embeddings(s, d)))
+      val a = e.select(col("vec_id").as("va"), col("label"),
+        col("qv").as("qa"), col("sq").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
+        col("qv").as("qb"), col("sq").as("nb"))
+      val w = Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))
+      val edges = a.join(b, col("label") === col("lb") && col("va") =!= col("vb"))
+        .withColumn("cos", cosCol(expr(dotRawSql("qa", "qb")), col("na"), col("nb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("va").as("src"), col("vb").as("dst"))
+        .localCheckpoint()
+      labelPropagation(edges, iters = 3)
+        .select(col("v").as("vec_id"), col("community"))
+        .orderBy("vec_id")
+    }
+  }
+
   /** s09: embedding-diversity rebalance — p06's integer-exact budget rule
     * applied to a LEARNED stratum: vectors are assigned to their seeded
     * centroid (the s03/s06 map-only argmax), then each cluster is capped
@@ -2044,5 +2135,5 @@ object Similarity {
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
       ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles,
       ivfPqAdc, mipsTopk, retrievalMetrics, clusterSse, annFiltered,
-      ivfPqRerankQ)
+      ivfPqRerankQ, knnLpa)
 }
