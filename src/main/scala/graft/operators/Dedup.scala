@@ -1197,9 +1197,21 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val base = Tables.documents(s, d).select("doc_id", "text")
       val collapsed = collapseExact(base)
-      val reps = collapsed.select(col("rep_id").as("doc_id"), col("text"))
+      // Tables.parallel here is LOAD-BEARING: AQE coalesces the collapse
+      // aggregate's few-MB output to 1-2 partitions, and without the
+      // round-robin the char-md5 explode downstream — the densest scan
+      // in the module, every 5-char window ≈ 5× the word-trigram shingle
+      // volume — runs nearly serial (measured 7.4 → 2.1 s at sf0.1, equal
+      // load, from this one repartition; d03's word pipeline is light enough that
+      // its comment-documented no-parallel choice still holds there)
+      val reps = Tables.parallel(
+        collapsed.select(col("rep_id").as("doc_id"), col("text")))
+      // materialize the tiny pair table once: the expansion joins
+      // reference it more than once and AQE cannot reuse the
+      // differently-pruned signature subplans
       val repCand = charLshCandidates(reps)
         .select(col("doc_a").as("r1"), col("doc_b").as("r2"))
+        .localCheckpoint()
       val diag = collapsed
         .filter(col("n_copies") >= 2 && length(col("text")) >= 5)
         .select(col("rep_id").as("r1"), col("rep_id").as("r2"))
