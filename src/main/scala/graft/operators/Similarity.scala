@@ -720,6 +720,37 @@ object Similarity {
       .select("qid", "rn", "cid", "cos")
   }
 
+  /** Recall-driven nprobe auto-tuner — [[Dedup.planBanding]]'s sibling
+    * for the ANN stack: the smallest `nprobe` whose measured recall@k on
+    * a QUERY SAMPLE reaches `targetRecall`, plus that recall. Probing
+    * more lists only adds candidates, so recall is monotone
+    * non-decreasing in nprobe and a binary search over [1, nlist] finds
+    * the exact minimum in ⌈log₂ nlist⌉ [[ivfRecall]] evaluations — each
+    * a sample-sized audit job, not a corpus pass. At nprobe = nlist the
+    * search is exhaustive (recall 1.0, IvfSpec's pin), so any target ≤ 1
+    * terminates. This is the calibration a deployment runs once per
+    * index build, then serves with the returned setting.
+    */
+  def planNprobe(model: IvfModel, corpus: DataFrame, sampleQueries: DataFrame,
+      k: Int, targetRecall: Double): (Int, Double) = {
+    require(targetRecall >= 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in [0,1] (got $targetRecall)")
+    val nlist = model.centroids.length
+    def recallAt(np: Int): Double =
+      ivfRecall(model, corpus, sampleQueries, k, np)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    var lo = 1; var hi = nlist
+    var best = (nlist, recallAt(nlist))
+    if (best._2 < targetRecall) return best // target unreachable: report
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      val r = recallAt(mid)
+      if (r >= targetRecall) { best = (mid, r); hi = mid }
+      else lo = mid + 1
+    }
+    best
+  }
+
   /** Brute-force exact cosine top-k (s01's mechanics as a library op): the
     * ground truth every ANN configuration is audited against. Queries
     * broadcast; corpus streams once.

@@ -107,6 +107,24 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fine > 0.5, s"fine(16,2) recall unusable: $fine")
   }
 
+  test("planNprobe finds the MINIMAL nprobe reaching the recall target " +
+      "(monotone recall, binary search exactness)") {
+    val m = Similarity.ivfIndex(emb, nlist = 8, iters = 2)
+    def recallAt(np: Int): Double =
+      Similarity.ivfRecall(m, emb, queries, k = 3, nprobe = np)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    // recall is monotone non-decreasing in nprobe (superset candidates)
+    val curve = (1 to 8).map(recallAt)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a }, curve)
+    assert(curve.last === 1.0, "nprobe = nlist is exhaustive")
+    for (target <- Seq(0.0, 0.6, 0.9, 1.0)) {
+      val (np, r) = Similarity.planNprobe(m, emb, queries, k = 3, target)
+      assert(r >= target && r === curve(np - 1), s"target $target")
+      assert(np == 1 || curve(np - 2) < target,
+        s"target $target: $np is not minimal (curve: $curve)")
+    }
+  }
+
   test("semDedupTrained: nlist=1 equals the corpus-wide rule; clusters only localize") {
     def drops(nlist: Int): Set[Long] =
       Similarity.semDedupTrained(Similarity.ivfIndex(emb, nlist, iters = 2), 0.4)
