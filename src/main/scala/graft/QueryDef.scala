@@ -26,6 +26,7 @@ object QueryCatalog {
       operators.Relational4.defs ++
       operators.EventOps.defs ++
       operators.TimeSeries.defs ++
+      operators.TimeSeries2.defs ++
       operators.Dedup.defs ++
       operators.Paragraphs.defs ++
       operators.Sampling.defs ++

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Second time-series batch: exponentially-weighted smoothing, sliding
+  * distinct-user reach, and fixed-range value histograms.
+  *
+  * Reference scope note: heparchy has no time axis (its event index is a
+  * Monte-Carlo sample counter, `read/hdf.py:447-466`); these are
+  * north-star analytics operators, expressed Spark-first.
+  *
+  * Determinism discipline (the [[Compat]] contract): every aggregate that
+  * feeds a DOUBLE output is computed in exact integer/decimal arithmetic
+  * and converted to DOUBLE exactly once, by the same expression shape on
+  * both engines — window sums of doubles are order-dependent and would
+  * hash-mismatch.
+  */
+object TimeSeries2 {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  private val HourNs = 3600000000000L
+
+  /** q64: per-user EWMA (α = 1/2) of event value over the trailing
+    * 8-event frame, exact to the last bit.
+    *
+    * Standard EWMA is a recursive fold — not frame-expressible — but with
+    * α = 1/2 the trailing-L truncation has integer dyadic weights:
+    * ŷ_t = Σ_{i<n} 2^(L-1-i)·c_{t-i} / (2^L − 2^(L-n)), where c is the
+    * value in exact integer cents, n ≤ L = 8 is how many events the frame
+    * actually holds, and the weight sum telescopes to 2^L − 2^(L-n). Both
+    * numerator and denominator are exact BIGINTs (8 explicit LAGs, not a
+    * frame sum, so no double accumulation order exists at all); the ONE
+    * double division is the output. Truncation error vs the infinite
+    * recursion is ≤ 2^-8 of the oldest weight — the standard practical
+    * EWMA at a fixed horizon.
+    *
+    * Scale shape: one window, partitioned by `user_id`, ordered by
+    * (ts, event_id) — per-user sort inside a keyed shuffle, no global
+    * order anywhere. The 8 LAG columns ride the SAME window frame (one
+    * WindowExec, plan-asserted), so cost is one sort + O(L) longs per
+    * row regardless of history length. The `user_id % 50` filter bounds
+    * the dumped result; the operator is cardinality-agnostic.
+    */
+  val ewma: QueryDef = q(
+    "q64_ewma",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events WHERE user_id % 50 = 0),
+      |l AS (
+      |  SELECT user_id, event_id, t, c,
+      |    lag(c, 1) OVER w AS c1,
+      |    lag(c, 2) OVER w AS c2,
+      |    lag(c, 3) OVER w AS c3,
+      |    lag(c, 4) OVER w AS c4,
+      |    lag(c, 5) OVER w AS c5,
+      |    lag(c, 6) OVER w AS c6,
+      |    lag(c, 7) OVER w AS c7
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, t,
+      |    128 * c + 64 * coalesce(c1, 0) + 32 * coalesce(c2, 0)
+      |      + 16 * coalesce(c3, 0) + 8 * coalesce(c4, 0)
+      |      + 4 * coalesce(c5, 0) + 2 * coalesce(c6, 0)
+      |      + 1 * coalesce(c7, 0) AS num,
+      |    1 + CASE WHEN c1 IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN c2 IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN c4 IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN c5 IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN c6 IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS n
+      |  FROM l)
+      |SELECT user_id, event_id, t,
+      |  CAST(num AS DOUBLE)
+      |    / CAST((256 - (256 >> n)) AS DOUBLE) / 100 AS ewma
+      |FROM s
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val e = Tables.events(s, d)
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("ts").as("t"),
+        cents.as("c"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val lags = (1 to 7).map(i => lag(col("c"), i).over(w).as(s"c$i"))
+    val l = e.select(
+      (Seq(col("user_id"), col("event_id"), col("t"), col("c")) ++ lags): _*)
+    val num = (0 to 7).map { i =>
+      val c = if (i == 0) col("c") else col(s"c$i")
+      lit(1L << (7 - i)) * coalesce(c, lit(0L))
+    }.reduce(_ + _)
+    val n = (1 to 7).map(i =>
+      when(col(s"c$i").isNull, 0).otherwise(1)).reduce(_ + _) + lit(1)
+    // weight sum for a partial frame of n rows: 2^8 − 2^(8−n)
+    val denom = lit(256L) - expr("shiftright(256L, nn)")
+    l.withColumn("nn", n)
+      .select(col("user_id"), col("event_id"), col("t"),
+        (num.cast("double") / denom.cast("double") / lit(100)).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q65: trailing-24-hour distinct-user reach per hour (sliding
+    * COUNT(DISTINCT) — the metric behind every DAU-style dashboard).
+    *
+    * A sliding distinct is not frame-expressible (distinct does not
+    * decompose over frame boundaries). The scalable identity: user u is
+    * live in hour h's trailing window iff u was active in some hour in
+    * [h−23, h] — so project each DISTINCT (user, active-hour) pair onto
+    * the ≤ 24 window-ends it serves and count distinct per end. The
+    * intermediate is |distinct (user, hour)| × 24, NOT events × 24:
+    * the dedup happens BEFORE the expansion, so a user firing 10⁶ events
+    * in an hour contributes exactly 24 rows. The final distinct-count is
+    * a two-level aggregate (partial maps combine (h, u) pairs before the
+    * exchange).
+    *
+    * Scale shape: one distinct-aggregate shuffle on (user, hour), a
+    * scan-fused `explode(sequence(...))`, one counting shuffle on hour.
+    * Output is one row per hour inside the observed span (the span gate
+    * is a 1-row broadcast bound, q43's pattern).
+    */
+  val slidingDistinct: QueryDef = q(
+    "q65_sliding_distinct",
+    """WITH uh AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS h
+      |  FROM events),
+      |b AS (SELECT max(h) AS hmax FROM uh),
+      |proj AS (
+      |  SELECT user_id, unnest(generate_series(h, h + 23)) AS h2
+      |  FROM uh)
+      |SELECT p.h2 AS hour_id, count(DISTINCT p.user_id) AS reach_24h
+      |FROM proj p, b
+      |WHERE p.h2 <= b.hmax
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val uh = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $HourNs").as("h"))
+      .distinct()
+    val bounds = uh.agg(max(col("h")).as("hmax"))
+    val proj = uh
+      .select(col("user_id"),
+        explode(sequence(col("h"), col("h") + 23)).as("h2"))
+    proj.join(broadcast(bounds), proj("h2") <= bounds("hmax"))
+      .groupBy(col("h2").as("hour_id"))
+      .agg(countDistinct(col("user_id")).as("reach_24h"))
+      .orderBy("hour_id")
+  }
+
+  /** q66: fixed-range equi-width value histogram per event type — 20
+    * buckets of width 25 over [0, 500), out-of-range clamped to the edge
+    * buckets (the closed-form histogram for monitoring dashboards; the
+    * data-adaptive profile lives in q56/q63).
+    *
+    * Bucketing is exact decimal floor-division (no double comparisons at
+    * bucket edges — `v / 25` in binary floating point misbuckets values
+    * like 174.99999…, decimal arithmetic cannot). Empty buckets are
+    * genuinely absent (sparse contract, stated by both sides).
+    *
+    * Scale shape: ONE scan, map-side partial aggregate into ≤
+    * |types| × 20 cells, one exchange of those cells. This is the
+    * smallest possible plan for a histogram; at 100 TB the reduce side
+    * moves kilobytes.
+    */
+  val histogram: QueryDef = q(
+    "q66_histogram",
+    """SELECT event_type,
+      |  least(greatest(
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 2500,
+      |    0), 19) AS bucket,
+      |  count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+      |    AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val v = Compat.money(col("value"))
+    // exact integer-cents bucketing: DuckDB's `//` on DECIMAL is plain
+    // division (the BIGINT cast then ROUNDS), so both sides divide
+    // integer CENTS with integer `div`
+    val bucket = least(greatest(
+      expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 2500"),
+      lit(0L)), lit(19L))
+    Tables.events(s, d)
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("sum_value"))
+      .orderBy("event_type", "bucket")
+  }
+
+  def defs: Seq[QueryDef] = Seq(ewma, slidingDistinct, histogram)
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics + plan shape for the second time-series batch (q64-q66).
+  *
+  * q64's dyadic-weight EWMA is re-derived here by a literal driver-side
+  * recursion (the fold the frame expression replaces); q65's projected
+  * sliding distinct is pinned against the brute-force range-join
+  * definition; q66's buckets must tile the full corpus exactly once.
+  */
+class TimeSeries2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q64 EWMA equals the driver-side truncated dyadic fold, per event") {
+    val got = graft.QueryCatalog.byName("q64_ewma").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty)
+
+    // independent reference: group events locally, sort by (t, event_id),
+    // fold the trailing-8 window literally
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    var checked = 0
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 7), i + 1).reverse // newest first
+        val num = frame.zipWithIndex.map { case (r, j) => r._4 * (1L << (7 - j)) }.sum
+        val denom = 256L - (256L >> frame.length)
+        val want = num.toDouble / denom.toDouble / 100
+        val key = (sorted(i)._1, sorted(i)._2)
+        assert(got(key) == want, s"event $key: ${got(key)} != $want")
+        checked += 1
+      }
+    }
+    assert(checked == got.size)
+  }
+
+  test("q64 rides ONE window pass (8 lags share a frame)") {
+    val p = graft.QueryCatalog.byName("q64_ewma").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windows = "(?m)^\\s*[+:\\-\\s]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 WindowExec, got $windows:\n$p")
+  }
+
+  test("q65 equals the brute-force trailing-24h distinct per hour") {
+    val got = graft.QueryCatalog.byName("q65_sliding_distinct").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val uh = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 3600000000000").as("h"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hmax = uh.map(_._2).max
+    // brute force: for every hour with a window row, distinct users in range
+    got.foreach { case (h, reach) =>
+      assert(h <= hmax)
+      val want = uh.filter(p => p._2 >= h - 23 && p._2 <= h).map(_._1).distinct.length
+      assert(reach == want, s"hour $h: $reach != $want")
+    }
+    // completeness: every hour covered by some trailing window is present
+    val expectHours = uh.flatMap(p => p._2 to math.min(p._2 + 23, hmax)).distinct
+    assert(got.keySet == expectHours.toSet)
+  }
+
+  test("q66 buckets tile the corpus: counts sum to |events|, buckets in [0,19]") {
+    val rows = graft.QueryCatalog.byName("q66_histogram").run(spark, sf).collect()
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 19)
+    }
+    // per-type sums reconcile with the direct per-type aggregate
+    val byType = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("n")).sum)
+    val want = graft.Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.toMap == want)
+  }
+}
