@@ -914,9 +914,60 @@ object Sampling {
       .orderBy("epoch", "pos")
   }
 
+  /** p19: group-aware K-FOLD cross-validation assignment (k = 5), with
+    * the leakage audit built into the result.
+    *
+    * The fold of a document is a pure function of its GROUP key
+    * (`source`), not of the row: `conv(md5(source)[1..12], 16) mod k`.
+    * Group-keyed assignment is what makes CV honest for correlated data —
+    * two documents from one crawl domain must never straddle a
+    * train/eval boundary (p18's near-dup variant handles similarity-level
+    * leakage; this is the exact-group form every CV harness needs). 48
+    * hash bits mod 5 has bias < 2^-45 — statistically uniform.
+    *
+    * The output carries its own proof: `leak_sources` counts sources seen
+    * in more than one fold and must be 0 by construction (the spec also
+    * pins exhaustiveness — folds partition the corpus).
+    *
+    * Scale shape: the fold column is a scan-fused map (no join against a
+    * fold table, no shuffle to assign); the per-source audit and the
+    * per-fold rollup are two small aggregates, the first keyed by source
+    * (map-side partials), the second over k×|sources| rows. At 100 TB
+    * the only corpus-wide pass is the scan itself.
+    */
+  val kfold: QueryDef = q(
+    "p19_kfold",
+    """WITH a AS (
+      |  SELECT source, doc_id, n_chars,
+      |         CAST(('0x' || substr(md5(source), 1, 12)) AS BIGINT) % 5
+      |           AS fold
+      |  FROM documents),
+      |s AS (SELECT source, count(DISTINCT fold) AS nf FROM a GROUP BY 1)
+      |SELECT a.fold AS fold, count(*) AS n_docs,
+      |       count(DISTINCT a.source) AS n_sources,
+      |       CAST(sum(a.n_chars) AS BIGINT) AS n_chars,
+      |       count(DISTINCT CASE WHEN s.nf > 1 THEN a.source END)
+      |         AS leak_sources
+      |FROM a JOIN s ON s.source = a.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val a = Tables.documents(s, d).select(
+      col("source"), col("doc_id"), col("n_chars"),
+      (conv(substring(md5(col("source")), 1, 12), 16, 10).cast("long")
+        % 5).as("fold"))
+    val audit = a.groupBy("source")
+      .agg(countDistinct(col("fold")).as("nf"))
+    a.join(broadcast(audit), "source")
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(when(col("nf") > 1, col("source"))).as("leak_sources"))
+      .orderBy("fold")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
       langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
       importanceAudit, temperatureMix, weightedSystematicAudit, groupSplit,
-      bootstrapAudit, interleaveAudit, epochOrder)
+      bootstrapAudit, interleaveAudit, epochOrder, kfold)
 }

@@ -1002,9 +1002,60 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** t19: corpus vocabulary profile per language — token mass, type
+    * count, hapax-legomenon count, the head word's frequency, and the
+    * type-token ratio. These are the Zipf/Heaps-law diagnostics used to
+    * spot degenerate corpora before training: synthetic/templated text
+    * shows an abnormally low TTR and a fat head share; OCR noise shows a
+    * hapax explosion.
+    *
+    * All counts are exact integers from ONE token-level aggregate; the
+    * two ratios are each a single double division (deterministic, the
+    * [[Compat]] discipline). Scale shape: `explode` is scan-fused (no
+    * pre-shuffle), the (lang, word) aggregate combines map-side — the
+    * exchange carries vocabulary-sized partials, not the token stream —
+    * and the per-lang rollup is |vocab| rows into |langs| cells. This is
+    * the word-count plan, which is exactly what a vocabulary profile
+    * should cost at 100 TB.
+    */
+  val vocabProfile: QueryDef = q(
+    "t19_vocab_zipf",
+    """WITH w AS (
+      |  SELECT lang, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+      |  FROM documents),
+      |wc AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT lang,
+      |  CAST(sum(n) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  count(*) FILTER (WHERE n = 1) AS n_hapax,
+      |  max(n) AS top_freq,
+      |  CAST(count(*) AS DOUBLE) / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+      |    AS ttr,
+      |  CAST(max(n) AS DOUBLE) / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+      |    AS top_share
+      |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Tables.parallel(Tables.documents(s, d))
+      .select(col("lang"),
+        explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .as("word"))
+    val wc = w.groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    wc.groupBy("lang")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("n") === 1, 1)).as("n_hapax"),
+        max(col("n")).as("top_freq"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        col("top_freq"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("top_freq").cast("double") / col("n_tokens").cast("double"))
+          .as("top_share"))
+      .orderBy("lang")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
       repetition, novelty, heavyHitters, redactionAudit, blocklistAudit,
       classifier, lmFluency, chunking, charDiversity, textrankKeywords,
-      readability, collocations)
+      readability, collocations, vocabProfile)
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** URL canonicalization + URL-keyed dedup.
+  *
+  * Crawl-derived corpora carry the same page under many surface URLs —
+  * scheme/host case, `www.` prefixes, default ports, tracking params
+  * (`utm_*`, `fbclid`, `gclid`), param order, trailing slashes and
+  * fragments all vary while the content is identical. Canonicalizing the
+  * URL and deduping on the canonical form is the FIRST dedup pass every
+  * web-scale pipeline runs (it is pure string surgery — no content
+  * hashing, no shuffle beyond the final group-by), ahead of the content
+  * lanes (d01 exact, d03 MinHash, d20 char-ngram).
+  *
+  * Reference scope note: heparchy has no web/URL surface at all; this is
+  * north-star pipeline capability, expressed as composable scan-fused
+  * Column functions.
+  */
+object Urls {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** Canonical form of a URL column. The canonicalization contract:
+    *   1. fragment stripped;
+    *   2. scheme and host lowercased;
+    *   3. leading `www.` dropped;
+    *   4. explicit default ports (`:80`, `:443`) dropped;
+    *   5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`);
+    *   6. remaining query params sorted bytewise;
+    *   7. trailing slashes dropped from the path;
+    *   8. empty query string drops its `?`.
+    *
+    * Built entirely from codegen'd native functions (regexp + array
+    * lambdas) — a scan-fused narrow map, usable inside any pipeline
+    * without materializing.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]*)", 1))
+    val host = regexp_replace(
+      regexp_replace(hostport, "^www\\.", ""), ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z]+://[^/?]*([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      !p.startsWith("utm_") && !p.startsWith("fbclid=") &&
+        !p.startsWith("gclid=") && p =!= "")
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** SQL restatement of [[canonicalizeUrl]] for the oracle (DuckDB
+    * list lambdas mirror Spark's array lambdas 1:1).
+    */
+  private def canonicalSql(u: String): String = {
+    val noFrag = s"regexp_replace($u, '#.*$$', '')"
+    s"""lower(regexp_extract($noFrag, '^([A-Za-z]+)://', 1)) || '://' ||
+       |  regexp_replace(regexp_replace(
+       |    lower(regexp_extract($noFrag, '^[A-Za-z]+://([^/?]*)', 1)),
+       |    '^www\\.', ''), ':(80|443)$$', '') ||
+       |  regexp_replace(
+       |    regexp_extract($noFrag, '^[A-Za-z]+://[^/?]*([^?]*)', 1),
+       |    '/+$$', '') ||
+       |  CASE WHEN length(array_to_string(list_sort(list_filter(
+       |         string_split(regexp_extract($noFrag, '\\?(.*)$$', 1), '&'),
+       |         p -> p NOT LIKE 'utm\\_%' ESCAPE '\\'
+       |              AND p NOT LIKE 'fbclid=%'
+       |              AND p NOT LIKE 'gclid=%' AND p <> '')), '&')) > 0
+       |       THEN '?' || array_to_string(list_sort(list_filter(
+       |         string_split(regexp_extract($noFrag, '\\?(.*)$$', 1), '&'),
+       |         p -> p NOT LIKE 'utm\\_%' ESCAPE '\\'
+       |              AND p NOT LIKE 'fbclid=%'
+       |              AND p NOT LIKE 'gclid=%' AND p <> '')), '&')
+       |       ELSE '' END""".stripMargin
+  }
+
+  /** Synthetic URL surface for the gate: documents have no URL column,
+    * so both sides derive one DETERMINISTICALLY from `doc_id` — four
+    * surface variants (case/`www.`/port/tracking-param/order/slash/
+    * fragment noise) per target page `doc_id div 4`, exercising every
+    * clause of the canonicalization contract. The shared construction is
+    * test scaffolding; [[canonicalizeUrl]] is the operator.
+    */
+  private val urlSqlCases =
+    """CASE CAST(doc_id % 4 AS INT)
+      |  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/docs/' || (doc_id // 4) ||
+      |              '/?b=2&a=1&utm_source=feed#top'
+      |  WHEN 1 THEN 'http://example.com/docs/' || (doc_id // 4) ||
+      |              '?a=1&b=2'
+      |  WHEN 2 THEN 'http://EXAMPLE.com:80/docs/' || (doc_id // 4) ||
+      |              '/?utm_medium=z&b=2&a=1'
+      |  ELSE 'http://www.example.com/docs/' || (doc_id // 4) ||
+      |       '?a=1&fbclid=XYZ&b=2#section-2'
+      |END""".stripMargin
+
+  private def urlCol: Column = {
+    val p = expr("doc_id div 4").cast("string")
+    val v = (col("doc_id") % 4).cast("int")
+    when(v === 0, concat(lit("HTTP://WWW.Example.COM:80/docs/"), p,
+      lit("/?b=2&a=1&utm_source=feed#top")))
+      .when(v === 1, concat(lit("http://example.com/docs/"), p,
+        lit("?a=1&b=2")))
+      .when(v === 2, concat(lit("http://EXAMPLE.com:80/docs/"), p,
+        lit("/?utm_medium=z&b=2&a=1")))
+      .otherwise(concat(lit("http://www.example.com/docs/"), p,
+        lit("?a=1&fbclid=XYZ&b=2#section-2")))
+  }
+
+  /** d22: URL-canonical dedup — group by canonical URL, keep the
+    * smallest doc_id, report group size and the distinct surface count.
+    *
+    * Scale shape: canonicalization is a scan-fused narrow map; the ONLY
+    * shuffle is the group-by on the canonical string (map-side partial
+    * counts; min/count/distinct-2 all combine). The 100 TB profile is
+    * exactly word-count: token-sized exchange, no joins, no windows.
+    */
+  val urlDedup: QueryDef = q(
+    "d22_url_canonical",
+    s"""WITH u AS (
+       |  SELECT doc_id, $urlSqlCases AS url FROM documents),
+       |c AS (
+       |  SELECT doc_id, url, ${canonicalSql("url")} AS canon FROM u)
+       |SELECT canon AS canon_url, count(*) AS n_dups,
+       |       count(DISTINCT url) AS n_surface_forms,
+       |       min(doc_id) AS keep_doc
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), urlCol.as("url"))
+      .withColumn("canon", canonicalizeUrl(col("url")))
+      .groupBy(col("canon").as("canon_url"))
+      .agg(count(lit(1)).as("n_dups"),
+        countDistinct(col("url")).as("n_surface_forms"),
+        min(col("doc_id")).as("keep_doc"))
+      .orderBy("canon_url")
+  }
+
+  def defs: Seq[QueryDef] = Seq(urlDedup)
+}

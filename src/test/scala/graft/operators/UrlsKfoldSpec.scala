@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics for p19 (group-aware k-fold), t19 (vocabulary profile) and
+  * d22 (URL-canonical dedup), plus unit pins for every clause of the
+  * [[Urls.canonicalizeUrl]] contract on handcrafted URLs.
+  */
+class UrlsKfoldSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("p19 folds partition the corpus; zero leaked sources; fold is a pure function of source") {
+    val rows = graft.QueryCatalog.byName("p19_kfold").run(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("leak_sources") == 0L,
+        s"fold ${r.get(0)} reports leaked sources")
+      val f = r.getAs[Long]("fold")
+      assert(f >= 0 && f < 5)
+    }
+    // independent recomputation: fold(source) via the same 48-bit hash
+    val bySource = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        (conv(substring(md5(col("source")), 1, 12), 16, 10).cast("long")
+          % 5).as("fold"))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(bySource.map(_._1).distinct.length == bySource.length,
+      "a source maps to more than one fold")
+  }
+
+  test("t19 vocabulary profile equals a driver-side tokenization") {
+    val got = graft.QueryCatalog.byName("t19_vocab_zipf").run(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val words = rows.flatMap(r => "[a-z]+".r.findAllIn(r._2))
+      val counts = words.groupBy(identity).view.mapValues(_.size)
+      val r = got(lang)
+      assert(r.getAs[Long]("n_tokens") == words.length.toLong)
+      assert(r.getAs[Long]("n_types") == counts.size.toLong)
+      assert(r.getAs[Long]("n_hapax") == counts.count(_._2 == 1).toLong)
+      assert(r.getAs[Long]("top_freq") == counts.values.max.toLong)
+      assert(r.getAs[Double]("ttr") ==
+        counts.size.toDouble / words.length.toDouble)
+    }
+  }
+
+  test("canonicalizeUrl: each contract clause, on handcrafted URLs") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + www + default port + fragment + param sort + tracking strip
+      ("HTTPS://WWW.Site.ORG:443/A/B/?z=1&a=2&utm_campaign=c#frag",
+        "https://site.org/A/B?a=2&z=1"),
+      // non-default port preserved; path case preserved
+      ("http://site.org:8080/Path/", "http://site.org:8080/Path"),
+      // empty query: '?' dropped; bare host: no trailing slash to strip
+      ("http://Site.org?", "http://site.org"),
+      // fbclid/gclid stripped, legit params kept in byte order
+      ("http://a.b/p?gclid=g&b=2&fbclid=f&a=1", "http://a.b/p?a=1&b=2"),
+      // utm prefix must match utm_ exactly: 'utmx' survives
+      ("http://a.b/p?utmx=1", "http://a.b/p?utmx=1"),
+      // multiple trailing slashes collapse away
+      ("http://a.b/p///", "http://a.b/p"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Urls.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
+
+  test("d22: groups collapse all four surface variants; keep is min doc_id") {
+    val rows = graft.QueryCatalog.byName("d22_url_canonical").run(spark, sf)
+      .collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_dups")).sum == total)
+    rows.foreach { r =>
+      val canon = r.getString(0)
+      assert(canon.matches("^http://example\\.com/docs/\\d+\\?a=1&b=2$"),
+        s"unexpected canonical form $canon")
+      // every surface form in a group is distinct
+      assert(r.getAs[Long]("n_surface_forms") == r.getAs[Long]("n_dups"))
+      // keep_doc belongs to the group: doc_id div 4 == page in the path
+      val page = canon.replaceAll("^.*/docs/", "").replaceAll("\\?.*$", "").toLong
+      assert(r.getAs[Long]("keep_doc") / 4 == page)
+    }
+  }
+}
