@@ -32,6 +32,7 @@ object QueryCatalog {
       operators.Paragraphs.defs ++
       operators.Sampling.defs ++
       operators.Similarity.defs ++
+      operators.Similarity2.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
       operators.Skew.defs

@@ -57,7 +57,7 @@ object Similarity {
   private def xiSql(tbl: String): String =
     s"CAST(CAST(CAST($tbl.embedding[CAST(j.j AS INT)] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
 
-  private val oracleNorms: String =
+  private[operators] val oracleNorms: String =
     s"""j AS (SELECT unnest(range(1, 65)) AS j),
        |norms AS (
        |  SELECT vec_id, CAST(sum(${xiSql("embeddings")} * ${xiSql("embeddings")}) AS BIGINT) AS sq
@@ -69,7 +69,7 @@ object Similarity {
       |     * sqrt(CAST(nb.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE)))""".stripMargin
 
   /** Adds the quantized vector (`qv`) and its scaled squared norm. */
-  private def withQuant(df: DataFrame): DataFrame = {
+  private[operators] def withQuant(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // no Tables.parallel here — the quantization is hash-dense enough that
     // the guard pays on SCANS, but this is a library-internal step that
