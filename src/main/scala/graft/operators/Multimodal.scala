@@ -596,7 +596,152 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** 64-bit average-hash of an image, split into two 32-bit halves for
+    * cross-engine portability (a full 64-bit hash with bit 63 set is a
+    * negative BIGINT whose construction overflows DuckDB's checked
+    * integer ops; two unsigned halves compare and group identically).
+    */
+  final case class ImageHash(media_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** PERCEPTUAL hash (aHash) through the REAL codec: decode, 8×8
+    * nearest-neighbor grayscale thumbnail, one bit per cell — set iff the
+    * cell is brighter than the thumbnail mean (computed as the exact
+    * integer comparison `64·g > Σg`, no division). aHash is invariant to
+    * uniform brightness shifts (the mean shifts with the cells) and to
+    * resolution (the thumbnail is fixed-size) — the two cheapest
+    * transformations a re-hosted image undergoes, which is exactly what
+    * m08's dedup demonstrates: same-gradient images at different
+    * brightness collapse to one hash.
+    *
+    * Same scale shape as [[decodeImage]]: per-partition streaming decode,
+    * JVM-static codec dispatch, 16 bytes of output per image.
+    */
+  def aHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      imageioInMemory()
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.content))
+        require(img != null,
+          s"media_id ${r.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val g = new Array[Long](64)
+        var yp = 0
+        while (yp < 8) {
+          val sy = ((yp * h) / 8).toInt
+          var xp = 0
+          while (xp < 8) {
+            val sx = ((xp * w) / 8).toInt
+            val rgb = img.getRGB(sx, sy)
+            g(8 * yp + xp) =
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            xp += 1
+          }
+          yp += 1
+        }
+        var s = 0L
+        var k = 0
+        while (k < 64) { s += g(k); k += 1 }
+        var hash = 0L
+        k = 0
+        while (k < 64) {
+          if (g(k) * 64L > s) hash |= (1L << k)
+          k += 1
+        }
+        ImageHash(r.media_id, hash >>> 32, hash & 0xffffffffL)
+      }
+    }
+  }
+
+  /** Deterministic 32×32 PATTERN PNG for `id`: pixel value
+    * `v(x,y) = c + ((⌊x/4⌋·(p+2) + ⌊y/4⌋·(2p+1)) mod 120)` with pattern
+    * class `p = id mod 16` and brightness `c = id mod 100`. The pattern
+    * is 4×4-blocky ON PURPOSE: the 8×8 thumbnail's nearest-neighbor taps
+    * (stride 4) land on block corners, so the aHash of the REAL decoded
+    * PNG has the closed form the m08 oracle states. Images sharing `p`
+    * differ only by uniform brightness — the perceptual-dup class.
+    */
+  def syntheticPatternPng(id: Long): Array[Byte] = {
+    imageioInMemory()
+    val p = math.floorMod(id, 16L).toInt
+    val c = math.floorMod(id, 100L).toInt
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val v = c + (((x / 4) * (p + 2) + (y / 4) * (2 * p + 1)) % 120)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One pattern PNG per document id — executor-side encoding, the
+    * [[syntheticImages]] shape.
+    */
+  def syntheticPatternImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.parallel(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "image", syntheticPatternPng(id))))
+  }
+
+  /** m08: perceptual-hash image dedup — every document id becomes a real
+    * ImageIO-encoded pattern PNG ([[syntheticPatternPng]]), [[aHash]]
+    * hashes it through the real codec, and images group by hash. The
+    * oracle states the hash in closed form from the pixel law
+    * (`g(x',y') = c + ((x'(p+2) + y'(2p+1)) mod 120)`, bit set iff
+    * `64·g > Σg`) — the m04/m06 discipline: codec output pinned to
+    * arithmetic computed by a different engine. The brightness term `c`
+    * cancels against the mean, so the ~16 pattern classes each collapse
+    * ~31 differently-bright source images into one hash group — the
+    * near-dup signal content hashing (d01/m04's pixel checksum) cannot
+    * see.
+    *
+    * Scale shape: decode+hash is a per-partition streaming map emitting
+    * 16 bytes/image; the ONLY exchange is the group-by on the hash
+    * halves (map-side partials). The 100 TB profile is a scan of the
+    * image store plus a kilobyte-scale aggregate.
+    */
+  val phashDedup: QueryDef = q(
+    "m08_phash_dedup",
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, doc_id % 16 AS p, doc_id % 100 AS c
+      |  FROM documents),
+      |xs AS (SELECT unnest(range(0, 8)) AS xp),
+      |ys AS (SELECT unnest(range(0, 8)) AS yp),
+      |g AS (SELECT media_id, xp, yp,
+      |             c + ((xp * (p + 2) + yp * (2 * p + 1)) % 120) AS gv
+      |      FROM v, xs, ys),
+      |sg AS (SELECT media_id, sum(gv) AS s FROM g GROUP BY 1),
+      |hh AS (
+      |  SELECT g.media_id,
+      |    CAST(sum(CASE WHEN 64 * g.gv > sg.s AND yp >= 4
+      |                  THEN CAST(1 AS BIGINT) << (8 * (yp - 4) + xp)
+      |                  ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(sum(CASE WHEN 64 * g.gv > sg.s AND yp < 4
+      |                  THEN CAST(1 AS BIGINT) << (8 * yp + xp)
+      |                  ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM g JOIN sg ON sg.media_id = g.media_id
+      |  GROUP BY 1)
+      |SELECT phash_hi, phash_lo, count(*) AS n_images,
+      |       min(media_id) AS keep_id
+      |FROM hh GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    aHash(syntheticPatternImages(s, d)).toDF()
+      .groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keep_id"))
+      .orderBy("phash_hi", "phash_lo")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(binaryMeta, decodeAgg, frameAudit, pngAudit, wavAudit, resizeAudit,
-      wavFrameAudit)
+      wavFrameAudit, phashDedup)
 }

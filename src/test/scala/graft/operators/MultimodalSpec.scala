@@ -227,4 +227,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perSample < 3.0,
       s"JPEG round-trip drifted $perSample per channel-sample")
   }
+
+  test("aHash is brightness-invariant and pattern-discriminating through the real codec") {
+    import spark.implicits._
+    // same pattern class p, three different brightness offsets → one hash;
+    // different p → different hash (for these classes)
+    val ids = Seq(3L, 19L, 35L, /* p=3 with c=3,19,35 */ 4L /* p=4 */)
+    val media = ids.map(id =>
+      Multimodal.MediaRow(id, "image", Multimodal.syntheticPatternPng(id))).toDS()
+    val h = Multimodal.aHash(media).collect()
+      .map(r => r.media_id -> (r.phash_hi, r.phash_lo)).toMap
+    assert(h(3L) == h(19L) && h(19L) == h(35L),
+      "uniform brightness shift changed the aHash")
+    assert(h(3L) != h(4L), "distinct patterns collided")
+    // halves are unsigned 32-bit
+    h.values.foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi <= 0xffffffffL && lo >= 0 && lo <= 0xffffffffL)
+    }
+  }
+
+  test("m08 groups span multiple distinct brightness levels (the near-dup signal)") {
+    val rows = graft.QueryCatalog.byName("m08_phash_dedup").run(spark, sfDir).collect()
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_images")).sum == total)
+    // at least one group holds >1 image (sf0.001 has >16 docs), and the
+    // collapse is perceptual, not exact: grouped ids differ in brightness
+    assert(rows.exists(_.getAs[Long]("n_images") > 1))
+  }
 }
