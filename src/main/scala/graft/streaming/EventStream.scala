@@ -593,4 +593,40 @@ object EventStream {
       }
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  /** q65's streaming twin: trailing-24-hour distinct-user reach per hour,
+    * with bounded state.
+    *
+    * The same dedup-before-count identity as the batch operator (project
+    * each user-hour onto the ≤ 24 window-ends it serves), restated as two
+    * CHAINED stateful operators in append mode — the Spark-4 multiple-
+    * stateful-operator shape:
+    *   1. `dropDuplicatesWithinWatermark(user_id, h2)` — the projected
+    *      pair stream deduped inside the watermark horizon (state is
+    *      |distinct (user, hour)| × 24, evicted as the watermark passes);
+    *   2. a tumbling 1-hour window count over the survivors — each closed
+    *      window holds exactly the distinct users active in its trailing
+    *      24 h.
+    *
+    * The event-time column is the WINDOW-END hour (up to 23 h ahead of
+    * the event that produced it), so the watermark delay is 26 h: 23 h of
+    * forward projection + the engine's usual ≤ 2 h late-data allowance +
+    * 1 h window. A window for hour H therefore finalizes once real event
+    * time passes H + 4 h (H + 1 h window end + the 3 h net delay) — the
+    * price of exact sliding distincts on an unbounded stream; hours never
+    * reached by the watermark (the stream's live head) stay pending, and
+    * stream ≡ batch holds on every EMITTED hour (spec-pinned, including
+    * a mid-stream trigger cut).
+    */
+  def reach(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr("ts div 3600000000000").as("h"))
+      .select(col("user_id"), explode(sequence(col("h"), col("h") + 23)).as("h2"))
+      .withColumn("et2", timestamp_micros(col("h2") * lit(3600000000L)))
+      .withWatermark("et2", "26 hours")
+      .dropDuplicatesWithinWatermark("user_id", "h2")
+      .groupBy(window(col("et2"), "1 hour"))
+      .agg(count(lit(1)).as("reach_24h"))
+      .select(expr("unix_micros(window.start) div 3600000000").as("hour_id"),
+        col("reach_24h"))
 }

@@ -699,4 +699,50 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((1L, 109L), (2L, 209L)), "exactly the two outliers flag")
     assert(streamed == batch)
   }
+
+  test("streaming 24h reach equals batch q65 on every emitted hour, " +
+      "including across a trigger cut") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    // stage the corpus as TWO files split at the time median so the
+    // chained dedup→window state crosses a real trigger boundary
+    val src = JFiles.createTempDirectory(JPaths.get("target"), "reach-src")
+    val all = graft.Tables.events(spark, sfDir)
+    val tsMid = all.selectExpr("percentile_approx(ts, 0.5)").head().getLong(0)
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = JFiles.createTempDirectory(JPaths.get("target"), "reach-tmp")
+      all.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = JFiles.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      JFiles.copy(JPaths.get(part), src.resolve(name))
+    }
+    stage(col("ts") <= tsMid, "a.parquet")
+    stage(col("ts") > tsMid, "b.parquet")
+
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // force the cut
+        .parquet(src.toString))
+    val q = EventStream.reach(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("reach24").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("reach24").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty, "watermark never closed a window")
+
+    val batch = graft.QueryCatalog.byName("q65_sliding_distinct")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (h, n) =>
+      assert(batch.get(h).contains(n), s"hour $h: stream $n != batch ${batch.get(h)}")
+    }
+    // the watermark (max event time − 3 h net) must have closed almost
+    // all of the span: everything up to hmax − 4 h is emitted
+    val hmax = batch.keySet.max
+    ((batch.keySet.min) to (hmax - 4)).foreach { h =>
+      assert(streamed.contains(h), s"hour $h never emitted")
+    }
+  }
 }
