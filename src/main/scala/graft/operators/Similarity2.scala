@@ -164,5 +164,102 @@ object Similarity2 {
       .orderBy("qid", "rn")
   }
 
-  def defs: Seq[QueryDef] = Seq(sq8Adc)
+  /** s23: DIMENSION-TRUNCATION audit (the Matryoshka question): how much
+    * ranking quality survives if search uses only the first 16 of 64
+    * dimensions? Per query: |full-top-3 ∩ truncated-top-3| and whether
+    * the full top-1 survives in the truncated top-3. This is the
+    * measured answer to "can the serving tier read a 4× narrower
+    * column", the same decision s05/s17 answer for LSH and IVF — run it
+    * BEFORE committing a truncated index layout.
+    *
+    * Both rankings come from ONE scored pair frame (one corpus stream
+    * against the broadcast query set, two window ranks over the same
+    * qid partitioning — no second scan, no re-shuffle); dots and norms
+    * are exact fixed-point longs through `long_dot`, full and sliced.
+    */
+  val dimTruncation: QueryDef = q(
+    "s23_dim_truncation",
+    s"""WITH jj AS (SELECT unnest(range(0, 64)) AS jx),
+       |x AS (
+       |  SELECT vec_id, jx,
+       |         CAST(CAST(CAST(embeddings.embedding[CAST(jx + 1 AS INT)] AS DOUBLE)
+       |              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+       |  FROM embeddings, jj),
+       |n64 AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS sq
+       |        FROM x GROUP BY 1),
+       |n16 AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS sq
+       |        FROM x WHERE jx < 16 GROUP BY 1),
+       |qx AS (SELECT vec_id AS qid, jx, v FROM x WHERE vec_id < 8),
+       |dots AS (
+       |  SELECT qx.qid, x.vec_id AS cid,
+       |         CAST(sum(qx.v * x.v) AS BIGINT) AS d64,
+       |         CAST(sum(CASE WHEN x.jx < 16 THEN qx.v * x.v ELSE 0 END)
+       |              AS BIGINT) AS d16
+       |  FROM x JOIN qx ON qx.jx = x.jx
+       |  WHERE x.vec_id <> qx.qid
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.cid,
+       |    (CAST(d.d64 AS DOUBLE) / 1000000000000)
+       |      / (sqrt(CAST(nq.sq AS DOUBLE) / 1000000000000)
+       |       * sqrt(CAST(nc.sq AS DOUBLE) / 1000000000000)) AS cos64,
+       |    (CAST(d.d16 AS DOUBLE) / 1000000000000)
+       |      / (sqrt(CAST(tq.sq AS DOUBLE) / 1000000000000)
+       |       * sqrt(CAST(tc.sq AS DOUBLE) / 1000000000000)) AS cos16
+       |  FROM dots d
+       |  JOIN n64 nq ON nq.vec_id = d.qid
+       |  JOIN n64 nc ON nc.vec_id = d.cid
+       |  JOIN n16 tq ON tq.vec_id = d.qid
+       |  JOIN n16 tc ON tc.vec_id = d.cid),
+       |ranked AS (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos64 DESC, cid) AS rf,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos16 DESC, cid) AS rt
+       |  FROM scored),
+       |f AS (SELECT qid, cid, rf FROM ranked WHERE rf <= 3),
+       |t AS (SELECT qid, cid FROM ranked WHERE rt <= 3)
+       |SELECT f.qid AS qid, count(t.cid) AS n_overlap,
+       |       CAST(max(CASE WHEN f.rf = 1 AND t.cid IS NOT NULL
+       |                     THEN 1 ELSE 0 END) = 1 AS BOOLEAN) AS top1_kept
+       |FROM f LEFT JOIN t ON t.qid = f.qid AND t.cid = f.cid
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val corpus = Similarity.withQuant(Tables.parallel(Tables.embeddings(s, d)))
+      .withColumn("tv", slice(col("qv"), 1, 16))
+      .withColumn("tsq", call_function("long_dot", col("tv"), col("tv")))
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("sq").as("csq"),
+        col("tv").as("ctv"), col("tsq").as("ctsq"))
+    val qs = Similarity.withQuant(
+        Tables.embeddings(s, d).filter(col("vec_id") < 8))
+      .withColumn("tv", slice(col("qv"), 1, 16))
+      .withColumn("tsq", call_function("long_dot", col("tv"), col("tv")))
+      .select(col("vec_id").as("qid"), col("qv"), col("sq"),
+        col("tv"), col("tsq"))
+    def cosOf(dot: Column, a: Column, b: Column): Column =
+      (dot.cast("double") / lit(1.0e12)) /
+        (sqrt(a.cast("double") / lit(1.0e12)) *
+          sqrt(b.cast("double") / lit(1.0e12)))
+    val scored = corpus.join(broadcast(qs), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosOf(call_function("long_dot", col("qv"), col("cv")),
+          col("sq"), col("csq")).as("cos64"),
+        cosOf(call_function("long_dot", col("tv"), col("ctv")),
+          col("tsq"), col("ctsq")).as("cos16"))
+    val wf = Window.partitionBy("qid").orderBy(col("cos64").desc, col("cid"))
+    val wt = Window.partitionBy("qid").orderBy(col("cos16").desc, col("cid"))
+    val ranked = scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rt", row_number().over(wt))
+    val f = ranked.filter(col("rf") <= 3).select(col("qid"), col("cid"), col("rf"))
+    val t = ranked.filter(col("rt") <= 3)
+      .select(col("qid").as("tqid"), col("cid").as("tcid"))
+    f.join(t, col("qid") === col("tqid") && col("cid") === col("tcid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("tcid")).as("n_overlap"),
+        (max(when(col("rf") === 1 && col("tcid").isNotNull, 1)
+          .otherwise(0)) === 1).as("top1_kept"))
+      .orderBy("qid")
+  }
+
+  def defs: Seq[QueryDef] = Seq(sq8Adc, dimTruncation)
 }

@@ -37,26 +37,21 @@ object TextAnalysis {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
-  /** Language-ID-style classification: score each profile by keyword hits,
-    * predict the argmax (ties → first profile name alphabetically).
+  /** Oracle-side per-profile score relation (shared by t01 and t20). */
+  private val oracleScores: String =
+    profiles.zipWithIndex.map { case ((name, ws), i) =>
+      s"""SELECT doc_id, '$name' AS profile, $i AS pidx,
+         |  len(list_filter(string_split(text, ' '), x -> x IN (${inList(ws)}))) AS score
+         |FROM documents""".stripMargin
+    }.mkString(" UNION ALL ")
+
+  /** Engine-side argmax classification (shared by t01 and t20):
+    * doc_id, pred, best_score — scan-fused scoring against the broadcast
+    * keyword profiles, argmax with min-index tiebreak via max-of-struct.
     */
-  val langId: QueryDef = q(
-    "t01_langid", {
-      val scoreSelects = profiles.zipWithIndex.map { case ((name, ws), i) =>
-        s"""SELECT doc_id, '$name' AS profile, $i AS pidx,
-           |  len(list_filter(string_split(text, ' '), x -> x IN (${inList(ws)}))) AS score
-           |FROM documents""".stripMargin
-      }.mkString(" UNION ALL ")
-      s"""WITH scores AS ($scoreSelects)
-         |SELECT doc_id, profile AS pred, score AS best_score
-         |FROM (SELECT doc_id, profile, score,
-         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pidx) AS rn
-         |      FROM scores)
-         |WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+  private def predictProfile(s: SparkSession, d: String): DataFrame = {
     val ws = Tables.parallel(Tables.documents(s, d))
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
     val scored = profiles.zipWithIndex.foldLeft(ws) { case (df, ((name, kw), i)) =>
       df.withColumn(s"score_$i",
         expr(s"size(filter(ws, x -> x IN (${inList(kw)})))"))
@@ -67,9 +62,25 @@ object TextAnalysis {
     val names = array(profiles.map(p => lit(p._1)): _*)
     scored
       .withColumn("best", best)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         element_at(names, -col("best.nidx") + 1).as("pred"),
         col("best.score").as("best_score"))
+  }
+
+  /** Language-ID-style classification: score each profile by keyword hits,
+    * predict the argmax (ties → first profile name alphabetically).
+    */
+  val langId: QueryDef = q(
+    "t01_langid",
+    s"""WITH scores AS ($oracleScores)
+       |SELECT doc_id, profile AS pred, score AS best_score
+       |FROM (SELECT doc_id, profile, score,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pidx) AS rn
+       |      FROM scores)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    predictProfile(s, d)
+      .select("doc_id", "pred", "best_score")
       .orderBy("doc_id")
   }
 
@@ -1053,9 +1064,51 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** t20: classifier CONFUSION MATRIX against the labeled `lang` column —
+    * the audit that turns t01's classifier into a shippable quality gate
+    * (per-(label, prediction) counts and the within-label share). On a
+    * real corpus this is how drift and systematic misrouting surface; a
+    * degenerate diagonal or a dominant off-diagonal cell is the signal to
+    * retrain before the classifier gates data.
+    *
+    * Scale shape: scoring is the same scan-fused map as t01 (profiles are
+    * literal broadcast keyword lists); the cross-tab is one aggregate
+    * over a |labels| × |profiles| keyspace, and the within-label totals
+    * ride a broadcast join of |labels| rows. No corpus-scale exchange at
+    * any point.
+    */
+  val langConfusion: QueryDef = q(
+    "t20_langid_confusion",
+    s"""WITH scores AS ($oracleScores),
+       |p AS (
+       |  SELECT doc_id, profile AS pred
+       |  FROM (SELECT doc_id, profile, score,
+       |          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pidx) AS rn
+       |        FROM scores)
+       |  WHERE rn = 1),
+       |jx AS (
+       |  SELECT d.lang, p.pred FROM documents d
+       |  JOIN p ON p.doc_id = d.doc_id),
+       |t AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1)
+       |SELECT jx.lang AS lang, jx.pred AS pred, count(*) AS n_docs,
+       |       CAST(count(*) AS DOUBLE) / CAST(max(t.n_lang) AS DOUBLE) AS share
+       |FROM jx JOIN t ON t.lang = jx.lang
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val p = predictProfile(s, d)
+    val totals = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    p.join(broadcast(totals), "lang")
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)).cast("double") / max(col("n_lang")).cast("double"))
+          .as("share"))
+      .orderBy("lang", "pred")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, tfidf, bigramCommonality,
       repetition, novelty, heavyHitters, redactionAudit, blocklistAudit,
       classifier, lmFluency, chunking, charDiversity, textrankKeywords,
-      readability, collocations, vocabProfile)
+      readability, collocations, vocabProfile, langConfusion)
 }

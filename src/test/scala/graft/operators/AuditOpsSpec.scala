@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics for the classifier confusion audit (t20) and the
+  * dimension-truncation audit (s23): both are AUDITS, so the spec pins
+  * the accounting identities their consumers rely on.
+  */
+class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("t20 confusion matrix: cells tile the corpus; shares sum to 1 per label") {
+    val rows = graft.QueryCatalog.byName("t20_langid_confusion").run(spark, sf)
+      .collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val share = cells.map(_.getAs[Double]("share")).sum
+      assert(math.abs(share - 1.0) < 1e-9, s"$lang shares sum to $share")
+    }
+    // predictions come from the registered profile set only
+    val profiles = Set("gen", "misc", "ops", "perf", "struct")
+    rows.foreach(r => assert(profiles.contains(r.getString(1))))
+  }
+
+  test("t20 agrees cell-by-cell with a driver-side crosstab of t01") {
+    val pred = graft.QueryCatalog.byName("t01_langid").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lang = graft.Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = lang.toSeq.map { case (id, l) => (l, pred(id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.QueryCatalog.byName("t20_langid_confusion").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(got == want)
+  }
+
+  test("s23 equals a driver-side brute-force of both rankings") {
+    // on the random synthetic embeddings the first 16 dims genuinely lose
+    // most of the neighborhood (measured mean overlap 0.25/3 here) — the
+    // audit REPORTS that honestly; what the spec pins is the accounting:
+    // the engine's overlap/top1 flags equal a from-scratch recomputation.
+    val rows = graft.QueryCatalog.byName("s23_dim_truncation").run(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_overlap"),
+        r.getAs[Boolean]("top1_kept")))).toMap
+    assert(rows.size == 8)
+    rows.values.foreach { case (ov, kept) =>
+      assert(ov >= 0 && ov <= 3)
+      if (kept) assert(ov >= 1)
+    }
+
+    // brute force in the driver with the same fixed-point quantization
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(1000000)).toLongExact).toArray)
+      .toMap
+    def cos(a: Array[Long], b: Array[Long], d: Int): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      (dot.toDouble / 1.0e12) /
+        (math.sqrt(na.toDouble / 1.0e12) * math.sqrt(nb.toDouble / 1.0e12))
+    }
+    def top3(qid: Long, d: Int): Seq[Long] =
+      vecs.keys.filter(_ != qid).toSeq
+        .map(c => (c, cos(vecs(qid), vecs(c), d)))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
+    (0L until 8L).foreach { qid =>
+      val full = top3(qid, 64)
+      val trunc = top3(qid, 16).toSet
+      val wantOv = full.count(trunc.contains).toLong
+      val wantKept = trunc.contains(full.head)
+      assert(rows(qid) == ((wantOv, wantKept)),
+        s"qid $qid: engine ${rows(qid)} != brute ($wantOv, $wantKept)")
+    }
+  }
+}
