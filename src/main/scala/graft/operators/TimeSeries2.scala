@@ -192,5 +192,69 @@ object TimeSeries2 {
       .orderBy("event_type", "bucket")
   }
 
-  def defs: Seq[QueryDef] = Seq(ewma, slidingDistinct, histogram)
+  /** q67: EXACT rolling median of event value over the trailing 5-event
+    * frame per user — the robust de-noiser EWMA (q64) is not: one
+    * glitched reading moves an average but not a median.
+    *
+    * A windowed median does not decompose over frame boundaries, but a
+    * CONSTANT frame does: materialize the ≤ 5 frame members as explicit
+    * LAGs (same one-window-pass discipline as q64), drop the nulls of a
+    * partial frame, sort the ≤ 5-element array IN-ROW, and index the
+    * middle. All arithmetic is exact integer cents until the single
+    * shared double expression at the end (even-frame medians average two
+    * cents values in one division).
+    *
+    * Scale shape: identical to q64 — one keyed window pass, O(L log L)
+    * per-row array sort with L = 5, no second shuffle. The array trick is
+    * the general pattern for ANY order statistic on a bounded trailing
+    * frame (p90-of-last-20, trimmed means) without a sketch.
+    */
+  val rollingMedian: QueryDef = q(
+    "q67_rolling_median",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events WHERE user_id % 50 = 0),
+      |l AS (
+      |  SELECT user_id, event_id, t, c,
+      |    lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+      |    lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, t,
+      |    list_sort(list_filter([c, c1, c2, c3, c4], x -> x IS NOT NULL))
+      |      AS arr
+      |  FROM l)
+      |SELECT user_id, event_id, t,
+      |  CASE WHEN len(arr) % 2 = 1
+      |       THEN CAST(arr[(len(arr) + 1) // 2] AS DOUBLE) / 100
+      |       ELSE (CAST(arr[len(arr) // 2] AS DOUBLE)
+      |             + CAST(arr[len(arr) // 2 + 1] AS DOUBLE)) / 2 / 100
+      |  END AS med
+      |FROM s
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val e = Tables.events(s, d)
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("ts").as("t"),
+        cents.as("c"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val lags = (1 to 4).map(i => lag(col("c"), i).over(w).as(s"c$i"))
+    val l = e.select(
+      (Seq(col("user_id"), col("event_id"), col("t"), col("c")) ++ lags): _*)
+    val arr = array_sort(filter(
+      array(col("c"), col("c1"), col("c2"), col("c3"), col("c4")),
+      _.isNotNull))
+    val n = size(arr)
+    val med = when(n % 2 === 1,
+      element_at(arr, ((n + 1) / 2).cast("int")).cast("double") / lit(100))
+      .otherwise((element_at(arr, (n / 2).cast("int")).cast("double")
+        + element_at(arr, (n / 2 + 1).cast("int")).cast("double"))
+        / lit(2) / lit(100))
+    l.select(col("user_id"), col("event_id"), col("t"), med.as("med"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(ewma, slidingDistinct, histogram, rollingMedian)
 }

@@ -76,6 +76,41 @@ class TimeSeries2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == expectHours.toSet)
   }
 
+  test("q67 rolling median equals the driver-side sort of each trailing frame") {
+    val got = graft.QueryCatalog.byName("q67_rolling_median").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var checked = 0
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 4), i + 1).map(_._4).sorted
+        val n = frame.length
+        val want =
+          if (n % 2 == 1) frame((n + 1) / 2 - 1).toDouble / 100
+          else (frame(n / 2 - 1).toDouble + frame(n / 2).toDouble) / 2 / 100
+        val key = (sorted(i)._1, sorted(i)._2)
+        assert(got(key) == want, s"event $key: ${got(key)} != $want")
+        checked += 1
+      }
+    }
+    assert(checked == got.size)
+  }
+
+  test("q67 rides ONE window pass") {
+    val p = graft.QueryCatalog.byName("q67_rolling_median").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windows = "(?m)^\\s*[+:\\-\\s]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 WindowExec, got $windows:\n$p")
+  }
+
   test("q66 buckets tile the corpus: counts sum to |events|, buckets in [0,19]") {
     val rows = graft.QueryCatalog.byName("q66_histogram").run(spark, sf).collect()
     val total = graft.Tables.events(spark, sf).count()
