@@ -256,5 +256,53 @@ object TimeSeries2 {
       .orderBy("user_id", "event_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(ewma, slidingDistinct, histogram, rollingMedian)
+  /** q68: MERGEABLE distinct-count sketches — the pattern that makes
+    * dashboard distincts tractable at 100 TB. Exact distincts cannot be
+    * rolled up (per-day distinct counts don't add); HLL SKETCHES union
+    * losslessly, so the warehouse stores one small sketch per
+    * (type, day) cell and any coarser rollup (weekly, all-time, sliced)
+    * is a cheap sketch union over the cells — no rescan of the raw
+    * stream. The query proves the shape end-to-end: per-day DataSketches
+    * HLL via `hll_sketch_agg`, cross-day merge via `hll_union_agg`, and
+    * a self-gate of the merged estimate against the exact distinct
+    * (the q62/q63 discipline: sketches differ across engines, so each
+    * side gates its OWN sketch at the same tolerance and the verdict
+    * column is compared).
+    *
+    * Scale shape: the daily-sketch aggregate is one keyed shuffle whose
+    * reduce state is a few KB per cell regardless of row count; the
+    * merge exchanges |cells| sketches, not users. The exact distinct
+    * exists here only as the audit.
+    */
+  val hllMergeable: QueryDef = q(
+    "q68_hll_mergeable",
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, user_id
+      |  FROM events)
+      |SELECT event_type,
+      |  count(DISTINCT day) AS n_days,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+      |    <= 0.05 * count(DISTINCT user_id) AS approx_ok
+      |FROM e GROUP BY 1
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      col("event_type"), expr(s"ts div ${24 * HourNs}").as("day"),
+      col("user_id"))
+    val daily = e.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(count(col("day")).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          lit(0.05) * col("exact_users")).as("approx_ok"))
+      .orderBy("event_type")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(ewma, slidingDistinct, histogram, rollingMedian, hllMergeable)
 }

@@ -111,6 +111,29 @@ class TimeSeries2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows == 1, s"expected 1 WindowExec, got $windows:\n$p")
   }
 
+  test("q68: sketch union is lossless (merged per-day == one-pass sketch); gate true") {
+    val rows = graft.QueryCatalog.byName("q68_hll_mergeable").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("approx_ok"),
+      s"${r.getString(0)}: sketch estimate outside 5% of exact"))
+    // the mergeability CLAIM itself: unioning the per-day sketches gives
+    // the SAME estimate as one sketch over the whole stream (HLL union at
+    // equal lgk is register-wise lossless)
+    val e = graft.Tables.events(spark, sf).select(
+      col("event_type"), expr("ts div 86400000000000").as("day"), col("user_id"))
+    val merged = e.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("m"))
+    val direct = e.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("d"))
+    val cmp = merged.join(direct, "event_type").collect()
+    cmp.foreach { r =>
+      assert(r.getAs[Long]("m") == r.getAs[Long]("d"),
+        s"${r.getString(0)}: merged ${r.get(1)} != direct ${r.get(2)}")
+    }
+  }
+
   test("q66 buckets tile the corpus: counts sum to |events|, buckets in [0,19]") {
     val rows = graft.QueryCatalog.byName("q66_histogram").run(spark, sf).collect()
     val total = graft.Tables.events(spark, sf).count()
