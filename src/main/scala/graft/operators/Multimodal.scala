@@ -616,40 +616,50 @@ object Multimodal {
     * Same scale shape as [[decodeImage]]: per-partition streaming decode,
     * JVM-static codec dispatch, 16 bytes of output per image.
     */
+  /** The per-image aHash core (decode → 8×8 NN grayscale → mean bits),
+    * returned as (hi, lo) unsigned 32-bit halves. Pure executor-side
+    * function; [[aHash]] and the streaming MediaStream lane both ride it
+    * so batch and stream agree by construction.
+    */
+  private[graft] def aHashBytes(content: Array[Byte], mediaId: Long): (Long, Long) = {
+    imageioInMemory()
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(content))
+    require(img != null,
+      s"media_id $mediaId: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = new Array[Long](64)
+    var yp = 0
+    while (yp < 8) {
+      val sy = ((yp * h) / 8).toInt
+      var xp = 0
+      while (xp < 8) {
+        val sx = ((xp * w) / 8).toInt
+        val rgb = img.getRGB(sx, sy)
+        g(8 * yp + xp) =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        xp += 1
+      }
+      yp += 1
+    }
+    var s = 0L
+    var k = 0
+    while (k < 64) { s += g(k); k += 1 }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (g(k) * 64L > s) hash |= (1L << k)
+      k += 1
+    }
+    (hash >>> 32, hash & 0xffffffffL)
+  }
+
   def aHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      imageioInMemory()
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.content))
-        require(img != null,
-          s"media_id ${r.media_id}: payload is not a decodable image")
-        val w = img.getWidth
-        val h = img.getHeight
-        val g = new Array[Long](64)
-        var yp = 0
-        while (yp < 8) {
-          val sy = ((yp * h) / 8).toInt
-          var xp = 0
-          while (xp < 8) {
-            val sx = ((xp * w) / 8).toInt
-            val rgb = img.getRGB(sx, sy)
-            g(8 * yp + xp) =
-              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-            xp += 1
-          }
-          yp += 1
-        }
-        var s = 0L
-        var k = 0
-        while (k < 64) { s += g(k); k += 1 }
-        var hash = 0L
-        k = 0
-        while (k < 64) {
-          if (g(k) * 64L > s) hash |= (1L << k)
-          k += 1
-        }
-        ImageHash(r.media_id, hash >>> 32, hash & 0xffffffffL)
+        val (hi, lo) = aHashBytes(r.content, r.media_id)
+        ImageHash(r.media_id, hi, lo)
       }
     }
   }
