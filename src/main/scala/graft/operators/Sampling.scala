@@ -965,9 +965,63 @@ object Sampling {
       .orderBy("fold")
   }
 
+  /** p20: A/B assignment + SAMPLE-RATIO-MISMATCH audit. Each event type
+    * plays an "experiment": its exposed users are deterministically
+    * assigned to two arms by a salted 48-bit hash
+    * (`md5(experiment ‖ ':' ‖ user)`), and the audit checks the arm
+    * split for SRM — the first thing any experimentation platform gates
+    * on, because a skewed split invalidates every downstream metric.
+    * For a 2-arm 50/50 split the chi-square statistic reduces to
+    * `(a−b)²/(a+b)` (exact integers, ONE double division), gated at the
+    * 3.841 critical value (df=1, α=0.05).
+    *
+    * Scale shape: assignment is a scan-fused pure hash (no assignment
+    * table, no shuffle to assign — the p19 discipline); exposure dedup
+    * is one (experiment, user) distinct aggregate; the chi-square is
+    * arithmetic on two counts per experiment. At 100 TB the only
+    * corpus-wide pass is the scan.
+    */
+  val srmAudit: QueryDef = q(
+    "p20_srm_audit",
+    """WITH exposed AS (
+      |  SELECT DISTINCT event_type AS experiment, user_id
+      |  FROM events),
+      |armed AS (
+      |  SELECT experiment, user_id,
+      |         CAST(('0x' || substr(md5(experiment || ':' ||
+      |              CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS arm
+      |  FROM exposed),
+      |c AS (
+      |  SELECT experiment,
+      |         count(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+      |         count(CASE WHEN arm = 1 THEN 1 END) AS n_b
+      |  FROM armed GROUP BY 1)
+      |SELECT experiment, n_a, n_b,
+      |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE) AS chi2,
+      |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE) < 3.841 AS srm_ok
+      |FROM c ORDER BY experiment""".stripMargin) { (s, d) =>
+    val exposed = Tables.events(s, d)
+      .select(col("event_type").as("experiment"), col("user_id"))
+      .distinct()
+    val arm = conv(substring(md5(
+      concat(col("experiment"), lit(":"), col("user_id").cast("string"))),
+      1, 12), 16, 10).cast("long") % 2
+    val c = exposed.withColumn("arm", arm)
+      .groupBy("experiment")
+      .agg(count(when(col("arm") === 0, 1)).as("n_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"))
+    val chi2 = ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+      .cast("double") / (col("n_a") + col("n_b")).cast("double")
+    c.select(col("experiment"), col("n_a"), col("n_b"),
+      chi2.as("chi2"), (chi2 < 3.841).as("srm_ok"))
+      .orderBy("experiment")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
       langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
       importanceAudit, temperatureMix, weightedSystematicAudit, groupSplit,
-      bootstrapAudit, interleaveAudit, epochOrder, kfold)
+      bootstrapAudit, interleaveAudit, epochOrder, kfold, srmAudit)
 }

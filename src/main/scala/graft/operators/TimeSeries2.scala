@@ -303,6 +303,43 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** q69: NEW vs RETURNING users per hour — the growth-accounting twin
+    * of q65's reach (every activation dashboard pairs them). A user is
+    * NEW in the hour of their first-ever event, RETURNING in every later
+    * active hour.
+    *
+    * Scale shape: one distinct aggregate to (user, hour) pairs, one
+    * user-keyed min-aggregate for first-seen, and an equi-join of the
+    * two — both sides hash-partitioned by user, so the join reuses the
+    * aggregate's partitioning (no extra corpus exchange); the hourly
+    * rollup is the usual map-side-partial count. First-seen is O(1)
+    * state per user however long the history.
+    */
+  val newVsReturning: QueryDef = q(
+    "q69_new_vs_returning",
+    """WITH uh AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS h
+      |  FROM events),
+      |fs AS (SELECT user_id, min(h) AS h0 FROM uh GROUP BY 1)
+      |SELECT uh.h AS hour_id,
+      |  count(*) AS n_active,
+      |  count(CASE WHEN uh.h = fs.h0 THEN 1 END) AS n_new,
+      |  count(CASE WHEN uh.h > fs.h0 THEN 1 END) AS n_returning
+      |FROM uh JOIN fs ON fs.user_id = uh.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val uh = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $HourNs").as("h"))
+      .distinct()
+    val fs = uh.groupBy("user_id").agg(min(col("h")).as("h0"))
+    uh.join(fs, "user_id")
+      .groupBy(col("h").as("hour_id"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("h") === col("h0"), 1)).as("n_new"),
+        count(when(col("h") > col("h0"), 1)).as("n_returning"))
+      .orderBy("hour_id")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(ewma, slidingDistinct, histogram, rollingMedian, hllMergeable)
+    Seq(ewma, slidingDistinct, histogram, rollingMedian, hllMergeable,
+      newVsReturning)
 }

@@ -43,6 +43,38 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("p20: arms partition the exposed users; hash split passes SRM here") {
+    val rows = graft.QueryCatalog.byName("p20_srm_audit").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exposed = graft.Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na + nb == exposed(r.getString(0)), "arms must partition exposure")
+      val chi2 = r.getAs[Double]("chi2")
+      assert(chi2 == math.pow((na - nb).toDouble, 2) / (na + nb).toDouble)
+      assert(r.getAs[Boolean]("srm_ok"), s"${r.getString(0)}: hash split skewed, chi2=$chi2")
+    }
+  }
+
+  test("q69: new + returning = active per hour; news sum to the user count; hour 1 all new") {
+    val rows = graft.QueryCatalog.byName("q69_new_vs_returning").run(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning") ==
+        r.getAs[Long]("n_active"))
+    }
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == users,
+      "every user is new exactly once")
+    assert(rows.head.getAs[Long]("n_returning") == 0L,
+      "nobody returns in the first active hour")
+  }
+
   test("s23 equals a driver-side brute-force of both rankings") {
     // on the random synthetic embeddings the first 16 dims genuinely lose
     // most of the neighborhood (measured mean overlap 0.25/3 here) — the
