@@ -261,5 +261,70 @@ object Similarity2 {
       .orderBy("qid")
   }
 
-  def defs: Seq[QueryDef] = Seq(sq8Adc, dimTruncation)
+  /** s24: MaxSim LATE-INTERACTION scoring (the ColBERT retrieval model):
+    * a query is a SET of token vectors, a document is a SET of token
+    * vectors, and score(Q, D) = Σ_{q∈Q} max_{d∈D} sim(q, d) — each query
+    * token matches its best document token, no pooling to a single
+    * vector first. Here the embedding table's `label` groups play the
+    * documents (their member vectors are the "tokens") and label 0's
+    * first 8 vectors play the query.
+    *
+    * EXACTNESS: sim is the raw scaled integer dot (`long_dot`, 1e-12
+    * units) rather than cosine — max-of-longs and sum-of-longs are both
+    * order-independent, so the two-level MaxSim aggregate is
+    * deterministic where a float Σ of maxes would depend on merge order
+    * (the s17 scaled-integer-DCG discipline). One double division at
+    * the end converts to display units.
+    *
+    * Scale shape: the query token set broadcasts (it is tokens-per-query
+    * sized); the corpus token stream is scored map-only, then reduced by
+    * (query-token, doc) max and (doc) sum — both map-side-combining
+    * aggregates on doc-bounded keyspaces. The corpus is never
+    * key-shuffled; cost is one scan + two small exchanges, the same
+    * envelope as a single-vector top-k.
+    */
+  val maxSim: QueryDef = q(
+    "s24_maxsim",
+    s"""WITH jj AS (SELECT unnest(range(0, 64)) AS jx),
+       |x AS (
+       |  SELECT vec_id, label, jx,
+       |         CAST(CAST(CAST(embeddings.embedding[CAST(jx + 1 AS INT)] AS DOUBLE)
+       |              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+       |  FROM embeddings, jj),
+       |qx AS (SELECT vec_id AS qid, jx, v FROM x WHERE vec_id < 8),
+       |dots AS (
+       |  SELECT qx.qid, x.vec_id AS cid, x.label AS label,
+       |         CAST(sum(qx.v * x.v) AS BIGINT) AS dot
+       |  FROM x JOIN qx ON qx.jx = x.jx
+       |  WHERE x.vec_id >= 8
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT qid, label, max(dot) AS m
+       |  FROM dots GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT label, count(*) AS n_qtokens, CAST(sum(m) AS BIGINT) AS s
+       |  FROM best GROUP BY 1)
+       |SELECT CAST(label AS INT) AS label, n_qtokens,
+       |       CAST(s AS DOUBLE) / 1000000000000 AS maxsim
+       |FROM sc
+       |ORDER BY maxsim DESC, label""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.parallel(Tables.embeddings(s, d))
+    val corpus = Similarity.withQuant(emb.filter(col("vec_id") >= 8))
+      .select(col("vec_id").as("cid"), col("label"), col("qv").as("cv"))
+    val qs = Similarity.withQuant(emb.filter(col("vec_id") < 8))
+      .select(col("vec_id").as("qid"), col("qv"))
+    corpus.join(broadcast(qs))
+      .select(col("qid"), col("label"),
+        call_function("long_dot", col("qv"), col("cv")).as("dot"))
+      .groupBy(col("qid"), col("label"))
+      .agg(max(col("dot")).as("m"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_qtokens"), sum(col("m")).as("s"))
+      .select(col("label").cast("int").as("label"), col("n_qtokens"),
+        (col("s").cast("double") / lit(1.0e12)).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("label"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(sq8Adc, dimTruncation, maxSim)
 }

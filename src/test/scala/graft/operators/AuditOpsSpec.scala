@@ -75,6 +75,34 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "nobody returns in the first active hour")
   }
 
+  test("s24 MaxSim equals a driver-side brute-force; corpus never key-shuffled") {
+    val got = graft.QueryCatalog.byName("s24_maxsim").run(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x =>
+          BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(1000000)).toLongExact).toArray,
+        r.getInt(2)))
+    val qs = vecs.filter(_._1 < 8)
+    val docs = vecs.filter(_._1 >= 8).groupBy(_._3)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    docs.foreach { case (label, toks) =>
+      val s = qs.map(q => toks.map(t => dot(q._2, t._2)).max).sum
+      val want = s.toDouble / 1.0e12
+      assert(got(label) == want, s"label $label: ${got(label)} != $want")
+    }
+    assert(got.keySet == docs.keySet)
+
+    val p = graft.QueryCatalog.byName("s24_maxsim").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("s23 equals a driver-side brute-force of both rankings") {
     // on the random synthetic embeddings the first 16 dims genuinely lose
     // most of the neighborhood (measured mean overlap 0.25/3 here) — the
