@@ -339,7 +339,66 @@ object TimeSeries2 {
       .orderBy("hour_id")
   }
 
+  /** q70: trailing-24-hour reach from REUSED hourly sketches — the
+    * 100 TB answer to q65. The exact sliding distinct (q65) expands each
+    * user-hour ×24; with HLL sketches the corpus is touched ONCE (one
+    * sketch per hour, the q68 build), and every trailing window is a
+    * 24-sketch union — overlapping windows share their hourly sketches
+    * instead of re-reading users. Self-gated: the estimate must land
+    * within 5% of q65's exact reach for every hour (both engines gate
+    * their own sketch; the verdict column is compared — the q62/q68
+    * discipline).
+    *
+    * Scale shape: one user-hour shuffle to build |hours| sketches
+    * (KB each), then the window union is |hours| × 24 sketch rows —
+    * independent of user count. The exact side exists only as the audit.
+    */
+  val slidingReachApprox: QueryDef = q(
+    "q70_sliding_reach_hll",
+    """WITH uh AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS h
+      |  FROM events),
+      |b AS (SELECT max(h) AS hmax FROM uh),
+      |proj AS (
+      |  SELECT user_id, unnest(generate_series(h, h + 23)) AS h2
+      |  FROM uh),
+      |w AS (
+      |  SELECT p.h2 AS hour_id,
+      |         count(DISTINCT p.user_id) AS exact_reach,
+      |         approx_count_distinct(p.user_id) AS est
+      |  FROM proj p, b WHERE p.h2 <= b.hmax
+      |  GROUP BY 1)
+      |SELECT hour_id, exact_reach,
+      |       abs(est - exact_reach) <= 0.05 * exact_reach AS approx_ok
+      |FROM w ORDER BY hour_id""".stripMargin) { (s, d) =>
+    val uh = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $HourNs").as("h"))
+      .distinct()
+    val bounds = uh.agg(max(col("h")).as("hmax"))
+    // ONE sketch per hour — the corpus-touching pass
+    val hourly = uh.groupBy("h")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    // each hourly sketch serves its <= 24 window-ends; the union is
+    // sketch-count-bounded, user-count-independent
+    val proj = hourly.select(col("sk"),
+      explode(sequence(col("h"), col("h") + 23)).as("h2"))
+    val est = proj.join(broadcast(bounds), proj("h2") <= bounds("hmax"))
+      .groupBy(col("h2").as("hour_id"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    // exact audit side (q65's plan)
+    val exact = uh
+      .select(col("user_id"), explode(sequence(col("h"), col("h") + 23)).as("h2"))
+      .join(broadcast(bounds), col("h2") <= col("hmax"))
+      .groupBy(col("h2").as("hour_id"))
+      .agg(countDistinct(col("user_id")).as("exact_reach"))
+    est.join(exact, "hour_id")
+      .select(col("hour_id"), col("exact_reach"),
+        (abs(col("est") - col("exact_reach")) <=
+          lit(0.05) * col("exact_reach")).as("approx_ok"))
+      .orderBy("hour_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ewma, slidingDistinct, histogram, rollingMedian, hllMergeable,
-      newVsReturning)
+      newVsReturning, slidingReachApprox)
 }

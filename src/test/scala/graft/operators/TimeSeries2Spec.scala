@@ -134,6 +134,18 @@ class TimeSeries2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q70: exact side equals q65; every window's sketch estimate inside 5%") {
+    val q70 = graft.QueryCatalog.byName("q70_sliding_reach_hll").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[Boolean](2)))).toMap
+    val q65 = graft.QueryCatalog.byName("q65_sliding_distinct").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q70.keySet == q65.keySet)
+    q70.foreach { case (h, (exact, ok)) =>
+      assert(exact == q65(h), s"hour $h exact side diverged from q65")
+      assert(ok, s"hour $h sketch estimate outside 5%")
+    }
+  }
+
   test("q66 buckets tile the corpus: counts sum to |events|, buckets in [0,19]") {
     val rows = graft.QueryCatalog.byName("q66_histogram").run(spark, sf).collect()
     val total = graft.Tables.events(spark, sf).count()

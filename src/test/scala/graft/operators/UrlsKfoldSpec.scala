@@ -80,6 +80,43 @@ class UrlsKfoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("canonicalizeUrl is IDEMPOTENT on generated URLs (fixed-seed property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // generator over the canonicalizer's whole input surface: mixed-case
+    // schemes/hosts, optional www., ports, messy param lists (tracking
+    // and legit, duplicated, empty), trailing slashes, fragments
+    val genUrl: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "Https")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.COM", "a.b.c", "SITE.org")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.choose(0, 3)
+      path <- Gen.listOfN(segs, Gen.oneOf("A", "b", "c9")).map(
+        l => if (l.isEmpty) "" else l.mkString("/", "/", ""))
+      slashes <- Gen.oneOf("", "/", "//")
+      params <- Gen.someOf("a=1", "b=2", "z=9", "utm_source=x",
+        "utm_medium=y", "fbclid=f", "gclid=g", "")
+      frag <- Gen.oneOf("", "#x", "#frag-2")
+    } yield {
+      val qs = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      s"$scheme://$www$host$port$path$slashes$qs$frag"
+    }
+    val params = Gen.Parameters.default
+    val urls = (0 until 300).flatMap(i =>
+      genUrl.apply(params, Seed(i.toLong))).distinct
+    assert(urls.size > 200)
+    val twice = urls.toDF("url")
+      .select(col("url"), Urls.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("url"), col("c1"), Urls.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent on ${r.getString(0)}: ${r.getString(1)} -> ${r.getString(2)}")
+    }
+  }
+
   test("d22: groups collapse all four surface variants; keep is min doc_id") {
     val rows = graft.QueryCatalog.byName("d22_url_canonical").run(spark, sf)
       .collect()
