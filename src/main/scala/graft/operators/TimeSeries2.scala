@@ -398,7 +398,72 @@ object TimeSeries2 {
       .orderBy("hour_id")
   }
 
+  /** q71: CUSUM drift detection per user — the classical
+    * change-detection statistic (Page 1954): S_t = max(0, S_{t−1} + (c_t
+    * − ref)); alarm and reset when S crosses the threshold. CUSUM
+    * catches a sustained small shift long before any per-point z-score
+    * (q55) fires, which is why monitoring pipelines run both.
+    *
+    * A recursive fold is NOT frame-expressible, and a
+    * collect-the-group-then-fold would materialize unbounded user
+    * histories. The scalable shape is the secondary-sort pattern:
+    * repartition by user, sortWithinPartitions by (user, t, id), then
+    * ONE streaming pass per partition carrying (current user, S) — O(1)
+    * state, no per-group buffering, arbitrarily long histories. All
+    * arithmetic is exact integer cents; parameters (ref 50.00 above
+    * typical, alarm at 500.00 of accumulated excess) are calibrated to
+    * the fixture's value law. The oracle restates the recursion as a
+    * per-user recursive CTE — a genuinely different evaluation strategy
+    * agreeing bit-for-bit.
+    */
+  val cusumAlarms: QueryDef = q(
+    "q71_cusum_alarms",
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_ns(ts), event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, rn, event_id, t,
+      |         greatest(0, c - 5000) AS s_pre,
+      |         greatest(0, c - 5000) > 50000 AS alarm,
+      |         CASE WHEN greatest(0, c - 5000) > 50000 THEN 0
+      |              ELSE greatest(0, c - 5000) END AS s_post
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.event_id, e.t,
+      |         greatest(0, r.s_post + e.c - 5000) AS s_pre,
+      |         greatest(0, r.s_post + e.c - 5000) > 50000 AS alarm,
+      |         CASE WHEN greatest(0, r.s_post + e.c - 5000) > 50000 THEN 0
+      |              ELSE greatest(0, r.s_post + e.c - 5000) END AS s_post
+      |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      |SELECT user_id, event_id, t, CAST(s_pre AS BIGINT) AS s_alarm
+      |FROM r WHERE alarm
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val e = Tables.events(s, d).select(
+      col("user_id"), col("event_id"), col("ts").as("t"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+    e.repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "t", "event_id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var sPost = 0L
+        it.flatMap { case (u, id, t, c) =>
+          if (u != curUser) { curUser = u; sPost = 0L }
+          val sPre = math.max(0L, sPost + c - 5000L)
+          val alarm = sPre > 50000L
+          sPost = if (alarm) 0L else sPre
+          if (alarm) Iterator.single((u, id, t, sPre)) else Iterator.empty
+        }
+      }
+      .toDF("user_id", "event_id", "t", "s_alarm")
+      .orderBy("user_id", "event_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ewma, slidingDistinct, histogram, rollingMedian, hllMergeable,
-      newVsReturning, slidingReachApprox)
+      newVsReturning, slidingReachApprox, cusumAlarms)
 }

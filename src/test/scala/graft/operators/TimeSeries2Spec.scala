@@ -146,6 +146,31 @@ class TimeSeries2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q71 CUSUM equals a driver-side recursion and is partition-independent") {
+    val got = graft.QueryCatalog.byName("q71_cusum_alarms").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // driver-side recursion with reset, same parameters
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      var s = 0L
+      rows.sortBy(r => (r._3, r._2)).flatMap { r =>
+        val pre = math.max(0L, s + r._4 - 5000L)
+        val alarm = pre > 50000L
+        s = if (alarm) 0L else pre
+        if (alarm) Some((u, r._2, pre)) else None
+      }
+    }
+    assert(got.toSet == want.toSet && got.nonEmpty)
+    // the fold must not depend on physical partitioning: the operator
+    // repartitions by user itself, so a skewed input changes nothing
+    val again = graft.QueryCatalog.byName("q71_cusum_alarms")
+      .run(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(again.toSet == got.toSet)
+  }
+
   test("q66 buckets tile the corpus: counts sum to |events|, buckets in [0,19]") {
     val rows = graft.QueryCatalog.byName("q66_histogram").run(spark, sf).collect()
     val total = graft.Tables.events(spark, sf).count()
