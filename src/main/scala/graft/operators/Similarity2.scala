@@ -266,8 +266,10 @@ object Similarity2 {
     * vectors, and score(Q, D) = Σ_{q∈Q} max_{d∈D} sim(q, d) — each query
     * token matches its best document token, no pooling to a single
     * vector first. Here the embedding table's `label` groups play the
-    * documents (their member vectors are the "tokens") and label 0's
-    * first 8 vectors play the query.
+    * documents (their member vectors are the "tokens") and the 8 lowest
+    * vec_ids — which span several labels — play the query token set;
+    * those 8 vectors are excluded from every document's token side, so
+    * each label is scored on its remaining members only.
     *
     * EXACTNESS: sim is the raw scaled integer dot (`long_dot`, 1e-12
     * units) rather than cosine — max-of-longs and sum-of-longs are both

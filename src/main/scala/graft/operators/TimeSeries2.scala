@@ -84,7 +84,12 @@ object TimeSeries2 {
       |    / CAST((256 - (256 >> n)) AS DOUBLE) / 100 AS ewma
       |FROM s
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
-    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    // a NULL value would silently skew the positional weights (the lag
+    // slots stay positional while n shrinks) — fail loudly instead; the
+    // events contract has no null values, this guard enforces it
+    val cents = when(col("value").isNull,
+      raise_error(lit("q64/q67: NULL event value breaks the lag frame")))
+      .otherwise((col("value").cast("decimal(12,2)") * 100).cast("long"))
     val e = Tables.events(s, d)
       .filter(col("user_id") % 50 === 0)
       .select(col("user_id"), col("event_id"), col("ts").as("t"),
@@ -234,7 +239,12 @@ object TimeSeries2 {
       |  END AS med
       |FROM s
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
-    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    // a NULL value would silently skew the positional weights (the lag
+    // slots stay positional while n shrinks) — fail loudly instead; the
+    // events contract has no null values, this guard enforces it
+    val cents = when(col("value").isNull,
+      raise_error(lit("q64/q67: NULL event value breaks the lag frame")))
+      .otherwise((col("value").cast("decimal(12,2)") * 100).cast("long"))
     val e = Tables.events(s, d)
       .filter(col("user_id") % 50 === 0)
       .select(col("user_id"), col("event_id"), col("ts").as("t"),

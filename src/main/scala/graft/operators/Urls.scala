@@ -43,8 +43,12 @@ object Urls {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
     val hostport = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]*)", 1))
-    val host = regexp_replace(
-      regexp_replace(hostport, "^www\\.", ""), ":(80|443)$", "")
+    val noWww = regexp_replace(hostport, "^www\\.", "")
+    // only the scheme's OWN default port is redundant: http on :443 (or
+    // https on :80) is a different resource and must NOT merge
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
     val path = regexp_replace(
       regexp_extract(noFrag, "^[A-Za-z]+://[^/?]*([^?]*)", 1), "/+$", "")
     val query = regexp_extract(noFrag, "\\?(.*)$", 1)
@@ -56,30 +60,35 @@ object Urls {
       when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
 
-  /** SQL restatement of [[canonicalizeUrl]] for the oracle (DuckDB
-    * list lambdas mirror Spark's array lambdas 1:1).
+  /** SQL restatements of [[canonicalizeUrl]] for the oracle (DuckDB list
+    * lambdas mirror Spark's array lambdas 1:1), split so the query can
+    * bind each piece ONCE in a CTE — the params expression must not be
+    * duplicated across CASE branches, or a future edit diverges the two
+    * copies silently.
     */
-  private def canonicalSql(u: String): String = {
-    val noFrag = s"regexp_replace($u, '#.*$$', '')"
-    s"""lower(regexp_extract($noFrag, '^([A-Za-z]+)://', 1)) || '://' ||
+  private def schemeSql(noFrag: String): String =
+    s"lower(regexp_extract($noFrag, '^([A-Za-z]+)://', 1))"
+
+  /** scheme ‖ host ‖ path (everything before the query string). */
+  private def canonicalPrefixSql(noFrag: String): String =
+    s"""${schemeSql(noFrag)} || '://' ||
        |  regexp_replace(regexp_replace(
        |    lower(regexp_extract($noFrag, '^[A-Za-z]+://([^/?]*)', 1)),
-       |    '^www\\.', ''), ':(80|443)$$', '') ||
+       |    '^www\\.', ''),
+       |    CASE WHEN ${schemeSql(noFrag)} = 'http' THEN ':80$$'
+       |         WHEN ${schemeSql(noFrag)} = 'https' THEN ':443$$'
+       |         ELSE 'a^' END, '') ||
        |  regexp_replace(
        |    regexp_extract($noFrag, '^[A-Za-z]+://[^/?]*([^?]*)', 1),
-       |    '/+$$', '') ||
-       |  CASE WHEN length(array_to_string(list_sort(list_filter(
-       |         string_split(regexp_extract($noFrag, '\\?(.*)$$', 1), '&'),
-       |         p -> p NOT LIKE 'utm\\_%' ESCAPE '\\'
-       |              AND p NOT LIKE 'fbclid=%'
-       |              AND p NOT LIKE 'gclid=%' AND p <> '')), '&')) > 0
-       |       THEN '?' || array_to_string(list_sort(list_filter(
-       |         string_split(regexp_extract($noFrag, '\\?(.*)$$', 1), '&'),
-       |         p -> p NOT LIKE 'utm\\_%' ESCAPE '\\'
-       |              AND p NOT LIKE 'fbclid=%'
-       |              AND p NOT LIKE 'gclid=%' AND p <> '')), '&')
-       |       ELSE '' END""".stripMargin
-  }
+       |    '/+$$', '')""".stripMargin
+
+  /** The sorted, tracking-stripped query string (possibly empty). */
+  private def canonicalParamsSql(noFrag: String): String =
+    s"""array_to_string(list_sort(list_filter(
+       |    string_split(regexp_extract($noFrag, '\\?(.*)$$', 1), '&'),
+       |    p -> p NOT LIKE 'utm\\_%' ESCAPE '\\'
+       |         AND p NOT LIKE 'fbclid=%'
+       |         AND p NOT LIKE 'gclid=%' AND p <> '')), '&')""".stripMargin
 
   /** Synthetic URL surface for the gate: documents have no URL column,
     * so both sides derive one DETERMINISTICALLY from `doc_id` — four
@@ -125,9 +134,16 @@ object Urls {
     "d22_url_canonical",
     s"""WITH u AS (
        |  SELECT doc_id, $urlSqlCases AS url FROM documents),
+       |nf AS (
+       |  SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS f FROM u),
        |c AS (
-       |  SELECT doc_id, url, ${canonicalSql("url")} AS canon FROM u)
-       |SELECT canon AS canon_url, count(*) AS n_dups,
+       |  SELECT doc_id, url,
+       |         ${canonicalPrefixSql("f")} AS pre,
+       |         ${canonicalParamsSql("f")} AS ps
+       |  FROM nf)
+       |SELECT pre || CASE WHEN length(ps) > 0 THEN '?' || ps ELSE '' END
+       |         AS canon_url,
+       |       count(*) AS n_dups,
        |       count(DISTINCT url) AS n_surface_forms,
        |       min(doc_id) AS keep_doc
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>

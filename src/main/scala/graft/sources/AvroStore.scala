@@ -136,7 +136,9 @@ object AvroStore {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new Path(path).toUri, conf)
-    val files = fs.globStatus(new Path(path, "*.avro"))
+    // globStatus returns NULL (not empty) for a nonexistent base path
+    val files = Option(fs.globStatus(new Path(path, "*.avro")))
+      .getOrElse(Array.empty)
       .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no .avro container files under $path")
     val hadoopConfSer = new org.apache.spark.util.SerializableConfiguration(conf)
@@ -147,10 +149,29 @@ object AvroStore {
           val in = new FsInput(new Path(p), hadoopConfSer.value)
           val reader = new DataFileReader[GenericRecord](
             in, new GenericDatumReader[GenericRecord]())
-          val writerSchema = reader.getSchema
-          schema.fields.foreach { f =>
-            require(writerSchema.getField(f.name) != null,
-              s"$p: declared column '${f.name}' missing from Avro schema")
+          // close on task end, not only on iterator exhaustion — an
+          // early-terminating consumer (limit, drift failure below)
+          // must not leak the file handle on a long-lived executor
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => reader.close()))
+          try {
+            val writerSchema = reader.getSchema
+            schema.fields.foreach { f =>
+              val wf = writerSchema.getField(f.name)
+              require(wf != null,
+                s"$p: declared column '${f.name}' missing from Avro schema")
+              // type drift fails here with file+column context, not as an
+              // opaque ClassCastException inside Catalyst row conversion
+              val want = unwrap(
+                avroSchema(StructType(Seq(f)), "Probe").getFields.get(0).schema())
+              val got = unwrap(wf.schema())
+              require(got.getType == want.getType &&
+                  (got.getType != Schema.Type.ARRAY ||
+                    got.getElementType.getType == want.getElementType.getType),
+                s"$p: column '${f.name}' is Avro $got, declared ${f.dataType}")
+            }
+          } catch {
+            case e: Throwable => reader.close(); throw e
           }
           new Iterator[Row] {
             def hasNext: Boolean = {

@@ -618,9 +618,23 @@ object EventStream {
     * stream ≡ batch holds on every EMITTED hour (spec-pinned, including
     * a mid-stream trigger cut).
     */
-  def reach(events: DataFrame): DataFrame =
+  def reach(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     events
       .select(col("user_id"), expr("ts div 3600000000000").as("h"))
+      // dedup BEFORE the ×24 expansion (the batch q65 invariant). A
+      // second STATEFUL dedup here is impossible (one watermark per
+      // query — Spark rejects redefinition), so this is the stateless
+      // per-partition form: a micro-batch-local seen-set. A user firing
+      // 10⁶ events in one hour now costs ~1 row per partition into the
+      // ×24 explode and the state store, not 24·10⁶; the downstream
+      // stateful dedup stays the cross-partition/cross-batch authority.
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        it.filter(seen.add)
+      }
+      .toDF("user_id", "h")
       .select(col("user_id"), explode(sequence(col("h"), col("h") + 23)).as("h2"))
       .withColumn("et2", timestamp_micros(col("h2") * lit(3600000000L)))
       .withWatermark("et2", "26 hours")
@@ -629,4 +643,5 @@ object EventStream {
       .agg(count(lit(1)).as("reach_24h"))
       .select(expr("unix_micros(window.start) div 3600000000").as("hour_id"),
         col("reach_24h"))
+  }
 }

@@ -64,6 +64,11 @@ class UrlsKfoldSpec extends AnyFunSuite with BeforeAndAfterAll {
         "https://site.org/A/B?a=2&z=1"),
       // non-default port preserved; path case preserved
       ("http://site.org:8080/Path/", "http://site.org:8080/Path"),
+      // ONLY the scheme's own default port strips: http on :443 and
+      // https on :80 are different resources and must survive
+      ("http://site.org:443/p", "http://site.org:443/p"),
+      ("https://site.org:80/p", "https://site.org:80/p"),
+      ("http://site.org:80/p", "http://site.org/p"),
       // empty query: '?' dropped; bare host: no trailing slash to strip
       ("http://Site.org?", "http://site.org"),
       // fbclid/gclid stripped, legit params kept in byte order
