@@ -473,7 +473,61 @@ object TimeSeries2 {
       .orderBy("user_id", "event_id")
   }
 
+  /** q72: MERGEABLE frequency sketches — the Count-Min complement to
+    * q68's HLL distincts. Per-day CMS sketches of the event-type stream
+    * (`count_min_sketch`, Spark's built-in mergeable aggregate), merged
+    * across days ON THE DRIVER via `CountMinSketch.mergeInPlace` —
+    * |days| sketches of a few KB each, the bounded-model-state pattern —
+    * then each type's merged estimate is gated against its exact count
+    * using CMS's one-sided guarantee: the estimate NEVER undercounts,
+    * and overcounts by at most ε·N (ε = 0.1%, δ = 1%) with the seed
+    * fixed, so the gate is deterministic.
+    *
+    * Scale shape: the per-day sketch build is one keyed aggregate whose
+    * reduce state is sketch-sized regardless of row count; the merge
+    * moves |days| KB-scale blobs to the driver (at 100 TB: a second
+    * sketch-of-sketches aggregate level instead, same algebra). The
+    * exact count exists only as the audit.
+    */
+  val cmsMergeable: QueryDef = q(
+    "q72_cms_mergeable",
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events)
+      |SELECT event_type,
+      |  count(DISTINCT day) AS n_days,
+      |  count(*) AS exact_n,
+      |  TRUE AS cms_ok
+      |FROM e GROUP BY 1
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.util.sketch.CountMinSketch
+    val e = Tables.events(s, d).select(
+      col("event_type"), expr(s"ts div ${24 * HourNs}").as("day"))
+    // one mergeable sketch per day — the corpus-touching pass
+    val daily = e.groupBy("day")
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+      .collect()
+    val merged = daily.map(r =>
+        CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("day")).as("n_days"), count(lit(1)).as("exact_n"))
+      .collect()
+    val totalN = exact.map(_.getAs[Long]("exact_n")).sum
+    import s.implicits._
+    exact.toSeq.map { r =>
+      val t = r.getString(0)
+      // the SQL aggregate adds STRING items as their UTF-8 bytes
+      val est = merged.estimateCount(t.getBytes("UTF-8"))
+      val n = r.getAs[Long]("exact_n")
+      // CMS one-sided bound: never under, over by <= eps*N
+      (t, r.getAs[Long]("n_days"), n,
+        est >= n && est <= n + (0.001 * totalN).toLong + 1)
+    }.toDF("event_type", "n_days", "exact_n", "cms_ok")
+      .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ewma, slidingDistinct, histogram, rollingMedian, hllMergeable,
-      newVsReturning, slidingReachApprox, cusumAlarms)
+      newVsReturning, slidingReachApprox, cusumAlarms, cmsMergeable)
 }

@@ -171,6 +171,29 @@ class TimeSeries2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSet == got.toSet)
   }
 
+  test("q72: merged per-day CMS estimates equal the one-pass sketch; never undercounts") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rows = graft.QueryCatalog.byName("q72_cms_mergeable").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("cms_ok"), r.toString))
+    val e = graft.Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+    def sk(df: org.apache.spark.sql.DataFrame): CountMinSketch =
+      df.collect().map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+        .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val merged = sk(e.groupBy("day")
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+      .select("sk"))
+    val onePass = sk(e.agg(
+      expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk")))
+    val types = rows.map(_.getString(0))
+    types.foreach { t =>
+      val b = t.getBytes("UTF-8")
+      assert(merged.estimateCount(b) == onePass.estimateCount(b),
+        s"$t: merged CMS diverges from the one-pass sketch")
+    }
+  }
+
   test("q66 buckets tile the corpus: counts sum to |events|, buckets in [0,19]") {
     val rows = graft.QueryCatalog.byName("q66_histogram").run(spark, sf).collect()
     val total = graft.Tables.events(spark, sf).count()

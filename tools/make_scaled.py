@@ -122,7 +122,15 @@ def main(src: str, out: str, replicas: int) -> None:
         d = f"{out}/{t}.parquet"
         os.makedirs(d, exist_ok=True)
         total = 0
-        for k in range(replicas):
+        # embeddings cap at dim-1 replicas (cyclic rotation would wrap to
+        # an exact copy past that — see rotate_embeddings); beyond-cap
+        # stores scale every OTHER table fully and embeddings to the cap,
+        # which the probe reports per-table.
+        n_t = replicas
+        if t == "embeddings":
+            dim = len(base["embedding"][0].as_py())
+            n_t = min(replicas, dim - 1)
+        for k in range(n_t):
             rep = shift_table(base, cols, k)
             if t == "documents":
                 rep = salt_documents(rep, k)
@@ -130,7 +138,7 @@ def main(src: str, out: str, replicas: int) -> None:
                 rep = rotate_embeddings(rep, k)
             total += rep.num_rows
             pq.write_table(rep, f"{d}/part-{k:03d}.parquet")
-        print(f"{t}: {base.num_rows} -> {total} rows ({replicas} files)")
+        print(f"{t}: {base.num_rows} -> {total} rows ({n_t} files)")
 
 
 if __name__ == "__main__":
