@@ -527,7 +527,60 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** q73: INCREMENTAL rollup maintenance — the "don't rescan history"
+    * contract for plain aggregates, proven under the gate. The event
+    * stream is split at its midpoint timestamp into HISTORY and DELTA;
+    * each side is aggregated to exact-decimal partials independently
+    * (history's partials are what a warehouse would have persisted), and
+    * the published rollup is the MERGE of the two partial sets — sums of
+    * counts and decimal sums, which is exact and associative, so the
+    * merged result is bit-identical to a full recompute (the oracle IS
+    * the full recompute, restated over a partials relation so it can
+    * also state `n_parts`). q68/q72 are this same algebra for sketches;
+    * this is the plain-aggregate form every incremental ETL needs.
+    *
+    * Scale shape: the delta aggregate touches only delta rows; the merge
+    * exchanges |cells| partial rows, not events. `n_parts` (1 or 2 per
+    * cell) makes the maintenance structure visible — and auditable — in
+    * the result itself.
+    */
+  val incrementalRollup: QueryDef = q(
+    "q73_incremental_rollup",
+    """WITH e AS (
+      |  SELECT epoch_ns(ts) // 3600000000000 AS h, event_type,
+      |         CAST(value AS DECIMAL(12,2)) AS v, epoch_ns(ts) AS t
+      |  FROM events),
+      |b AS (SELECT (min(t) + max(t)) // 2 AS cut FROM e),
+      |p AS (
+      |  SELECT h, event_type,
+      |         CASE WHEN e.t <= b.cut THEN 0 ELSE 1 END AS part,
+      |         count(*) AS n, sum(v) AS s
+      |  FROM e, b GROUP BY 1, 2, 3)
+      |SELECT h AS hour_id, event_type,
+      |       CAST(sum(n) AS BIGINT) AS n_events,
+      |       CAST(sum(s) AS DOUBLE) AS sum_value,
+      |       count(*) AS n_parts
+      |FROM p GROUP BY 1, 2
+      |ORDER BY hour_id, event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      expr(s"ts div $HourNs").as("h"), col("event_type"),
+      Compat.money(col("value")).as("v"), col("ts").as("t"))
+    val cut = e.agg(expr("(min(t) + max(t)) div 2").as("cut"))
+    val withPart = e.join(broadcast(cut))
+      .withColumn("part", when(col("t") <= col("cut"), 0).otherwise(1))
+    // per-side partials: what the history side would persist
+    val partials = withPart.groupBy("h", "event_type", "part")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    // the maintenance step: merge partials, never rescan events
+    partials.groupBy(col("h").as("hour_id"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("s")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_parts"))
+      .orderBy("hour_id", "event_type")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ewma, slidingDistinct, histogram, rollingMedian, hllMergeable,
-      newVsReturning, slidingReachApprox, cusumAlarms, cmsMergeable)
+      newVsReturning, slidingReachApprox, cusumAlarms, cmsMergeable,
+      incrementalRollup)
 }

@@ -194,6 +194,45 @@ class TimeSeries2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q73: merged partials equal the full recompute (q22) cell-for-cell") {
+    val got = graft.QueryCatalog.byName("q73_incremental_rollup").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val full = graft.QueryCatalog.byName("q22_hourly_rollup").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == full.keySet)
+    got.foreach { case (k, (n, s, parts)) =>
+      assert(full(k) == ((n, s)), s"cell $k diverged from full recompute")
+      assert(parts == 1L || parts == 2L)
+    }
+    assert(got.values.exists(_._3 == 1L))
+
+    // the fixture's cut hour is sparse (no cell straddles the instant),
+    // so prove the 2-partial merge on a handcrafted store: four events,
+    // one hour, one type, two on each side of the (min+max)/2 midpoint
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "q73-mini")
+    val hour0 = 400000L * 3600000000000L
+    Seq(
+      (1L, hour0 + 1L, 10L, "click", 10.0, "{}"),
+      (2L, hour0 + 2L, 10L, "click", 20.0, "{}"),
+      (3L, hour0 + 3000000000000L, 11L, "click", 30.0, "{}"),
+      (4L, hour0 + 3100000000000L, 11L, "click", 40.0, "{}"))
+      .toDF("event_id", "rawns", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(rawns div 1000)")).drop("rawns")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val mini = graft.QueryCatalog.byName("q73_incremental_rollup")
+      .run(spark, dir.toString).collect()
+    assert(mini.length == 1)
+    assert(mini.head.getLong(2) == 4L && mini.head.getDouble(3) == 100.0)
+    assert(mini.head.getLong(4) == 2L,
+      "the straddling cell must merge exactly two partials")
+  }
+
   test("q66 buckets tile the corpus: counts sum to |events|, buckets in [0,19]") {
     val rows = graft.QueryCatalog.byName("q66_histogram").run(spark, sf).collect()
     val total = graft.Tables.events(spark, sf).count()
