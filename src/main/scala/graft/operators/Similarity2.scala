@@ -328,5 +328,114 @@ object Similarity2 {
       .orderBy(col("maxsim").desc, col("label"))
   }
 
-  def defs: Seq[QueryDef] = Seq(sq8Adc, dimTruncation, maxSim)
+  /** s25: BINARY quantization ANN — the 1-bit extreme of the compression
+    * spectrum (exact ≫ SQ8 s22 ≫ PQ s12/s15 ≫ BQ, 64× smaller than
+    * float32). Each vector compresses to its SIGN BITS (two unsigned
+    * 32-bit halves — the m08 trick, since constructing bit 63 overflows
+    * checked BIGINT arithmetic in the oracle); candidate generation is
+    * HAMMING distance (codegen'd `bit_count(xor)` — one XOR + popcount
+    * per half, the cheapest distance that exists), top-C = 32 candidates
+    * per query pre-trimmed by WindowGroupLimit, then an EXACT `long_dot`
+    * cosine re-rank of only C×|queries| pairs. This two-stage shape
+    * (cheap screen → exact confirm on survivors) is the s20 contract at
+    * 1 bit/dim.
+    *
+    * Scale shape: sign compression is scan-fused; the Hamming pass
+    * streams the corpus against the broadcast query set map-only (no
+    * corpus shuffle); the expensive exact dots touch 256 pairs total
+    * regardless of corpus size. Determinism: Hamming ties break on cid,
+    * so the candidate SET is exact; the re-rank is integer `long_dot`.
+    */
+  val bqRerank: QueryDef = q(
+    "s25_bq_rerank",
+    s"""WITH jj AS (SELECT unnest(range(0, 64)) AS jx),
+       |x AS (
+       |  SELECT vec_id, jx,
+       |         CAST(CAST(CAST(embeddings.embedding[CAST(jx + 1 AS INT)] AS DOUBLE)
+       |              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+       |  FROM embeddings, jj),
+       |bits AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN jx >= 32 AND v > 0
+       |                  THEN CAST(1 AS BIGINT) << (jx - 32) ELSE 0 END)
+       |         AS BIGINT) AS bhi,
+       |    CAST(sum(CASE WHEN jx < 32 AND v > 0
+       |                  THEN CAST(1 AS BIGINT) << jx ELSE 0 END)
+       |         AS BIGINT) AS blo
+       |  FROM x GROUP BY 1),
+       |qb AS (SELECT vec_id AS qid, bhi AS qhi, blo AS qlo FROM bits
+       |       WHERE vec_id < 8),
+       |ham AS (
+       |  SELECT qb.qid, b.vec_id AS cid,
+       |         bit_count(xor(qb.qhi, b.bhi)) + bit_count(xor(qb.qlo, b.blo))
+       |           AS hd
+       |  FROM bits b, qb WHERE b.vec_id <> qb.qid),
+       |cand AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY hd, cid) AS rc
+       |    FROM ham) WHERE rc <= 32),
+       |${Similarity.oracleNorms},
+       |dots AS (
+       |  SELECT c.qid, c.cid, CAST(sum(qx.v * cx.v) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN x qx ON qx.vec_id = c.qid
+       |  JOIN x cx ON cx.vec_id = c.cid AND cx.jx = qx.jx
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.cid,
+       |         (CAST(d.dot AS DOUBLE) / 1000000000000)
+       |           / (sqrt(CAST(nq.sq AS DOUBLE) / 1000000000000)
+       |            * sqrt(CAST(nc.sq AS DOUBLE) / 1000000000000)) AS cos
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.qid
+       |  JOIN norms nc ON nc.vec_id = d.cid)
+       |SELECT qid, rn, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.parallel(Tables.embeddings(s, d))
+    // sign-bit halves, scan-fused from the quantized view (bit weights
+    // as a broadcast literal table — shiftleft needs a static distance)
+    val pw = typedlit((0 until 32).map(1L << _))
+    def bitsOf(df: DataFrame) = Similarity.withQuant(df)
+      .withColumn("bhi", aggregate(
+        transform(col("qv"), (v, i) =>
+          when(i >= 32 && v > 0, element_at(pw, (i - 31).cast("int")))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b))
+      .withColumn("blo", aggregate(
+        transform(col("qv"), (v, i) =>
+          when(i < 32 && v > 0, element_at(pw, (i + 1).cast("int")))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b))
+    val corpus = bitsOf(emb)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"),
+        col("sq").as("csq"), col("bhi"), col("blo"))
+    val qs = bitsOf(emb.filter(col("vec_id") < 8))
+      .select(col("vec_id").as("qid"), col("qv"), col("sq"),
+        col("bhi").as("qhi"), col("blo").as("qlo"))
+    val hd = bit_count(col("qhi").bitwiseXOR(col("bhi"))) +
+      bit_count(col("qlo").bitwiseXOR(col("blo")))
+    val wc = Window.partitionBy("qid").orderBy(col("hd"), col("cid"))
+    val cand = corpus.join(broadcast(qs), col("cid") =!= col("qid"))
+      .withColumn("hd", hd)
+      .withColumn("rc", row_number().over(wc))
+      .filter(col("rc") <= 32)
+    val cos = (call_function("long_dot", col("qv"), col("cv")).cast("double")
+      / lit(1.0e12)) /
+      (sqrt(col("sq").cast("double") / lit(1.0e12)) *
+        sqrt(col("csq").cast("double") / lit(1.0e12)))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    cand.select(col("qid"), col("cid"), cos.as("cos"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("cid"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  def defs: Seq[QueryDef] = Seq(sq8Adc, dimTruncation, maxSim, bqRerank)
 }

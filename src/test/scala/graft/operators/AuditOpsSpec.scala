@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -101,6 +102,34 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("s25: BQ screen + exact re-rank; recall measured against the exact scan") {
+    val rows = graft.QueryCatalog.byName("s25_bq_rerank").run(spark, sf).collect()
+    assert(rows.length == 8 * 3)
+    // every reported neighbor's cos is exact (equals the exact scan's
+    // score for that pair) — the re-rank stage is not approximate
+    val emb = graft.Tables.embeddings(spark, sf)
+    val exact = Similarity.exactTopK(emb, emb.filter(col("vec_id") < 8), 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exact.get(key).foreach(c => assert(c == r.getDouble(3),
+        s"pair $key: re-rank cos diverges from the exact scan"))
+    }
+    // recall@3 of the 1-bit screen at C=32 on 50 vectors — lossy by
+    // design; the spec pins it does not collapse entirely
+    val top3 = Similarity.exactTopK(emb, emb.filter(col("vec_id") < 8), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (top3 & got).size.toDouble / top3.size
+    info(f"BQ recall@3 at C=32: $recall%.2f")
+    assert(recall >= 0.4, s"1-bit screen collapsed: recall $recall")
+
+    val p = graft.QueryCatalog.byName("s25_bq_rerank").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), "top-C pre-trim missing:\n" + p)
   }
 
   test("s23 equals a driver-side brute-force of both rankings") {
