@@ -594,6 +594,66 @@ object EventStream {
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** One CUSUM alarm (q71's row shape). */
+  final case class CusumAlarm(user_id: Long, event_id: Long, t: Long,
+      s_alarm: Long)
+
+  /** q71's streaming twin: Page's CUSUM drift detector with the
+    * accumulated statistic CARRIED ACROSS micro-batches in keyed state —
+    * the live form of the batch secondary-sort fold (`TimeSeries2
+    * .cusumAlarms`; same parameters, same exact integer cents). Alarms
+    * emit the moment their event is processed, not at batch end — the
+    * point of running detection on the stream.
+    *
+    * Within a trigger, a user's events fold in (ts, event_id) order;
+    * across triggers the state is one (S) long per live user, evicted by
+    * an event-time timer at last-event + [[StateTtlMs]] (the sessionize
+    * eviction contract: a user idle past the TTL restarts from S = 0 —
+    * for CUSUM that is the standard behavior, a cold statistic decays to
+    * nothing). Stream ≡ batch is spec-pinned across a trigger cut for
+    * in-order arrival; cross-trigger LATE data folds in arrival order —
+    * the same documented contract as [[anomalies]].
+    */
+  def cusum(events: Dataset[Ev]): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    val ttlMs = StateTtlMs
+    val ref = 5000L
+    val threshold = 50000L
+
+    def update(
+        userId: Long, batch: Iterator[EvT],
+        state: GroupState[Long]): Iterator[CusumAlarm] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var s = state.getOption.getOrElse(0L)
+        var lastTs = Long.MinValue
+        val out = Seq.newBuilder[CusumAlarm]
+        batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          val c = centsOf(e.value)
+          val pre = math.max(0L, s + c - ref)
+          val alarm = pre > threshold
+          s = if (alarm) 0L else pre
+          if (alarm) out += CusumAlarm(userId, e.event_id, e.ts, pre)
+          lastTs = e.ts
+        }
+        state.update(s)
+        state.setTimeoutTimestamp(
+          math.max(lastTs / 1000000L + ttlMs, state.getCurrentWatermarkMs() + 1))
+        out.result().iterator
+      }
+    }
+
+    events
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("et", "2 hours")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** q65's streaming twin: trailing-24-hour distinct-user reach per hour,
     * with bounded state.
     *

@@ -700,6 +700,46 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming CUSUM equals batch q71 exactly, across a trigger cut") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import spark.implicits._
+    val src = JFiles.createTempDirectory(JPaths.get("target"), "cusum-src")
+    val all = graft.Tables.events(spark, sfDir)
+    val tsMid = all.selectExpr("percentile_approx(ts, 0.5)").head().getLong(0)
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = JFiles.createTempDirectory(JPaths.get("target"), "cusum-tmp")
+      all.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = JFiles.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      JFiles.copy(JPaths.get(part), src.resolve(name))
+    }
+    stage(col("ts") <= tsMid, "a.parquet")
+    stage(col("ts") > tsMid, "b.parquet")
+
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Ev]
+    val q = EventStream.cusum(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusumstream").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cusumstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.QueryCatalog.byName("q71_cusum_alarms").run(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty, "fixture produced no alarms — test is vacuous")
+    assert(streamed == batch,
+      s"stream/batch alarm sets differ: only-stream=${streamed -- batch}, " +
+        s"only-batch=${batch -- streamed}")
+  }
+
   test("streaming 24h reach equals batch q65 on every emitted hour, " +
       "including across a trigger cut") {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
