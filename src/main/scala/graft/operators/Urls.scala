@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 
 /** URL canonicalization + URL-keyed dedup.
@@ -157,5 +158,72 @@ object Urls {
       .orderBy("canon_url")
   }
 
-  def defs: Seq[QueryDef] = Seq(urlDedup)
+  /** d23: ENSEMBLE dedup — one cluster space over MULTIPLE dedup lanes.
+    * Production pipelines never run one dedup signal: a page is the same
+    * page if its canonical URL matches (d22's lane) OR its text is
+    * byte-identical (d01's lane) — and transitively, so a URL-duplicate
+    * of a text-duplicate joins the same group. The composition is an
+    * edge-union + connected components: each lane contributes STAR edges
+    * (every member → its key-group minimum, linear in members, never the
+    * quadratic pair set), the union feeds [[Dedup.connectedComponents]]
+    * (adaptive local/distributed union-find), singletons keep their own
+    * id. The oracle restates both lanes' star edges and closes the
+    * transitive reach with a recursive CTE — a different CC evaluation
+    * agreeing exactly (the d07 discipline).
+    *
+    * Scale shape: each lane is one keyed window (min per key group) —
+    * map-side combined, linear edges out; CC is the audited adaptive
+    * path; the final labeling is one left join on doc_id. Adding a lane
+    * (phash, MinHash-confirmed, …) is one more star-edge relation
+    * unioned in.
+    */
+  val ensembleDedup: QueryDef = q(
+    "d23_ensemble_dedup",
+    s"""WITH RECURSIVE u AS (
+       |  SELECT doc_id, $urlSqlCases AS url FROM documents),
+       |nf AS (
+       |  SELECT doc_id, regexp_replace(url, '#.*$$', '') AS f FROM u),
+       |ck AS (
+       |  SELECT doc_id,
+       |         ${canonicalPrefixSql("f")} || '?' ||
+       |           ${canonicalParamsSql("f")} AS k
+       |  FROM nf),
+       |tk AS (SELECT doc_id, md5(text) AS k FROM documents),
+       |e1 AS (
+       |  SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM ck),
+       |e2 AS (
+       |  SELECT min(doc_id) OVER (PARTITION BY k) AS a, doc_id AS b FROM tk),
+       |ed AS (
+       |  SELECT a, b FROM e1 WHERE a < b
+       |  UNION SELECT a, b FROM e2 WHERE a < b),
+       |und AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+       |reach(doc_id, r) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT und.a, reach.r FROM und JOIN reach ON reach.doc_id = und.b),
+       |lab AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1)
+       |SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
+       |FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def starEdges(keyed: DataFrame): DataFrame = {
+      val w = Window.partitionBy("k")
+      keyed.withColumn("a", min(col("doc_id")).over(w))
+        .filter(col("a") < col("doc_id"))
+        .select(col("a").as("doc_a"), col("doc_id").as("doc_b"))
+    }
+    val urlKey = Tables.documents(s, d)
+      .select(col("doc_id"), urlCol.as("url"))
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("k"))
+    val textKey = docs.select(col("doc_id"), md5(col("text")).as("k"))
+    val edges = starEdges(urlKey).unionByName(starEdges(textKey)).distinct()
+    val cc = graft.operators.Dedup.connectedComponents(edges)
+    docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(urlDedup, ensembleDedup)
 }

@@ -122,6 +122,45 @@ class UrlsKfoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d23 ensemble clusters equal a driver-side union-find over both lanes") {
+    val got = graft.QueryCatalog.byName("d23_ensemble_dedup").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // driver union-find: same-URL-group (doc_id div 4 — the synthetic
+    // surface's canonical identity) OR byte-identical text
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    docs.groupBy(_._1 / 4).values.foreach { g =>
+      g.map(_._1).toSeq.sliding(2).foreach {
+        case Seq(a, b) => union(a, b); case _ => ()
+      }
+    }
+    docs.groupBy(_._2).values.foreach { g =>
+      g.map(_._1).toSeq.sliding(2).foreach {
+        case Seq(a, b) => union(a, b); case _ => ()
+      }
+    }
+    val want = docs.map(d => d._1 -> find(d._1)).toMap
+    assert(got == want)
+    // the ensemble is strictly coarser than the URL lane alone iff any
+    // text dup crosses a URL group — report either way, assert coherence
+    val crossLane = docs.groupBy(_._2).values.exists(g =>
+      g.map(_._1 / 4).distinct.size > 1)
+    if (crossLane)
+      assert(got.values.toSet.size < docs.map(_._1 / 4).distinct.size,
+        "cross-lane text dup must merge URL groups")
+  }
+
   test("d22: groups collapse all four surface variants; keep is min doc_id") {
     val rows = graft.QueryCatalog.byName("d22_url_canonical").run(spark, sf)
       .collect()
