@@ -751,7 +751,119 @@ object Multimodal {
       .orderBy("phash_hi", "phash_lo")
   }
 
+  /** Deterministic pattern WAV for `id`: 512 mono PCM16 samples
+    * `x_i = a · b_i(p)` with pattern class `p = id mod 16`, amplitude
+    * `a = 1 + id mod 7`, and base law
+    * `b_i(p) = ((i·(2p+3) + 37p) mod 4001) − 2000` (|x| ≤ 14000, in
+    * int16 range). Clips sharing `p` differ only by a GAIN factor — the
+    * perceptual-dup class for audio, exactly m08's brightness story.
+    */
+  def syntheticPatternWav(id: Long): Array[Byte] = {
+    val p = math.floorMod(id, 16L).toInt
+    val a = 1 + math.floorMod(id, 7L).toInt
+    val n = 512
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * (2 * p + 3) + 37L * p) % 4001L).toInt - 2000
+      val x = a * b
+      pcm(2 * i) = (x & 0xff).toByte
+      pcm(2 * i + 1) = ((x >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  def syntheticPatternAudio(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.parallel(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "audio", syntheticPatternWav(id))))
+  }
+
+  /** One audio fingerprint: 7 energy-delta sign bits over 8 frames. */
+  final case class AudioFp(media_id: Long, fp: Long)
+
+  /** GAIN-INVARIANT audio fingerprint through the REAL codec: decode,
+    * frame into 8×64 samples, exact integer frame energies, one bit per
+    * adjacent-frame comparison (`E_{f+1} > E_f`). A uniform gain scales
+    * every energy by a², leaving every comparison — and the fingerprint —
+    * unchanged: the audio twin of [[aHash]]'s brightness invariance,
+    * catching re-levelled copies that byte/sample checksums miss. Same
+    * per-partition streaming-decode scale shape; 8 bytes out per clip.
+    */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.content))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian,
+          s"media_id ${r.media_id}: need mono PCM16LE")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val nf = n / 64
+        val e = new Array[Long](nf)
+        var i = 0
+        while (i < nf * 64) {
+          val x = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
+          e(i / 64) += x * x
+          i += 1
+        }
+        var fp = 0L
+        var f = 0
+        while (f + 1 < nf) {
+          if (e(f + 1) > e(f)) fp |= (1L << f)
+          f += 1
+        }
+        AudioFp(r.media_id, fp)
+      }
+    }
+  }
+
+  /** m09: gain-invariant audio dedup — every document id becomes a real
+    * RIFF/WAVE pattern clip, [[audioFingerprint]] hashes it through the
+    * real codec, clips group by fingerprint. The oracle states the
+    * fingerprint in closed form from the base law (the gain factor a²
+    * cancels in every energy comparison) — the m04/m05/m08 discipline.
+    * The ~16 pattern classes each collapse clips at 7 different gains.
+    */
+  val audioFpDedup: QueryDef = q(
+    "m09_audio_fp_dedup",
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id % 16 AS INT) AS p
+      |  FROM documents),
+      |idx AS (SELECT unnest(range(0, 512)) AS i),
+      |s AS (
+      |  SELECT media_id, i // 64 AS f,
+      |         ((i * (2 * p + 3) + 37 * p) % 4001) - 2000 AS b
+      |  FROM v, idx),
+      |en AS (SELECT media_id, f, CAST(sum(b * b) AS BIGINT) AS e
+      |       FROM s GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.media_id, a.f,
+      |         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM en a JOIN en b ON b.media_id = a.media_id AND b.f = a.f + 1),
+      |fp AS (SELECT media_id, CAST(sum(bit * (1 << f)) AS BIGINT) AS fp
+      |       FROM bits GROUP BY 1)
+      |SELECT fp, count(*) AS n_clips, min(media_id) AS keep_id
+      |FROM fp GROUP BY 1
+      |ORDER BY fp""".stripMargin) { (s, d) =>
+    audioFingerprint(syntheticPatternAudio(s, d)).toDF()
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("keep_id"))
+      .orderBy("fp")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(binaryMeta, decodeAgg, frameAudit, pngAudit, wavAudit, resizeAudit,
-      wavFrameAudit, phashDedup)
+      wavFrameAudit, phashDedup, audioFpDedup)
 }

@@ -246,6 +246,23 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("audioFingerprint is gain-invariant and pattern-discriminating through the real codec") {
+    import spark.implicits._
+    // ids 2, 9, 114 share pattern p=2 at gains a=3, 3... pick ids with
+    // same p different a: p = id%16, a = 1+id%7. id 2 -> (p2,a3),
+    // id 18 -> (p2,a5), id 34 -> (p2,a0+1=6+... 34%7=6 -> a7)
+    val samePattern = Seq(2L, 18L, 34L)
+    val other = 3L // p=3
+    val media = (samePattern :+ other).map(id =>
+      Multimodal.MediaRow(id, "audio", Multimodal.syntheticPatternWav(id))).toDS()
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.media_id -> r.fp).toMap
+    assert(fp(2L) == fp(18L) && fp(18L) == fp(34L),
+      "uniform gain changed the audio fingerprint")
+    assert(fp(2L) != fp(other), "distinct patterns collided")
+    fp.values.foreach(v => assert(v >= 0 && v <= 127))
+  }
+
   test("m08 groups span multiple distinct brightness levels (the near-dup signal)") {
     val rows = graft.QueryCatalog.byName("m08_phash_dedup").run(spark, sfDir).collect()
     val total = graft.Tables.documents(spark, sfDir).count()
