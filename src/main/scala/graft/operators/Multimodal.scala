@@ -237,6 +237,28 @@ object Multimodal {
     * `javax.sound.sampled.AudioSystem`, header chunks and all — so the
     * decode side exercises the JDK's actual audio codec, not a fake.
     */
+  /** Canonical 44-byte RIFF/WAVE container around mono PCM16LE samples.
+    * Byte-for-byte the standard header (what `AudioSystem.write` also
+    * emits for this format) — written directly because the generator is
+    * per-clip hot on large stores (AudioSystem's stream plumbing costs
+    * ~200 µs/clip, ~100 s of the sf10 bench for pure generation); the
+    * DECODE side still goes through the real `javax.sound` codec, which
+    * is the path under test.
+    */
+  private def riffWavBytes(pcm: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val n = pcm.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = sr * block
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(n).put(pcm)
+    bb.array()
+  }
+
   def syntheticWav(id: Long): Array[Byte] = {
     val n = 256 + math.floorMod(id, 256L).toInt
     val pcm = new Array[Byte](n * 2)
@@ -247,14 +269,7 @@ object Multimodal {
       pcm(2 * i + 1) = ((x >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    riffWavBytes(pcm)
   }
 
   /** One synthetic WAV payload per document id — executor-side encoding,
@@ -771,13 +786,7 @@ object Multimodal {
       pcm(2 * i + 1) = ((x >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    riffWavBytes(pcm)
   }
 
   def syntheticPatternAudio(spark: SparkSession, dir: String): Dataset[MediaRow] = {
