@@ -34,6 +34,7 @@ object QueryCatalog {
       operators.Similarity.defs ++
       operators.Similarity2.defs ++
       operators.TextAnalysis.defs ++
+      operators.MlQuality.defs ++
       operators.Multimodal.defs ++
       operators.Skew.defs
 

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Model-ASSISTED curation: train a real `spark.ml` quality classifier
+  * on the corpus and audit it — the loop t12's fixed-weight scorer only
+  * sketches. The pattern is heuristic DISTILLATION, which is how
+  * production pipelines bootstrap quality models before human labels
+  * exist: compute a rule-based quality signal (t02's exact-arithmetic
+  * score), binarize it at the corpus median, and train a bag-of-words
+  * logistic regression to reproduce it from raw text; if the model
+  * recovers the rule from words alone (held-out AUC), it generalizes the
+  * rule to text the heuristic's features miss.
+  *
+  * Everything is deterministic-by-construction where it matters: the
+  * split is the p01 hash split (pure function of doc_id), the label
+  * threshold is the exact median of the train side, and the GATE is a
+  * held-out AUC floor — coefficients themselves may differ in final ulps
+  * across partitionings (float aggregation in LBFGS), which is why the
+  * audit pins ranking quality, not weights (the q62/q68 self-gate
+  * discipline, with the model in place of the sketch).
+  *
+  * Scale shape: HashingTF and scoring are scan-fused per-row maps; LR
+  * training is Spark's own distributed LBFGS (one pass per iteration,
+  * tree-aggregated gradients — the textbook 100 TB trainer for linear
+  * models); the evaluator's AUC sort is on the held-out slice only.
+  * Registered WITHOUT an oracle (model training is not SQL-expressible;
+  * the driver records a rows-only check) — the semantic gate lives in
+  * MlQualitySpec and in the query's own `auc_ok` verdict.
+  */
+object MlQuality {
+
+  /** Train on the hash-split train side, return one audit row:
+    * (n_train, n_test, n_pos_test, auc_ok). AUC itself is withheld from
+    * the output on purpose — its trailing digits vary with partition
+    * count, and the driver's rows-only gate would still pass; the spec
+    * asserts the actual value's floor.
+    */
+  def trainAndAudit(spark: SparkSession, dir: String): (DataFrame, Double) = {
+    val docs = Tables.documents(spark, dir)
+    // t02's exact quality signal, inline (alpha ratio / word length /
+    // stopword ratio — same expression shapes as the gated query)
+    val nWords = size(split(col("text"), " "))
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val meanWl = (length(col("text")) - (nWords - 1)) / nWords
+    val quality = lit(0.4) * (nAlpha / length(col("text"))) +
+      lit(0.3) * least(meanWl / 10.0, lit(1.0)) +
+      lit(0.3) * (expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))") / nWords)
+    val scored = docs.select(col("doc_id"), col("text"),
+      quality.as("q"),
+      (substring(md5(col("doc_id").cast("string")), 1, 2) < "cd").as("is_train"))
+    val cut = scored.filter(col("is_train"))
+      .selectExpr("percentile(q, 0.5)").head().getDouble(0)
+    val labeled = scored.withColumn("label",
+      when(col("q") > cut, 1.0).otherwise(0.0))
+      .withColumn("words", split(col("text"), " "))
+
+    val tf = new HashingTF()
+      .setInputCol("words").setOutputCol("features").setNumFeatures(1024)
+    val train = tf.transform(labeled.filter(col("is_train")))
+    val test = tf.transform(labeled.filter(!col("is_train")))
+    val model = new LogisticRegression()
+      .setMaxIter(20).setRegParam(0.01).setLabelCol("label")
+      .fit(train)
+    val predictions = model.transform(test)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC")
+      .evaluate(predictions)
+
+    import spark.implicits._
+    val row = Seq((
+      train.count(), test.count(),
+      predictions.filter(col("label") === 1.0).count(),
+      auc >= 0.85)).toDF("n_train", "n_test", "n_pos_test", "auc_ok")
+    (row, auc)
+  }
+
+  val trainedQuality: QueryDef = QueryDef(
+    "t21_trained_quality", None,
+    (s, d) => trainAndAudit(s, d)._1)
+
+  def defs: Seq[QueryDef] = Seq(trainedQuality)
+}
