@@ -579,8 +579,119 @@ object TimeSeries2 {
       .orderBy("hour_id", "event_type")
   }
 
+  /** q74: CUPED variance-reduced experiment readout — the standard
+    * post-SRM (p20) analysis step: adjust each user's outcome by their
+    * PRE-period covariate, `y_adj = y − θ(x − x̄)` with
+    * `θ = cov(x,y)/var(x)` pooled across arms, which shrinks metric
+    * variance by the x↔y correlation without biasing the arm contrast.
+    * Pre/post is the q73 midpoint split; x and y are per-user exact-cent
+    * sums; the arm is p20's salted hash.
+    *
+    * Determinism discipline: every moment (Σx, Σy, Σx², Σy², Σxy, per
+    * arm and pooled) is an EXACT long aggregate; θ, means, variances and
+    * the reduction ratio are derived from those longs by one shared
+    * double expression on both engines (sums of user-level cents² stay
+    * under 2⁶³ through sf100 — user count grows, per-user mass does
+    * not). Scale shape: one user-keyed aggregate builds (x, y), one
+    * arm-keyed and one global moment aggregate over |users| rows, then
+    * pure arithmetic; the corpus is scanned once.
+    */
+  val cuped: QueryDef = q(
+    "q74_cuped",
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS t,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |b AS (SELECT (min(t) + max(t)) // 2 AS cut FROM e),
+      |u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN e.t <= b.cut THEN c ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN e.t > b.cut THEN c ELSE 0 END) AS BIGINT) AS y,
+      |         CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 12))
+      |              AS BIGINT) % 2 AS arm
+      |  FROM e, b GROUP BY user_id),
+      |g AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM u),
+      |a AS (
+      |  SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM u GROUP BY arm)
+      |SELECT a.arm, a.n AS n_users,
+      |  CAST(a.sy AS DOUBLE) / a.n / 100 AS mean_y,
+      |  (CAST(a.sy AS DOUBLE)
+      |   - ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
+      |      / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
+      |     * (CAST(a.sx AS DOUBLE) - a.n * (CAST(g.sx AS DOUBLE) / g.n)))
+      |    / a.n / 100 AS mean_y_adj,
+      |  ((CAST(a.syy AS DOUBLE)
+      |    - 2 * ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
+      |           / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
+      |        * a.sxy
+      |    + ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
+      |       / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
+      |      * ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
+      |         / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
+      |      * a.sxx) / a.n
+      |   - ((CAST(a.sy AS DOUBLE)
+      |       - ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
+      |          / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
+      |         * a.sx) / a.n)
+      |     * ((CAST(a.sy AS DOUBLE)
+      |         - ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
+      |            / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
+      |           * a.sx) / a.n))
+      |  / ((CAST(a.syy AS DOUBLE)) / a.n
+      |     - (CAST(a.sy AS DOUBLE) / a.n) * (CAST(a.sy AS DOUBLE) / a.n))
+      |    AS var_reduction
+      |FROM a, g ORDER BY a.arm""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("ts").as("t"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+    val cut = e.agg(expr("(min(t) + max(t)) div 2").as("cut"))
+    val u = e.join(broadcast(cut))
+      .groupBy("user_id")
+      .agg(sum(when(col("t") <= col("cut"), col("c")).otherwise(0L)).as("x"),
+        sum(when(col("t") > col("cut"), col("c")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        conv(substring(md5(concat(lit("exp:"), col("user_id").cast("string"))),
+          1, 12), 16, 10).cast("long") % 2)
+    val g = u.agg(count(lit(1)).as("gn"), sum(col("x")).as("gsx"),
+      sum(col("y")).as("gsy"), sum(col("x") * col("x")).as("gsxx"),
+      sum(col("x") * col("y")).as("gsxy"))
+    val a = u.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    // θ = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), pooled — shared double shape
+    val theta = (col("gn").cast("double") * col("gsxy")
+      - col("gsx").cast("double") * col("gsy")) /
+      (col("gn").cast("double") * col("gsxx")
+        - col("gsx").cast("double") * col("gsx"))
+    val xbar = col("gsx").cast("double") / col("gn")
+    val meanYAdj = (col("sy").cast("double")
+      - theta * (col("sx").cast("double") - col("n") * xbar)) /
+      col("n") / lit(100)
+    val meanAdjRaw = (col("sy").cast("double") - theta * col("sx")) / col("n")
+    val varAdj = (col("syy").cast("double") - lit(2) * theta * col("sxy")
+      + theta * theta * col("sxx")) / col("n") - meanAdjRaw * meanAdjRaw
+    val varY = col("syy").cast("double") / col("n") -
+      (col("sy").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))
+    a.join(broadcast(g))
+      .select(col("arm"), col("n").as("n_users"),
+        (col("sy").cast("double") / col("n") / lit(100)).as("mean_y"),
+        meanYAdj.as("mean_y_adj"),
+        (varAdj / varY).as("var_reduction"))
+      .orderBy("arm")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ewma, slidingDistinct, histogram, rollingMedian, hllMergeable,
       newVsReturning, slidingReachApprox, cusumAlarms, cmsMergeable,
-      incrementalRollup)
+      incrementalRollup, cuped)
 }

@@ -233,6 +233,42 @@ class TimeSeries2Spec extends AnyFunSuite with BeforeAndAfterAll {
       "the straddling cell must merge exactly two partials")
   }
 
+  test("q74 CUPED: pooled mean preserved; real variance reduction on a correlated store") {
+    // identity: the pooled (user-weighted) adjusted mean equals the raw
+    // pooled mean — θ·Σ(x − x̄) telescopes to zero across all users
+    val rows = graft.QueryCatalog.byName("q74_cuped").run(spark, sf).collect()
+    assert(rows.length == 2)
+    val pooledRaw = rows.map(r => r.getLong(1) * r.getDouble(2)).sum
+    val pooledAdj = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-6 * math.abs(pooledRaw),
+      s"adjustment moved the pooled mean: $pooledRaw -> $pooledAdj")
+
+    // constructed store: post ≈ pre per user (corr ≈ 1) ⇒ CUPED must
+    // collapse the variance; the flat fixture above shows ratio ≈ 1
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cuped-mini")
+    val hour = 3600000000000L
+    val base = 400000L * hour
+    val evs = (0 until 60).flatMap { u =>
+      val v = 50.0 + (u % 17) * 20.0 // per-user level, varied
+      Seq(
+        (2L * u, base + u * 1000L, u.toLong, "view", v, "{}"),
+        (2L * u + 1, base + 700 * hour + u * 1000L, u.toLong, "view",
+          v + (u % 3) * 1.0, "{}")) // post = pre + tiny noise
+    }
+    evs.toDF("event_id", "rawns", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(rawns div 1000)")).drop("rawns")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val mini = graft.QueryCatalog.byName("q74_cuped").run(spark, dir.toString)
+      .collect()
+    mini.foreach { r =>
+      val vr = r.getDouble(4)
+      assert(vr < 0.05,
+        s"arm ${r.get(0)}: correlated store must collapse variance, got $vr")
+    }
+  }
+
   test("q66 buckets tile the corpus: counts sum to |events|, buckets in [0,19]") {
     val rows = graft.QueryCatalog.byName("q66_histogram").run(spark, sf).collect()
     val total = graft.Tables.events(spark, sf).count()
