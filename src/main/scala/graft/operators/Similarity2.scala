@@ -437,5 +437,68 @@ object Similarity2 {
       .orderBy("qid", "rn")
   }
 
-  def defs: Seq[QueryDef] = Seq(sq8Adc, dimTruncation, maxSim, bqRerank)
+  /** s26: the COMPRESSION FRONTIER — every serving tier measured on the
+    * same query set against the same exact baseline, in one result:
+    * bytes/vector vs recall@3. This is the table a platform team reads
+    * before choosing an index layout; every row is produced by the
+    * engine's own registered operators (exact `long_dot` scan, 16-of-64
+    * truncation, SQ8 ADC s22, PQ ADC s12's config, BQ+re-rank s25), so
+    * the frontier stays honest as those operators evolve.
+    *
+    * Registered rows-only (restating five index structures in oracle SQL
+    * would duplicate four existing oracles; each METHOD is already
+    * hash-gated by its own query — this one audits their relative
+    * quality). The spec pins the structural invariants: exact = 1.0,
+    * every recall in [0,1], and the bytes column states the real
+    * footprint ordering.
+    */
+  val compressionFrontier: QueryDef = QueryDef(
+    "s26_compression_frontier", None, (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.parallel(Tables.embeddings(s, d))
+      val queries = emb.filter(col("vec_id") < 8)
+      val k = 3
+      val exact = Similarity.exactTopK(emb, queries, k)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      def recallOf(df: DataFrame): Double = {
+        val got = df.select("qid", "cid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exact & got).size.toDouble / exact.size
+      }
+      // 16-of-64 truncation: rank by the sliced dot (s23's candidate law)
+      val wq = Similarity.withQuant(emb)
+        .withColumn("tv", slice(col("qv"), 1, 16))
+        .withColumn("tsq", call_function("long_dot", col("tv"), col("tv")))
+      val corp16 = wq.select(col("vec_id").as("cid"), col("tv").as("ctv"),
+        col("tsq").as("ctsq"))
+      val qs16 = wq.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("tv"), col("tsq"))
+      val cos16 = (call_function("long_dot", col("tv"), col("ctv"))
+        .cast("double") / lit(1.0e12)) /
+        (sqrt(col("tsq").cast("double") / lit(1.0e12)) *
+          sqrt(col("ctsq").cast("double") / lit(1.0e12)))
+      val w16 = Window.partitionBy("qid").orderBy(col("c16").desc, col("cid"))
+      val trunc = corp16.join(broadcast(qs16), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), cos16.as("c16"))
+        .withColumn("rn", row_number().over(w16)).filter(col("rn") <= k)
+
+      val sq8 = sq8Search(emb, sq8Fit(emb), queries, k)
+      val pq = Similarity.pqSearch(
+        Similarity.pqIndex(emb, m = 4, ksub = 4, iters = 1), queries, k)
+      val bq = bqRerank.run(s, d) // the registered s25 pipeline verbatim
+
+      Seq(
+        ("exact_f32", 256L, 1.0),
+        ("trunc_16of64", 64L, recallOf(trunc)),
+        ("sq8", 64L, recallOf(sq8)),
+        ("pq_m4", 4L, recallOf(pq)),
+        ("bq_1bit", 8L, recallOf(bq)))
+        .toDF("method", "bytes_per_vec", "recall_at_3")
+        .orderBy(col("bytes_per_vec").desc, col("method"))
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(sq8Adc, dimTruncation, maxSim, bqRerank, compressionFrontier)
 }

@@ -132,6 +132,20 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), "top-C pre-trim missing:\n" + p)
   }
 
+  test("s26 frontier: exact row is 1.0; recalls in range; SQ8 dominates BQ at this size") {
+    val rows = graft.QueryCatalog.byName("s26_compression_frontier").run(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.size == 5)
+    assert(rows("exact_f32") == ((256L, 1.0)))
+    rows.values.foreach { case (_, rec) => assert(rec >= 0.0 && rec <= 1.0) }
+    // the fixture's embeddings are unstructured, so the frontier should
+    // read: byte-accurate methods (SQ8) near exact, sign-level (BQ)
+    // degraded but useful, dimension truncation near-random — the honest
+    // shape the audit exists to surface
+    assert(rows("sq8")._2 >= rows("bq_1bit")._2)
+    assert(rows("sq8")._2 >= 0.8)
+  }
+
   test("s23 equals a driver-side brute-force of both rankings") {
     // on the random synthetic embeddings the first 16 dims genuinely lose
     // most of the neighborhood (measured mean overlap 0.25/3 here) — the
