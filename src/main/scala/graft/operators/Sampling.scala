@@ -1019,9 +1019,62 @@ object Sampling {
       .orderBy("experiment")
   }
 
+  /** p21: per-source DATASET CARD — the datasheet row a corpus publisher
+    * ships with every source: volume (docs/chars/tokens), language mix
+    * (distinct langs + dominant lang with a deterministic tie-break),
+    * and the within-source exact-duplicate rate. One query = one
+    * publishable table; the deeper per-axis audits (t19 vocabulary, d01
+    * dedup, p08 shard stats) drill into any row that looks off.
+    *
+    * Scale shape: one scan with map-side token counting, one aggregate
+    * keyed by source, a |sources|×|langs| mode sub-aggregate, and a
+    * distinct-text count per source (two-level). Nothing corpus-global.
+    */
+  val datasetCard: QueryDef = q(
+    "p21_dataset_card",
+    """WITH m AS (
+      |  SELECT source, lang, count(*) AS nl,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY count(*) DESC, lang) AS rn
+      |  FROM documents GROUP BY source, lang),
+      |s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |         count(DISTINCT lang) AS n_langs,
+      |         count(DISTINCT text) AS n_distinct_texts
+      |  FROM documents GROUP BY source)
+      |SELECT s.source, s.n_docs, s.n_chars, s.n_tokens, s.n_langs,
+      |       m.lang AS top_lang,
+      |       1 - CAST(s.n_distinct_texts AS DOUBLE) / s.n_docs AS dup_rate
+      |FROM s JOIN m ON m.source = s.source AND m.rn = 1
+      |ORDER BY s.source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val wl = Window.partitionBy("source")
+      .orderBy(col("nl").desc, col("lang"))
+    val mode = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("nl"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(size(org.apache.spark.sql.functions.split(col("text"), " "))).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      .join(broadcast(mode), "source")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_langs"), col("top_lang"),
+        (lit(1) - col("n_distinct_texts").cast("double") / col("n_docs"))
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, sampleSplit, sequencePack, tokenBudget,
       langRebalance, repeatUpsample, shardStats, curriculumStages, sourceCap,
       importanceAudit, temperatureMix, weightedSystematicAudit, groupSplit,
-      bootstrapAudit, interleaveAudit, epochOrder, kfold, srmAudit)
+      bootstrapAudit, interleaveAudit, epochOrder, kfold, srmAudit,
+      datasetCard)
 }

@@ -146,6 +146,24 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("sq8")._2 >= 0.8)
   }
 
+  test("p21 dataset cards: tiling, rate bounds, and the mode vs a driver crosstab") {
+    val rows = graft.QueryCatalog.byName("p21_dataset_card").run(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = docs.filter(_._1 == src)
+      val dup = r.getAs[Double]("dup_rate")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(dup == 1.0 - mine.map(_._3).distinct.length.toDouble / mine.length)
+      val wantTop = mine.groupBy(_._2).toSeq
+        .sortBy { case (l, g) => (-g.length, l) }.head._1
+      assert(r.getAs[String]("top_lang") == wantTop, s"$src mode")
+    }
+  }
+
   test("s23 equals a driver-side brute-force of both rankings") {
     // on the random synthetic embeddings the first 16 dims genuinely lose
     // most of the neighborhood (measured mean overlap 0.25/3 here) — the
