@@ -43,22 +43,20 @@ object MlQuality {
     */
   def trainAndAudit(spark: SparkSession, dir: String): (DataFrame, Double) = {
     val docs = Tables.documents(spark, dir)
-    // t02's exact quality signal, inline (alpha ratio / word length /
-    // stopword ratio — same expression shapes as the gated query)
-    val nWords = size(split(col("text"), " "))
-    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
-    val meanWl = (length(col("text")) - (nWords - 1)) / nWords
-    val quality = lit(0.4) * (nAlpha / length(col("text"))) +
-      lit(0.3) * least(meanWl / 10.0, lit(1.0)) +
-      lit(0.3) * (expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))") / nWords)
+    // t02's exact quality signal — the SHARED Column definition, so the
+    // distillation target can never drift from the gated query
     val scored = docs.select(col("doc_id"), col("text"),
-      quality.as("q"),
+      TextAnalysis.qualityScoreCol.as("q"),
       (substring(md5(col("doc_id").cast("string")), 1, 2) < "cd").as("is_train"))
     val cut = scored.filter(col("is_train"))
       .selectExpr("percentile(q, 0.5)").head().getDouble(0)
+    // cached: the median collect, LR iterations, AUC pass and the audit
+    // counts are separate actions — without this each re-reads the
+    // parquet and re-runs the scoring expressions
     val labeled = scored.withColumn("label",
       when(col("q") > cut, 1.0).otherwise(0.0))
       .withColumn("words", split(col("text"), " "))
+      .cache()
 
     val tf = new HashingTF()
       .setInputCol("words").setOutputCol("features").setNumFeatures(1024)
@@ -78,6 +76,7 @@ object MlQuality {
       train.count(), test.count(),
       predictions.filter(col("label") === 1.0).count(),
       auc >= 0.85)).toDF("n_train", "n_test", "n_pos_test", "auc_ok")
+    labeled.unpersist()
     (row, auc)
   }
 

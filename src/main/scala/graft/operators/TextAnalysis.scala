@@ -84,6 +84,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The t02 quality score as a reusable Column over a `text` column —
+    * ONE definition shared by the gated query below and by
+    * [[MlQuality]]'s distillation target, so the two can never diverge.
+    */
+  def qualityScoreCol: Column = {
+    val nWords = size(split(col("text"), " "))
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val meanWl = (length(col("text")) - (nWords - 1)) / nWords
+    val alphaRatio = nAlpha / length(col("text"))
+    val stopRatio =
+      expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))") / nWords
+    lit(0.4) * alphaRatio + lit(0.3) * least(meanWl / 10.0, lit(1.0)) +
+      lit(0.3) * stopRatio
+  }
+
   /** Quality scoring: alphabetic ratio, mean word length, stopword ratio →
     * weighted score. Ratios are int/int → double (deterministic); the score
     * formula is written with identical operator order on both sides.
@@ -117,8 +132,7 @@ object TextAnalysis {
       meanWl.as("mean_wl"),
       alphaRatio.as("alpha_ratio"),
       stopRatio.as("stop_ratio"),
-      (lit(0.4) * alphaRatio + lit(0.3) * least(meanWl / 10.0, lit(1.0)) +
-        lit(0.3) * stopRatio).as("quality_score"))
+      qualityScoreCol.as("quality_score"))
       .orderBy("doc_id")
   }
 

@@ -507,24 +507,29 @@ object TimeSeries2 {
     val daily = e.groupBy("day")
       .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
       .collect()
-    val merged = daily.map(r =>
-        CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
-      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
-    val exact = e.groupBy("event_type")
-      .agg(countDistinct(col("day")).as("n_days"), count(lit(1)).as("exact_n"))
-      .collect()
-    val totalN = exact.map(_.getAs[Long]("exact_n")).sum
     import s.implicits._
-    exact.toSeq.map { r =>
-      val t = r.getString(0)
-      // the SQL aggregate adds STRING items as their UTF-8 bytes
-      val est = merged.estimateCount(t.getBytes("UTF-8"))
-      val n = r.getAs[Long]("exact_n")
-      // CMS one-sided bound: never under, over by <= eps*N
-      (t, r.getAs[Long]("n_days"), n,
-        est >= n && est <= n + (0.001 * totalN).toLong + 1)
-    }.toDF("event_type", "n_days", "exact_n", "cms_ok")
-      .orderBy("event_type")
+    if (daily.isEmpty) { // empty store: empty result, like sibling aggregates
+      Seq.empty[(String, Long, Long, Boolean)]
+        .toDF("event_type", "n_days", "exact_n", "cms_ok")
+    } else {
+      val merged = daily.map(r =>
+          CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+        .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("day")).as("n_days"), count(lit(1)).as("exact_n"))
+        .collect()
+      val totalN = exact.map(_.getAs[Long]("exact_n")).sum
+      exact.toSeq.map { r =>
+        val t = r.getString(0)
+        // the SQL aggregate adds STRING items as their UTF-8 bytes
+        val est = merged.estimateCount(t.getBytes("UTF-8"))
+        val n = r.getAs[Long]("exact_n")
+        // CMS one-sided bound: never under, over by <= eps*N
+        (t, r.getAs[Long]("n_days"), n,
+          est >= n && est <= n + (0.001 * totalN).toLong + 1)
+      }.toDF("event_type", "n_days", "exact_n", "cms_ok")
+        .orderBy("event_type")
+    }
   }
 
   /** q73: INCREMENTAL rollup maintenance — the "don't rescan history"
@@ -622,35 +627,26 @@ object TimeSeries2 {
       |         CAST(sum(x * x) AS BIGINT) AS sxx,
       |         CAST(sum(y * y) AS BIGINT) AS syy,
       |         CAST(sum(x * y) AS BIGINT) AS sxy
-      |  FROM u GROUP BY arm)
+      |  FROM u GROUP BY arm),
+      |th AS (
+      |  SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS theta,
+      |         CAST(sx AS DOUBLE) / n AS xbar
+      |  FROM g)
       |SELECT a.arm, a.n AS n_users,
       |  CAST(a.sy AS DOUBLE) / a.n / 100 AS mean_y,
       |  (CAST(a.sy AS DOUBLE)
-      |   - ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
-      |      / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
-      |     * (CAST(a.sx AS DOUBLE) - a.n * (CAST(g.sx AS DOUBLE) / g.n)))
+      |   - th.theta * (CAST(a.sx AS DOUBLE) - a.n * th.xbar))
       |    / a.n / 100 AS mean_y_adj,
       |  ((CAST(a.syy AS DOUBLE)
-      |    - 2 * ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
-      |           / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
-      |        * a.sxy
-      |    + ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
-      |       / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
-      |      * ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
-      |         / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
-      |      * a.sxx) / a.n
-      |   - ((CAST(a.sy AS DOUBLE)
-      |       - ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
-      |          / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
-      |         * a.sx) / a.n)
-      |     * ((CAST(a.sy AS DOUBLE)
-      |         - ((CAST(g.n AS DOUBLE) * g.sxy - CAST(g.sx AS DOUBLE) * g.sy)
-      |            / (CAST(g.n AS DOUBLE) * g.sxx - CAST(g.sx AS DOUBLE) * g.sx))
-      |           * a.sx) / a.n))
+      |    - 2 * th.theta * a.sxy
+      |    + th.theta * th.theta * a.sxx) / a.n
+      |   - ((CAST(a.sy AS DOUBLE) - th.theta * a.sx) / a.n)
+      |     * ((CAST(a.sy AS DOUBLE) - th.theta * a.sx) / a.n))
       |  / ((CAST(a.syy AS DOUBLE)) / a.n
       |     - (CAST(a.sy AS DOUBLE) / a.n) * (CAST(a.sy AS DOUBLE) / a.n))
       |    AS var_reduction
-      |FROM a, g ORDER BY a.arm""".stripMargin) { (s, d) =>
+      |FROM a, th ORDER BY a.arm""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d).select(col("user_id"), col("ts").as("t"),
       (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
     val cut = e.agg(expr("(min(t) + max(t)) div 2").as("cut"))

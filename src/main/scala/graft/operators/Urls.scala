@@ -212,7 +212,7 @@ object Urls {
         .filter(col("a") < col("doc_id"))
         .select(col("a").as("doc_a"), col("doc_id").as("doc_b"))
     }
-    val urlKey = Tables.documents(s, d)
+    val urlKey = docs
       .select(col("doc_id"), urlCol.as("url"))
       .select(col("doc_id"), canonicalizeUrl(col("url")).as("k"))
     val textKey = docs.select(col("doc_id"), md5(col("text")).as("k"))

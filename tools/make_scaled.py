@@ -122,14 +122,14 @@ def main(src: str, out: str, replicas: int) -> None:
         d = f"{out}/{t}.parquet"
         os.makedirs(d, exist_ok=True)
         total = 0
-        # embeddings cap at dim-1 replicas (cyclic rotation would wrap to
-        # an exact copy past that — see rotate_embeddings); beyond-cap
+        # embeddings cap at dim replicas (rotation k in [0, dim) — k = dim
+        # would wrap to an exact copy, see rotate_embeddings); beyond-cap
         # stores scale every OTHER table fully and embeddings to the cap,
         # which the probe reports per-table.
         n_t = replicas
         if t == "embeddings":
             dim = len(base["embedding"][0].as_py())
-            n_t = min(replicas, dim - 1)
+            n_t = min(replicas, dim)
         for k in range(n_t):
             rep = shift_table(base, cols, k)
             if t == "documents":
