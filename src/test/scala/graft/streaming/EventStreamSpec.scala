@@ -700,6 +700,55 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("late data beyond the watermark is DROPPED and the drop is OBSERVABLE " +
+      "in the progress metrics (the ops contract monitoring relies on)") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import spark.implicits._
+    // file 1: events up to hour H with one far-future row that drags the
+    // watermark past H + 2h; file 2: a LATE row back at hour H — inside
+    // the first batch it would have aggregated, now it must be dropped,
+    // and stateOperators.numRowsDroppedByWatermark must say so
+    val src = JFiles.createTempDirectory(JPaths.get("target"), "late-src")
+    val hour = 3600000000000L
+    val base = 450000L * hour
+    def stage(rows: Seq[(Long, Long, Long, String, Double, String)], name: String): Unit = {
+      val tmp = JFiles.createTempDirectory(JPaths.get("target"), "late-tmp")
+      rows.toDF("event_id", "rawns", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("timestamp_micros(rawns div 1000)")).drop("rawns")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = JFiles.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      JFiles.copy(JPaths.get(part), src.resolve(name))
+    }
+    stage(Seq(
+      (1L, base + 1L, 1L, "view", 10.0, "{}"),
+      (2L, base + 10L * hour, 2L, "view", 20.0, "{}")), "a.parquet")
+
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString))
+    val q = EventStream.hourlyRollup(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("laterollup").start()
+    q.processAllAvailable()
+    // the LATE row: hour of `base`, far behind the watermark (base+9h)
+    stage(Seq((3L, base + 2L, 1L, "view", 99.0, "{}")), "b.parquet")
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    assert(dropped == 1L,
+      s"expected exactly the late row dropped and accounted, got $dropped")
+    // and the result reflects the drop: hour(base) kept its first-batch
+    // aggregate, the 99.0 never entered
+    val rows = spark.table("laterollup").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.get(base / hour).forall(_ == 10.0))
+  }
+
   test("streaming CUSUM equals batch q71 exactly, across a trigger cut") {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     import spark.implicits._
