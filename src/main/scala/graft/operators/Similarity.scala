@@ -225,7 +225,7 @@ object Similarity {
     * cid). Expects `$oracleNorms` earlier in the WITH chain. Shared by s03
     * and s06.
     */
-  private val oracleAssign: String =
+  private[operators] val oracleAssign: String =
     s"""cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
        |adots AS (
        |  SELECT e.vec_id, c.cid,
@@ -1332,7 +1332,7 @@ object Similarity {
     * arithmetic on BOTH engines. Expects `$oracleNorms, $oracleAssign`
     * earlier in the WITH chain. Shared by s10 and s11.
     */
-  private val oracleTrainedAssign: String =
+  private[operators] val oracleTrainedAssign: String =
     s"""csz AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
        |sums AS (
        |  SELECT a.cid, j.j AS dim, CAST(sum(${xiDim("e", "j.j")}) AS BIGINT) AS s

@@ -60,7 +60,7 @@ object Similarity2 {
     * `(a − a mod b) / b` divides exactly, so the double division cannot
     * round (a ≤ 5.1e8 ≪ 2^53). Degenerate dimensions (rg = 0) code to 0.
     */
-  private def codeLambda(mins: Column, ranges: Column): (Column, Column) => Column =
+  private[operators] def codeLambda(mins: Column, ranges: Column): (Column, Column) => Column =
     (v, i) => {
       val mn = element_at(mins, (i + 1).cast("int"))
       val rg = element_at(ranges, (i + 1).cast("int"))
@@ -499,6 +499,143 @@ object Similarity2 {
         .orderBy(col("bytes_per_vec").desc, col("method"))
     })
 
+  /** IVF-SQ search: centroid routing + SQ8-compressed RESIDUALS — the
+    * FAISS `IVF,SQ8` layout, completing the engine's quantized-index
+    * family (IVF-Flat s03/s10, IVF-PQ s15, flat SQ8 s22). Residuals
+    * (vector − assigned centroid) span a far tighter range than raw
+    * vectors, so the same 8 bits buy finer resolution; reconstruction is
+    * centroid + dequantized residual, exact in ×255 longs throughout:
+    * rec255 = 255·c + 255·mn + code·rg.
+    *
+    * Scale shape: the residual fit is one 128-cell aggregate; encode is
+    * scan-fused with the centroid table broadcast (nlist rows); probing
+    * and the candidate join are [[Similarity.ivfSearch]]'s shapes
+    * (probe set broadcast at audit scale, corpus never key-shuffles);
+    * ADC touches only probed-list members.
+    */
+  def ivfSqSearch(model: Similarity.IvfModel, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = model.assignments.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val centDf = model.centroids
+      .map { case (cid, cv, csq) => (cid, cv.toSeq, csq) }
+      .toDF("ccid", "ccv", "c_sq")
+    val withCent = model.assignments
+      .join(broadcast(centDf), col("cid") === col("ccid"))
+      .withColumn("rv", zip_with(col("qv"), col("ccv"), (a, b) => a - b))
+    val aggs = (1 to 64).flatMap { i =>
+      Seq(min(element_at(col("rv"), i)).as(s"mn$i"),
+        max(element_at(col("rv"), i)).as(s"mx$i"))
+    }
+    val row = withCent.agg(aggs.head, aggs.tail: _*).head()
+    val mins = (0 until 64).map(i => row.getLong(2 * i))
+    val ranges = (0 until 64).map(i => row.getLong(2 * i + 1) - mins(i))
+    val minsLit = typedlit(mins)
+    val rangesLit = typedlit(ranges)
+    val enc = withCent
+      .withColumn("codes", transform(col("rv"), codeLambda(minsLit, rangesLit)))
+      .withColumn("rec", transform(col("codes"), (cd, i) => {
+        lit(255L) * element_at(col("ccv"), (i + 1).cast("int")) +
+          lit(255L) * element_at(minsLit, (i + 1).cast("int")) +
+          cd * element_at(rangesLit, (i + 1).cast("int"))
+      }))
+      .withColumn("rsq", call_function("long_dot", col("rec"), col("rec")))
+      .select(col("vec_id"), col("cid"), col("rec"), col("rsq"))
+    val qs = Similarity.withQuant(queries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
+    val pcos = (call_function("long_dot", col("qe"), col("ccv"))
+      .cast("double") / lit(1.0e12)) /
+      (sqrt(col("q_sq").cast("double") / lit(1.0e12)) *
+        sqrt(col("c_sq").cast("double") / lit(1.0e12)))
+    val wp = Window.partitionBy("qid").orderBy(col("pcos").desc, col("ccid"))
+    val probes = qs.crossJoin(broadcast(centDf))
+      .withColumn("pcos", pcos)
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qe"), col("q_sq"), col("ccid").as("pcid"))
+    val adcCos = (call_function("long_dot", col("qe"), col("rec"))
+      .cast("double") / lit(255.0) / lit(1.0e12)) /
+      (sqrt(col("q_sq").cast("double") / lit(1.0e12)) *
+        sqrt(col("rsq").cast("double") / lit(65025.0) / lit(1.0e12)))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    enc.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), adcCos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "cid", "cos")
+  }
+
+  /** s27: the IVF-SQ gate — s10's trained routing chain composed with
+    * the residual SQ8 encode, restated end-to-end by the oracle (the
+    * shared seeded+trained k-means CTEs, then residuals, per-dim
+    * min/max, remainder-exact codes, ×255 centroid+residual
+    * reconstruction and the ADC ranking).
+    */
+  val ivfSq: QueryDef = {
+    val xi = "CAST(CAST(CAST(e.embedding[CAST(j.j AS INT)] AS DOUBLE)" +
+      " AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    q("s27_ivfsq_adc",
+      s"""WITH ${Similarity.oracleNorms},
+         |${Similarity.oracleAssign},
+         |${Similarity.oracleTrainedAssign},
+         |xf AS (SELECT e.vec_id, j.j AS dim, $xi AS v FROM embeddings e, j),
+         |res AS (
+         |  SELECT a2.vec_id, nc.dim, xf.v - nc.c AS r
+         |  FROM assign2 a2
+         |  JOIN xf ON xf.vec_id = a2.vec_id
+         |  JOIN nc ON nc.cid = a2.cid AND nc.dim = xf.dim),
+         |rmm AS (SELECT dim, min(r) AS mn, max(r) - min(r) AS rg
+         |        FROM res GROUP BY 1),
+         |rcodes AS (
+         |  SELECT res.vec_id, res.dim,
+         |         CASE WHEN rmm.rg = 0 THEN 0
+         |              ELSE ((res.r - rmm.mn) * 255) // rmm.rg END AS code
+         |  FROM res JOIN rmm ON rmm.dim = res.dim),
+         |rec AS (
+         |  SELECT rcodes.vec_id, rcodes.dim,
+         |         255 * nc.c + 255 * rmm.mn + rcodes.code * rmm.rg AS rv
+         |  FROM rcodes
+         |  JOIN rmm ON rmm.dim = rcodes.dim
+         |  JOIN assign2 a2 ON a2.vec_id = rcodes.vec_id
+         |  JOIN nc ON nc.cid = a2.cid AND nc.dim = rcodes.dim),
+         |rqn AS (SELECT vec_id, CAST(sum(rv * rv) AS BIGINT) AS rsq
+         |        FROM rec GROUP BY 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT vec_id AS qid, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |  FROM ascore2 WHERE vec_id < 10) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS cid
+         |  FROM probes p JOIN assign2 a ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |adc AS (
+         |  SELECT cand.qid, cand.cid, CAST(sum(xq.v * rec.rv) AS BIGINT) AS adot
+         |  FROM cand
+         |  JOIN xf xq ON xq.vec_id = cand.qid
+         |  JOIN rec ON rec.vec_id = cand.cid AND rec.dim = xq.dim
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT a.qid, a.cid,
+         |         (CAST(a.adot AS DOUBLE) / 255 / 1000000000000)
+         |           / (sqrt(CAST(nq.sq AS DOUBLE) / 1000000000000)
+         |            * sqrt(CAST(r.rsq AS DOUBLE) / 65025 / 1000000000000)) AS cos
+         |  FROM adc a
+         |  JOIN norms nq ON nq.vec_id = a.qid
+         |  JOIN rqn r ON r.vec_id = a.cid)
+         |SELECT qid, rn, cid, cos FROM (
+         |  SELECT qid, cid, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val emb = Tables.parallel(Tables.embeddings(s, d))
+      val model = Similarity.ivfIndex(emb, nlist = 8, iters = 1)
+      ivfSqSearch(model, emb.filter(col("vec_id") < 10), k = 3, nprobe = 2)
+        .orderBy("qid", "rn")
+    }
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(sq8Adc, dimTruncation, maxSim, bqRerank, compressionFrontier)
+    Seq(sq8Adc, dimTruncation, maxSim, bqRerank, compressionFrontier, ivfSq)
 }

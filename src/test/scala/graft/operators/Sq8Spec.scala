@@ -60,6 +60,43 @@ class Sq8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"SQ8 recall@3 = $recall")
   }
 
+  test("IVF-SQ: residual ranges are tighter than raw; ranking tracks IVF-Flat") {
+    import org.apache.spark.sql.functions.{col, element_at, max => smax, min => smin, zip_with}
+    val ivf = Similarity.ivfIndex(emb, nlist = 8, iters = 1)
+    // the resolution argument: per-dim residual spread < raw spread on
+    // average (same 8 bits buy finer steps)
+    val centDf = {
+      import spark.implicits._
+      ivf.centroids.map { case (cid, cv, csq) => (cid, cv.toSeq, csq) }
+        .toDF("ccid", "ccv", "c_sq")
+    }
+    val rv = ivf.assignments
+      .join(org.apache.spark.sql.functions.broadcast(centDf),
+        col("cid") === col("ccid"))
+      .withColumn("rv", zip_with(col("qv"), col("ccv"), (a, b) => a - b))
+    def spread(c: String): Long = {
+      val aggs = (1 to 64).map(i =>
+        (smax(element_at(col(c), i)) - smin(element_at(col(c), i))).as(s"r$i"))
+      val r = rv.agg(aggs.head, aggs.tail: _*).head()
+      (0 until 64).map(r.getLong).sum
+    }
+    val rawSpread = spread("qv")
+    val resSpread = spread("rv")
+    assert(resSpread < rawSpread,
+      s"residuals not tighter: $resSpread vs $rawSpread")
+
+    // ranking quality: IVF-SQ's top-3 against IVF-Flat's exact top-3 on
+    // the SAME routing — residual SQ8 must track the uncompressed list
+    val queries = emb.filter(col("vec_id") < 10)
+    val flat = Similarity.ivfSearch(ivf, queries, k = 3, nprobe = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity2.ivfSqSearch(ivf, queries, k = 3, nprobe = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = (flat & sq).size.toDouble / flat.size
+    info(f"IVF-SQ vs IVF-Flat top-3 agreement: $agree%.2f")
+    assert(agree >= 0.8, s"residual SQ8 diverged from the uncompressed list: $agree")
+  }
+
   test("plan shape: no shuffle of the corpus before scoring; codegen compiles") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
