@@ -488,11 +488,16 @@ object Similarity2 {
       val pq = Similarity.pqSearch(
         Similarity.pqIndex(emb, m = 4, ksub = 4, iters = 1), queries, k)
       val bq = bqRerank.run(s, d) // the registered s25 pipeline verbatim
+      val ivfsq = ivfSqSearch(
+        Similarity.ivfIndex(emb, nlist = 8, iters = 1),
+        emb.filter(col("vec_id") < 8), k, nprobe = 2)
 
       Seq(
         ("exact_f32", 256L, 1.0),
         ("trunc_16of64", 64L, recallOf(trunc)),
         ("sq8", 64L, recallOf(sq8)),
+        // 64 residual codes + the list id — routing loss included
+        ("ivfsq_nprobe2", 72L, recallOf(ivfsq)),
         ("pq_m4", 4L, recallOf(pq)),
         ("bq_1bit", 8L, recallOf(bq)))
         .toDF("method", "bytes_per_vec", "recall_at_3")

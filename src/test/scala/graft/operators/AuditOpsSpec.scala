@@ -135,7 +135,7 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("s26 frontier: exact row is 1.0; recalls in range; SQ8 dominates BQ at this size") {
     val rows = graft.QueryCatalog.byName("s26_compression_frontier").run(spark, sf)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    assert(rows.size == 5)
+    assert(rows.size == 6)
     assert(rows("exact_f32") == ((256L, 1.0)))
     rows.values.foreach { case (_, rec) => assert(rec >= 0.0 && rec <= 1.0) }
     // the fixture's embeddings are unstructured, so the frontier should
