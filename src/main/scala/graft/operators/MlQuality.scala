@@ -80,8 +80,43 @@ object MlQuality {
     (row, auc)
   }
 
+  /** The audit row is oracle-gated on its DETERMINISTIC parts (r11,
+    * closing the r10 `no_oracle` gap): the hash split, the train-median
+    * label threshold, and the held-out positive count are plain SQL over
+    * t02's already-gated quality expression, so DuckDB recomputes them
+    * independently. Only the AUC itself is not SQL-expressible; its
+    * oracle column is the EXPECTED verdict (`TRUE AS auc_ok`) — the
+    * engine emits its self-gate's outcome, so a model regression below
+    * the 0.85 floor now hash-mismatches the oracle and turns the
+    * driver's hard gate red (strictly stronger than the r10 rows-only
+    * check; the exact AUC floor stays spec-side in MlQualitySpec).
+    *
+    * The `q > cut` comparison is ulp-robust across the two engines'
+    * median interpolations: cut lies strictly between the two middle
+    * order statistics (or equals them), so no document's score can sit
+    * between DuckDB's and Spark's cut values.
+    */
   val trainedQuality: QueryDef = QueryDef(
-    "t21_trained_quality", None,
+    "t21_trained_quality", Some(
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |           / length(text))
+        |    + 0.3 * least((length(text) - (len(string_split(text, ' ')) - 1))
+        |                  / len(string_split(text, ' ')) / 10.0, 1.0)
+        |    + 0.3 * (len(list_filter(string_split(text, ' '),
+        |                             x -> x IN ('the', 'a')))
+        |             / len(string_split(text, ' '))) AS q,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS is_train
+        |  FROM documents),
+        |cut AS (SELECT quantile_cont(q, 0.5) AS c FROM scored WHERE is_train)
+        |SELECT
+        |  count(*) FILTER (WHERE is_train) AS n_train,
+        |  count(*) FILTER (WHERE NOT is_train) AS n_test,
+        |  count(*) FILTER (WHERE NOT is_train
+        |                   AND q > (SELECT c FROM cut)) AS n_pos_test,
+        |  TRUE AS auc_ok
+        |FROM scored""".stripMargin),
     (s, d) => trainAndAudit(s, d)._1)
 
   def defs: Seq[QueryDef] = Seq(trainedQuality)

@@ -249,15 +249,16 @@ object TimeSeries {
     * concurrent through its last event's instant; peer deltas collapse
     * under the RANGE frame, so intra-instant order cannot matter.
     *
-    * DELTA-POINT semantics (the reported contract, stated identically by
-    * the oracle): a row appears only for hours containing a session
-    * boundary, and its max is taken over the delta instants — an hour
-    * fully spanned by open sessions with no boundary emits no row (its
-    * level is the running offset, recoverable from the spine), and an
-    * hour whose first delta is a −1 reports from that delta's level, not
-    * the carried-in peak. Consumers wanting a dense per-hour level curve
-    * join the hour spine against the cumulative offsets — one extra
-    * spine-sized pass, no new corpus scan.
+    * DENSE-HOUR semantics (strengthened in r11; stated identically by
+    * the oracle): every hour from the first to the last session boundary
+    * emits a row, and an hour's max includes the carried-in level — the
+    * running count held at the hour's start, before its first delta (or
+    * throughout, for delta-free hours fully spanned by open sessions).
+    * So an hour whose only delta is a −1 still reports the carried-in
+    * peak, and quiet hours inside long sessions report the held level.
+    * The dense spine is `sequence(min_hour, max_hour)` — one row per
+    * hour of history, bounded by the time span, not the data volume —
+    * and the fill is a spine-sized window, no new corpus scan.
     */
   val concurrency: QueryDef = q(
     "q61_concurrency",
@@ -283,11 +284,29 @@ object TimeSeries {
       |run AS (
       |  SELECT t, d,
       |    CAST(sum(d) OVER (ORDER BY t, d DESC) AS BIGINT) AS conc
-      |  FROM deltas)
-      |SELECT t // 3600000000000 AS hour_id,
-      |       CAST(max(conc) AS BIGINT) AS max_concurrent
-      |FROM run GROUP BY 1
-      |ORDER BY 1""".stripMargin) { (s, d) =>
+      |  FROM deltas),
+      |hourly AS (
+      |  SELECT t // 3600000000000 AS hour_id,
+      |         CAST(max(conc) AS BIGINT) AS mx_in,
+      |         CAST(sum(d) AS BIGINT) AS bt
+      |  FROM run GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT min(hour_id) FROM hourly),
+      |                                (SELECT max(hour_id) FROM hourly)))
+      |         AS hour_id),
+      |dense AS (
+      |  SELECT s.hour_id, h.mx_in, coalesce(h.bt, 0) AS bt
+      |  FROM spine s LEFT JOIN hourly h USING (hour_id)),
+      |lvl AS (
+      |  SELECT hour_id, mx_in,
+      |    CAST(coalesce(sum(bt) OVER (ORDER BY hour_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS carried
+      |  FROM dense)
+      |SELECT hour_id,
+      |       CAST(greatest(carried, coalesce(mx_in, carried)) AS BIGINT)
+      |         AS max_concurrent
+      |FROM lvl ORDER BY 1""".stripMargin) { (s, d) =>
     val wu = Window.partitionBy("user_id").orderBy("t")
     val lagged = Tables.events(s, d).select(col("user_id"), col("ts").as("t"))
       .withColumn("new_s",
@@ -302,15 +321,24 @@ object TimeSeries {
       .unionAll(bounds.select((col("s1") + 1).as("t"), lit(-1).as("d")))
       .withColumn("bucket", expr(s"t div $HourNs"))
     val wb = Window.partitionBy("bucket").orderBy(col("t"), col("d").desc)
-    val run = deltas.withColumn("local", sum(col("d")).over(wb))
-    // bucket spine: one row per active hour — the ONLY global-order
-    // window, bounded by history length (the p13 two-level contract)
+    // within-bucket prefix max + bucket total: one hash-agg per bucket
+    val perBucket = deltas.withColumn("local", sum(col("d")).over(wb))
+      .groupBy("bucket")
+      .agg(max(col("local")).as("mxl"), sum(col("d")).as("bt"))
+    // dense hour spine (bounded by history span, not data volume)
+    val spine = perBucket
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val dense = spine.join(perBucket, Seq("bucket"), "left")
+      .withColumn("bt0", coalesce(col("bt"), lit(0L)))
+    // the ONLY global-order window runs over the spine (p13 contract)
     val wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val off = deltas.groupBy("bucket").agg(sum(col("d")).as("bt"))
-      .withColumn("offset", coalesce(sum(col("bt")).over(wo), lit(0L)))
-    run.join(off.select("bucket", "offset"), "bucket")
-      .groupBy(col("bucket").as("hour_id"))
-      .agg(max(col("local") + col("offset")).as("max_concurrent"))
+    dense
+      .withColumn("carried", coalesce(sum(col("bt0")).over(wo), lit(0L)))
+      .select(col("bucket").as("hour_id"),
+        greatest(col("carried"),
+          coalesce(col("mxl") + col("carried"), col("carried")))
+          .as("max_concurrent"))
       .orderBy("hour_id")
   }
 

@@ -91,21 +91,33 @@ object AvroStore {
     case (x, _) => x
   }
 
-  /** One container file per partition under `path/part-NNNNN.avro`. */
+  /** One container file per partition under `path/part-NNNNN.avro`.
+    *
+    * Commit protocol (task output is NOT visible until job success):
+    * executors write into a job-scoped staging directory
+    * `path.inprogress-<uuid>`; only after the action completes does the
+    * driver stamp a `_SUCCESS` marker and rename the staging directory
+    * into place — so a job that dies after some tasks finish leaves
+    * only staging debris, never a readable-looking partial store.
+    * [[read]] requires the marker and so refuses uncommitted output.
+    * (The parquet stores get the same guarantee from Spark's committer;
+    * this hand-rolled container writer has to provide its own.)
+    */
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
     val avroJson = avroSchema(schema, "GraftRow").toString
     val hadoopConfSer = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    // clean target (overwrite semantics, matching the parquet stores)
     val fs = FileSystem.get(new Path(path).toUri,
       df.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.mkdirs(new Path(path))
+    val stagingStr =
+      path + ".inprogress-" + java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(stagingStr)
+    fs.mkdirs(staging)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val avro = new Schema.Parser().parse(avroJson)
-      val out = FileSystem.get(new Path(path).toUri, hadoopConfSer.value)
-        .create(new Path(path, f"part-$pid%05d.avro"), true)
+      val out = FileSystem.get(new Path(stagingStr).toUri, hadoopConfSer.value)
+        .create(new Path(stagingStr, f"part-$pid%05d.avro"), true)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](avro))
       w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
@@ -125,7 +137,12 @@ object AvroStore {
       w.close()
       Iterator.single(n)
     }.sum() // action: materializes the write; per-partition counts discarded
-    ()
+    // commit: marker first (inside staging), then publish by rename —
+    // overwrite semantics match the parquet stores
+    fs.create(new Path(staging, "_SUCCESS"), true).close()
+    fs.delete(new Path(path), true)
+    require(fs.rename(staging, new Path(path)),
+      s"AvroStore.write: commit rename $stagingStr -> $path failed")
   }
 
   /** Reads every `.avro` container under `path` with file-grain
@@ -136,6 +153,11 @@ object AvroStore {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new Path(path).toUri, conf)
+    // refuse uncommitted output: only [[write]]'s commit rename leaves
+    // the marker, so a crashed job's partial part-file set is unreadable
+    require(fs.exists(new Path(path, "_SUCCESS")),
+      s"$path has no _SUCCESS marker — absent or uncommitted " +
+        "(partial) AvroStore output; re-run the writing job")
     // globStatus returns NULL (not empty) for a nonexistent base path
     val files = Option(fs.globStatus(new Path(path, "*.avro")))
       .getOrElse(Array.empty)

@@ -41,10 +41,13 @@ object MediaStream {
   def hashed(media: Dataset[MediaRow]): DataFrame =
     Multimodal.aHash(media).toDF()
 
-  /** First-seen-wins perceptual dedup across all micro-batches.
-    * State = 16 bytes per distinct perceptual class.
+  /** First-seen-wins perceptual dedup across all micro-batches — state
+    * grows with every distinct perceptual class EVER seen (16 bytes
+    * each, forever). The unbounded-state choice is in the name: reach
+    * for [[dedupeWithin]] on unbounded streams; this form is for finite
+    * replays/backfills where the distinct-class universe is bounded.
     */
-  def dedupePerceptual(media: Dataset[MediaRow]): DataFrame =
+  def dedupePerceptualUnbounded(media: Dataset[MediaRow]): DataFrame =
     hashed(media).dropDuplicates("phash_hi", "phash_lo")
 
   /** A timestamped media row (arrival/event time for the watermark). */

@@ -283,4 +283,30 @@ class TimeSeries2Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType.toMap == want)
   }
+
+  test("q61 dense-hour semantics: carried-in level survives a −1-only " +
+      "hour, and delta-free hours inside open sessions emit the held level") {
+    import spark.implicits._
+    val m = 60L * 1000000000L // one minute in ns
+    // user 10: one session spanning hours 0..3 (events every 20 min)
+    val u10 = (0L to 180L by 20L).map(t => (10L, t * m))
+    // user 20: session [h0+5min, h1+5min] — its end is hour 1's only
+    //          delta alongside nothing else raising the level there
+    val u20 = (5L to 65L by 20L).map(t => (20L, t * m))
+    // user 30: point session inside hour 0
+    val u30 = Seq((30L, 10L * m))
+    val rows = (u10 ++ u20 ++ u30).zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, t, u, "e", 0.0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q61dense").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeSeries.concurrency.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // hour 0: +1,+1,+1,−1 → peak 3; hour 1: carried 2, only a −1 → the
+    // carried-in level is the max (delta-point form would say 1); hour 2:
+    // NO deltas, held level 1 (delta-point form emits no row); hour 3:
+    // carried 1, the spanning session ends → 1
+    assert(got == Map(0L -> 3L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -71,4 +71,23 @@ class AvroStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(ex.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("missing from Avro schema"), msg)
   }
+
+  test("commit protocol: write publishes atomically with _SUCCESS; " +
+      "read refuses uncommitted (marker-less) part files") {
+    val df = graft.Tables.documents(spark, sfDir)
+    val out = Files.createTempDirectory(Paths.get("target"), "avro-commit").toString
+    AvroStore.write(df, out)
+    val names = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(names.contains("_SUCCESS"), s"marker missing: $names")
+    // no staging debris next to the published store
+    val outFile = new java.io.File(out)
+    assert(!outFile.getParentFile.listFiles()
+      .exists(_.getName.startsWith(outFile.getName + ".inprogress-")))
+    // simulate a job that died mid-write: part files, no marker
+    java.nio.file.Files.delete(Paths.get(out, "_SUCCESS"))
+    val ex = intercept[IllegalArgumentException] {
+      AvroStore.read(spark, out, df.schema)
+    }
+    assert(ex.getMessage.contains("_SUCCESS"), ex.getMessage)
+  }
 }

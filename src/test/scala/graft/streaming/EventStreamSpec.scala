@@ -467,10 +467,18 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val finals = spark.table("conc").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .groupBy(_._1).map { case (b, rows) => (b, rows.map(_._2).maxBy(_._3)) }
-    val stitched = finals.toSeq.sortBy(_._1)
+    // dense-hour stitch (r11 semantics): every hour from first to last
+    // boundary emits; carried-in level joins the per-bucket max, and
+    // delta-free hours report the held level
+    val byBucket = finals.toMap
+    val (lo, hi) = (finals.keys.min, finals.keys.max)
+    val stitched = (lo to hi)
       .foldLeft((0L, Vector.empty[(Long, Long)])) {
-        case ((offset, acc), (b, (localMax, total, _))) =>
-          (offset + total, acc :+ (b, localMax + offset))
+        case ((offset, acc), b) => byBucket.get(b) match {
+          case Some((localMax, total, _)) =>
+            (offset + total, acc :+ (b, math.max(offset, localMax + offset)))
+          case None => (offset, acc :+ (b, offset))
+        }
       }._2.toMap
 
     val batchQ61 = graft.operators.TimeSeries.concurrency.run(spark, sfDir)

@@ -38,7 +38,7 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString).as[Multimodal.MediaRow]
-    val q = MediaStream.dedupePerceptual(stream)
+    val q = MediaStream.dedupePerceptualUnbounded(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("mediadedup").start()
     q.processAllAvailable()
