@@ -1220,6 +1220,164 @@ object Dedup {
     }
   }
 
+  /** Planned banding for the CHARACTER lane (d24): the d19 planner run
+    * at the char lane's confirm threshold. Char 5-gram Jaccard between
+    * genuine near-copies sits far higher than word-trigram Jaccard
+    * (windows survive re-wrapping), so the lane confirms at τ = 0.8;
+    * planBanding(12, 0.8) lands on 3 bands × 4 rows (S-curve midpoint
+    * (1/3)^(1/4) ≈ 0.76, just under the threshold — BandPlanSpec pins
+    * the choice). */
+  private[operators] val CharPlannedSigs = 12
+  private[operators] val CharPlannedThreshold = 0.8
+  private[operators] val (charPlannedBands, charPlannedRows) =
+    planBanding(CharPlannedSigs, CharPlannedThreshold)
+
+  /** Band-frequency cap for the char lane (d24/d25): a (band_idx,
+    * band_val) key shared by more than this many DISTINCT texts is a
+    * hot bucket — template/boilerplate mass whose within-bucket pair
+    * fan-out is quadratic — and is excluded from pair generation, so
+    * per-key fan-out is bounded by cap²/2 no matter the corpus size
+    * (the df-cap discipline d05 applies to shingles, applied to band
+    * keys). Exact copies are unaffected: they collapse BEFORE banding
+    * and pair through the d20 diagonal; what the cap drops is the
+    * mega-cluster candidate mass d20 measured at 120M pairs/30× — the
+    * d25 audit row prices exactly what was dropped.
+    */
+  private[operators] val CharBandCap = 64
+
+  /** (doc_id, band_idx, band_val) keys for the char lane at a tuned
+    * banding — [[bandKeys]]'s char-shingle twin. */
+  private[operators] def charBandKeys(
+      doc: DataFrame, numSigs: Int, numBands: Int): DataFrame = {
+    val rows = numSigs / numBands
+    val sig = sigsFromShingles(charShingles(doc), numSigs, "doc_id")
+    val bandArr = array((0 until numBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+          .as("band_val"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bandArr).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+  }
+
+  /** The shared oracle CTE prefix for d24/d25: distinct-text
+    * representatives → char 5-gram shingles → 12 minhash signatures →
+    * planner-chosen bands → per-key member counts. Built from the
+    * PLANNER's (bands, rows) exactly like d19's oracle, so the gate
+    * proves the planned banding computes what it claims.
+    */
+  private def charPlannedOracleCtes: String = {
+    val nDigests = (CharPlannedSigs + 3) / 4
+    val digests = (0 until nDigests).map {
+      case 0 => "md5(s) AS h1"
+      case 1 => "md5('s:'||s) AS h2"
+      case j => s"md5('s$j:'||s) AS h${j + 1}"
+    }.mkString(", ")
+    val sigCols = (0 until CharPlannedSigs).map { k =>
+      val src = s"h${k / 4 + 1}"
+      val pos = (k % 4) * 8 + 1
+      s"min(substr($src, $pos, 8)) AS m$k"
+    }.mkString(", ")
+    val bandSelects = (0 until charPlannedBands).map { b =>
+      val parts = (0 until charPlannedRows)
+        .map(r => s"m${b * charPlannedRows + r}").mkString("||")
+      s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""rep AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |cg AS (SELECT doc_id, substr(text, CAST(i AS INT), 5) AS s
+       |       FROM (SELECT doc_id, text,
+       |               unnest(range(1, greatest(len(text)-4, 0)+1)) AS i
+       |             FROM rep)),
+       |hs AS (SELECT doc_id, $digests FROM cg),
+       |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |kc AS (SELECT band_idx, band_val, count(*) AS nk
+       |       FROM bands GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** d24: the char-ngram lane under PLANNED banding + a band-frequency
+    * cap — the candidate-volume control d20's fixed banding lacks. Output
+    * is REPRESENTATIVE-level pairs (rep_a < rep_b over distinct-text
+    * representatives): the 100 TB confirm step runs on distinct texts and
+    * expands once at the end, and d20 already gates the doc-level
+    * expansion contract. Hot band keys (> [[CharBandCap]] distinct texts)
+    * are excluded — per-key pair fan-out is bounded by cap²/2, so a 100×
+    * corpus cannot detonate the band join; the d25 audit prices the
+    * excluded mass.
+    *
+    * Scale shape: per-row signatures; the key-count aggregate and the
+    * cap join both ride ONE exchange on (band_idx, band_val); the pair
+    * join moves only (band, rep) pairs. Nothing is all-pairs, nothing
+    * holds per-key lists.
+    */
+  val lshCharPlanned: QueryDef = q(
+    "d24_charngram_planned",
+    s"""WITH $charPlannedOracleCtes,
+       |kept AS (SELECT b.doc_id, b.band_idx, b.band_val
+       |         FROM bands b JOIN kc USING (band_idx, band_val)
+       |         WHERE kc.nk <= $CharBandCap)
+       |SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+       |FROM kept a
+       |JOIN kept b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |            AND a.doc_id < b.doc_id
+       |ORDER BY rep_a, rep_b""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val reps = Tables.parallel(collapseExact(base)
+      .select(col("rep_id").as("doc_id"), col("text")))
+    val bands = charBandKeys(reps, CharPlannedSigs, charPlannedBands)
+    val kc = bands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("nk"))
+    val kept = bands
+      .join(kc.filter(col("nk") <= CharBandCap), Seq("band_idx", "band_val"))
+      .select("doc_id", "band_idx", "band_val")
+    val a = kept.select(col("doc_id").as("rep_a"),
+      col("band_idx"), col("band_val"))
+    val b = kept.select(col("doc_id").as("rep_b"),
+      col("band_idx").as("bi"), col("band_val").as("bv"))
+    a.hint("merge")
+      .join(b, col("band_idx") === col("bi") && col("band_val") === col("bv")
+        && col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b").distinct()
+      .orderBy("rep_a", "rep_b")
+  }
+
+  /** d25: the char-band AUDIT row — what a platform team reads BEFORE
+    * running the d24 lane on a 100× corpus: per band, how many keys
+    * exist, how many are hot (and how much row mass they carry), and the
+    * EXACT candidate-pair budget the capped join will generate
+    * (Σ nk·(nk−1)/2 over kept keys — the number that was 120M/pass for
+    * the uncapped lane at 30×). Pure aggregate over the band keys; no
+    * pair is ever generated to price the pair volume.
+    */
+  val charBandAudit: QueryDef = q(
+    "d25_charband_audit",
+    s"""WITH $charPlannedOracleCtes
+       |SELECT band_idx,
+       |  CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(CASE WHEN nk > $CharBandCap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hot_keys,
+       |  CAST(sum(CASE WHEN nk > $CharBandCap THEN nk ELSE 0 END) AS BIGINT)
+       |    AS n_hot_rows,
+       |  CAST(sum(CASE WHEN nk <= $CharBandCap
+       |                THEN nk * (nk - 1) // 2 ELSE 0 END) AS BIGINT)
+       |    AS n_pairs_bound
+       |FROM kc GROUP BY band_idx
+       |ORDER BY band_idx""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val reps = Tables.parallel(collapseExact(base)
+      .select(col("rep_id").as("doc_id"), col("text")))
+    charBandKeys(reps, CharPlannedSigs, charPlannedBands)
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("nk"))
+      .groupBy("band_idx")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("nk") > CharBandCap, 1L).otherwise(0L)).as("n_hot_keys"),
+        sum(when(col("nk") > CharBandCap, col("nk")).otherwise(0L))
+          .as("n_hot_rows"),
+        sum(when(col("nk") <= CharBandCap,
+          expr("nk * (nk - 1) div 2")).otherwise(0L)).as("n_pairs_bound"))
+      .orderBy("band_idx")
+  }
+
   /** Char-band candidate pairs (doc_a < doc_b) over whatever frame is
     * passed in — the d20 kernel, callable on [[collapseExact]]
     * representatives (the gated query does) or raw docs.
@@ -1975,6 +2133,50 @@ object Dedup {
     * (tiny) cluster table; docs LEFT-join it on doc_id — the only
     * corpus-scale move — and the split itself is a row-local md5.
     */
+  /** p18's split law from a PRECOMPUTED cluster table — the artifact
+    * consumer path (see [[writeClusters]]): docs LEFT-join the cluster
+    * table on doc_id (the only corpus-scale move), the split is a
+    * row-local md5 of the group key. Identical output to the inline p18
+    * pipeline by construction (ClusterArtifactSpec pins the hash
+    * equality); engine cost from an artifact is join-only — no shingle
+    * explode, no pair join, no CC rounds.
+    */
+  def splitByCluster(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val cl = clusters.select(col("doc_id").as("cdoc"), col("cluster"))
+    docs.join(cl, col("doc_id") === col("cdoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("grp"))
+      .withColumn("split", expr(
+        """CASE WHEN substr(md5(CAST(grp AS STRING)), 1, 2) < 'cd' THEN 'train'
+          |     WHEN substr(md5(CAST(grp AS STRING)), 1, 2) < 'e6' THEN 'val'
+          |     ELSE 'test' END""".stripMargin))
+  }
+
+  /** Materialize a `(doc_id, cluster)` table as the corpus snapshot's
+    * CLUSTER ARTIFACT — the production seam the r10 review asked for:
+    * clustering (pair generation + CC, the expensive part) runs ONCE per
+    * snapshot, and every consumer ([[splitByCluster]] for p18,
+    * [[keepCanonical]] for d14, removal/audit passes) JOINS the artifact
+    * instead of re-deriving components inline. Plain parquet through
+    * Spark's committer (atomic publish); schema pinned on both ends.
+    */
+  def writeClusters(clusters: DataFrame, path: String): Unit = {
+    require(clusters.columns.sorted.sameElements(Array("cluster", "doc_id")),
+      s"cluster artifact schema must be (doc_id, cluster), " +
+        s"got (${clusters.columns.mkString(", ")})")
+    clusters.write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeClusters]] artifact, schema-checked. */
+  def loadClusters(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.sorted.sameElements(Array("cluster", "doc_id")),
+      s"$path is not a cluster artifact: expected (doc_id, cluster), " +
+        s"got (${df.columns.mkString(", ")})")
+    df.select(col("doc_id"), col("cluster"))
+  }
+
   val leakageSafeSplit: QueryDef = q(
     "p18_leakage_safe_split",
     s"""WITH RECURSIVE $pairCtes,
@@ -1994,15 +2196,7 @@ object Dedup {
        |FROM grp
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.parallel(Tables.documents(s, d).select("doc_id", "text"))
-    val cl = jaccardClusters(docs, 0.2, 50)
-      .select(col("doc_id").as("cdoc"), col("cluster"))
-    docs.join(cl, col("doc_id") === col("cdoc"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster"), col("doc_id")).as("grp"))
-      .withColumn("split", expr(
-        """CASE WHEN substr(md5(CAST(grp AS STRING)), 1, 2) < 'cd' THEN 'train'
-          |     WHEN substr(md5(CAST(grp AS STRING)), 1, 2) < 'e6' THEN 'val'
-          |     ELSE 'test' END""".stripMargin))
+    splitByCluster(docs, jaccardClusters(docs, 0.2, 50))
       .orderBy("doc_id")
   }
 
@@ -2010,6 +2204,6 @@ object Dedup {
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
       simhashPairs, simhashPairs64, contamination, minhashEstimate,
       canonicalKeep, editDistNeighborhood, sourceOverlapAudit,
-      overlapContainment, lshPlanned, minhashCharLsh, leakageSafeSplit,
-      idfJaccard)
+      overlapContainment, lshPlanned, minhashCharLsh, lshCharPlanned,
+      charBandAudit, leakageSafeSplit, idfJaccard)
 }

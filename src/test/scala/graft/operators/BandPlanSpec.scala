@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -59,6 +60,51 @@ class BandPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         Dedup.PlannedSigs, b)
       .orderBy("doc_a", "doc_b").collect().toSeq
     assert(viaPlanner === direct)
+  }
+
+  test("d24's char banding is planner-chosen (3 bands x 4 rows at " +
+      "tau=0.8) and its oracle restates the choice + the band cap") {
+    val (b, r) = Dedup.planBanding(
+      Dedup.CharPlannedSigs, Dedup.CharPlannedThreshold)
+    assert((b, r) === ((Dedup.charPlannedBands, Dedup.charPlannedRows)))
+    assert((b, r) === ((3, 4)), s"expected (3,4) at tau=0.8, got ($b,$r)")
+    val mid = midpoint(b, r)
+    assert(mid < Dedup.CharPlannedThreshold,
+      s"FN-weighted midpoint must sit under tau: $mid")
+    val sql = Dedup.lshCharPlanned.oracle.get
+    assert("AS band_idx".r.findAllIn(sql).size === b,
+      s"oracle must restate exactly $b bands")
+    assert(sql.contains(s"m${Dedup.CharPlannedSigs - 1}"),
+      "oracle must consume all signature slots")
+    assert(sql.contains(s"nk <= ${Dedup.CharBandCap}"),
+      "oracle must restate the band-frequency cap")
+  }
+
+  test("d24's band cap drops hot keys: a mega-template cluster generates " +
+      "zero candidate pairs while normal near-dups still pair") {
+    import spark.implicits._
+    // 100 distinct single-char-suffix variants of one template (every
+    // variant shares nearly all char 5-grams -> same band keys -> one
+    // hot bucket far over any reasonable cap) + one true near-dup pair
+    val template = "this is the shared boilerplate template body " * 3
+    val hot = (0 until 100).map(i => (100L + i, template + ('a' + i % 26).toChar))
+    val pair = Seq(
+      (1L, "a genuinely unique document about owls and their habits in winter"),
+      (2L, "a genuinely unique document about owls and their habits in summer"))
+    val docs = (hot ++ pair).toDF("doc_id", "text")
+    val bands = Dedup.charBandKeys(
+      docs, Dedup.CharPlannedSigs, Dedup.charPlannedBands)
+    val kc = bands.groupBy("band_idx", "band_val").agg(count(lit(1)).as("nk"))
+    // the template cluster IS a hot bucket at this fixture scale
+    assert(kc.filter(col("nk") > 64).count() > 0,
+      "fixture must produce a hot band key")
+    val kept = bands.join(kc.filter(col("nk") <= 64),
+      Seq("band_idx", "band_val"))
+    val keptIds = kept.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // the owls pair survives the cap; pairs among the hot cluster are
+    // suppressed (they'd be cap-squared-bounded otherwise)
+    assert(keptIds.contains(1L) && keptIds.contains(2L))
   }
 
   test("a planned banding is a valid lshCandidatesTuned parameterization") {
