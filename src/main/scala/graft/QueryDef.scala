@@ -28,6 +28,7 @@ object QueryCatalog {
       operators.TimeSeries.defs ++
       operators.TimeSeries2.defs ++
       operators.Dedup.defs ++
+      operators.Incremental.defs ++
       operators.Urls.defs ++
       operators.Paragraphs.defs ++
       operators.Sampling.defs ++
