@@ -35,7 +35,7 @@ object Incremental {
   /** Yesterday's snapshot: doc_id % 7 = 0 rows absent (they will ARRIVE),
     * doc_id % 5 = 0 texts in a ` draft` revision (they will CHANGE).
     */
-  private[operators] def snapshotV1(s: SparkSession, d: String): DataFrame =
+  private[graft] def snapshotV1(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"), col("source"),
@@ -43,7 +43,7 @@ object Incremental {
           .otherwise(col("text")).as("text"))
 
   /** Today's snapshot: doc_id % 11 = 0 rows gone (they were REMOVED). */
-  private[operators] def snapshotV2(s: SparkSession, d: String): DataFrame =
+  private[graft] def snapshotV2(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"), col("source"), col("text"))
@@ -109,7 +109,7 @@ object Incremental {
     * carry an I then nothing else; `% 55 = 0` keys carry both an I/U and
     * a terminal D — latest-wins must land on the D.
     */
-  private def changelog(s: SparkSession, d: String): DataFrame = {
+  private[graft] def changelog(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ins = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), lit(1).as("seq"), lit("I").as("op"), col("text"))
@@ -150,6 +150,29 @@ object Incremental {
     * orders of magnitude below the base and broadcasts; the base is
     * never shuffled at all.
     */
+  /** Latest-wins reduction of a changelog: ONE map-side-combined
+    * max(struct(seq, op, text)) per key — not a window (a window
+    * sort-shuffles every changelog row; the aggregate moves one struct per
+    * key). Columns: doc_id, op, text.
+    */
+  def latestPerKey(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("seq"), col("op"), col("text"))).as("top"))
+      .select(col("doc_id"), col("top.op").as("op"), col("top.text").as("text"))
+
+  /** Apply a latest-wins changelog state to a base snapshot: D removes,
+    * I/U upserts its text, untouched base rows pass through. The base is
+    * never shuffled — one left-anti join against the (small) latest table
+    * plus a union; at 100 TB the daily changelog side broadcasts.
+    */
+  def applyLatest(base: DataFrame, latest: DataFrame): DataFrame = {
+    val untouched =
+      base.join(latest.select("doc_id"), Seq("doc_id"), "left_anti")
+    val upserts = latest.filter(col("op") =!= "D").select("doc_id", "text")
+    untouched.select("doc_id", "text").union(upserts)
+  }
+
   val upsertMerge: QueryDef = q(
     "i02_upsert_merge",
     s"""WITH $v1Sql, $changelogSql,
@@ -165,14 +188,8 @@ object Incremental {
        |  SELECT doc_id, text FROM fin WHERE op <> 'D')
        |SELECT doc_id, md5(text) AS text_hash
        |FROM merged ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val fin = changelog(s, d)
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("seq"), col("op"), col("text"))).as("top"))
-      .select(col("doc_id"), col("top.op").as("op"), col("top.text").as("text"))
     val base = snapshotV1(s, d).select(col("doc_id"), col("text"))
-    val untouched = base.join(fin.select("doc_id"), Seq("doc_id"), "left_anti")
-    val upserts = fin.filter(col("op") =!= "D").select("doc_id", "text")
-    untouched.union(upserts)
+    applyLatest(base, latestPerKey(changelog(s, d)))
       .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .orderBy("doc_id")
   }

@@ -1395,6 +1395,72 @@ object Similarity {
     }
   }
 
+  /** i06: DELTA vector ingest — the incremental half of IVF index
+    * maintenance under the oracle gate. The corpus trains the index once
+    * ([[ivfIndex]], the s10 chain); a derived delta batch (vec_id % 9 = 0,
+    * re-keyed negative, embedding cyclically shifted one component — a
+    * genuinely different vector with the same norm) is then routed by
+    * [[ivfAssign]]: a pure scan-fused argmax against the model's literal
+    * centroids. This is what a daily embedding drop costs at 100 TB — the
+    * CORPUS is never rescanned, never shuffled, never re-clustered; only
+    * the delta is touched (NO shuffle at all on the routing pass — the
+    * one-row-per-list size join is a broadcast), and
+    * [[graft.streaming.VecStream]] runs the identical expression
+    * batch-by-batch forever.
+    *
+    * Output: each delta vector's assigned list plus that list's corpus
+    * population (the signal an index maintainer watches for drift — a
+    * delta concentrating into one list says re-train).
+    */
+  val deltaVecIngest: QueryDef = q(
+    "i06_delta_vec_ingest",
+    s"""WITH $oracleNorms,
+       |$oracleAssign,
+       |$oracleTrainedAssign,
+       |delta AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |         list_transform(range(1, 65),
+       |           i -> embedding[CAST(1 + (i % 64) AS INT)]) AS embedding
+       |  FROM embeddings WHERE vec_id % 9 = 0),
+       |dn AS (
+       |  SELECT vec_id, CAST(sum(${xiDim("d", "j.j")} * ${xiDim("d", "j.j")}) AS BIGINT) AS sq
+       |  FROM delta d, j GROUP BY vec_id),
+       |dd AS (
+       |  SELECT d.vec_id, nc.cid,
+       |         CAST(sum(${xiDim("d", "nc.dim")} * nc.c) AS BIGINT) AS dot
+       |  FROM delta d, nc
+       |  GROUP BY d.vec_id, nc.cid),
+       |ds AS (
+       |  SELECT dd.vec_id, dd.cid,
+       |    (CAST(dot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |      / (sqrt(CAST(dn.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |       * sqrt(CAST(ncn.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))) AS cos
+       |  FROM dd JOIN dn ON dn.vec_id = dd.vec_id
+       |          JOIN ncn ON ncn.cid = dd.cid),
+       |da AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM ds) WHERE rn = 1),
+       |lsz AS (SELECT cid, count(*) AS n_corpus FROM assign2 GROUP BY cid)
+       |SELECT da.vec_id AS vec_id, da.cid AS cid,
+       |       coalesce(lsz.n_corpus, 0) AS n_corpus
+       |FROM da LEFT JOIN lsz ON lsz.cid = da.cid
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.parallel(Tables.embeddings(s, d))
+    val model = ivfIndex(emb, nlist = 8, iters = 1)
+    val delta = emb.filter(col("vec_id") % 9 === 0)
+      .select((-col("vec_id") - 1).as("vec_id"),
+        expr("transform(sequence(1, 64), i -> element_at(embedding, CAST(i % 64 AS INT) + 1))")
+          .as("embedding"))
+    val lsz = model.assignments.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_corpus"))
+    ivfAssign(model, delta).select(col("vec_id"), col("cid"))
+      .join(broadcast(lsz), Seq("cid"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"))
+      .orderBy("vec_id")
+  }
+
   /** s11: [[semDedupTrained]] under the oracle gate — s06's drop rule
     * (higher-similarity smaller-id twin, cos > 0.4, within-cluster) over
     * the TRAINED assignment instead of the seeded one. Same output
@@ -2164,7 +2230,7 @@ object Similarity {
   def defs: Seq[QueryDef] =
     Seq(cosineTopk, annBucketed, annIvf, labelCentroids, embeddingNearDup,
       annRecall, semDedup, quantError, knnGraph, diversityRebalance,
-      ivfTrained, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles,
+      ivfTrained, deltaVecIngest, semDedupTrainedQ, pqAdc, knnPageRank, knnTriangles,
       ivfPqAdc, mipsTopk, retrievalMetrics, clusterSse, annFiltered,
       ivfPqRerankQ, knnLpa)
 }
