@@ -2200,10 +2200,99 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d26: EMPIRICAL LSH recall audit — the measured S-curve of the d03
+    * banding against exact ground truth, the number a 100 TB operator
+    * needs before trusting the planner's theoretical curve on THEIR
+    * corpus (shingle-size and length distributions shift the effective
+    * curve; [[planBanding]] integrates the ideal one).
+    *
+    * Ground truth is d05's df-capped inverted-index pair set (every pair
+    * sharing a ≤50-df trigram — the engine's exact lane, linear at any
+    * corpus size), bucketed by floor(10·J) in exact integer arithmetic
+    * (`(10·i) div (union)` — no float threshold anywhere), left-joined
+    * against the d03 band-join candidates. Per bucket: truth mass, caught
+    * mass, empirical recall, and the planner's predicted capture
+    * probability 1−(1−s⁴)² = 2s⁴−s⁸ at the bucket midpoint — evaluated
+    * in exact integer arithmetic over s = p/20 (p = min(2b+1, 20)) with
+    * ONE double division, so both engines agree bit-for-bit. The expected
+    * reading: high buckets ≈ 1.0 recall (the d03 contract), low buckets
+    * tracking the S-curve's tail.
+    */
+  val lshRecallAudit: QueryDef = {
+    val rows = SIGS / BANDS
+    val bandSelects = (0 until BANDS).map { b =>
+      val parts = (0 until rows).map(r => s"m${b * rows + r}").mkString("||")
+      s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    val sigCols = (0 until SIGS).map { k =>
+      val src = s"h${k / 4 + 1}"
+      val pos = (k % 4) * 8 + 1
+      s"min(substr($src, $pos, 8)) AS m$k"
+    }.mkString(", ")
+    q("d26_lsh_recall_audit",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tri AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+         |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
+         |        FROM w),
+         |df AS (SELECT s, count(*) AS c FROM tri GROUP BY s),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM tri a
+         |          JOIN df ON df.s = a.s AND df.c <= 50
+         |          JOIN tri b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |tr AS (SELECT doc_a, doc_b, bucket FROM (
+         |         SELECT doc_a, doc_b, (10 * i) // (sa.n + sb.n - i) AS bucket
+         |         FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         |                    JOIN sz sb ON sb.doc_id = doc_b)
+         |       WHERE bucket >= 1),
+         |hs AS (SELECT doc_id, md5(s) AS h1, md5('s:'||s) AS h2 FROM tri),
+         |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+         |         FROM bands a
+         |         JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |                     AND a.doc_id < b.doc_id),
+         |j AS (SELECT t.bucket, count(*) AS n_pairs, count(c.ca) AS n_caught
+         |      FROM tr t LEFT JOIN cand c ON c.ca = t.doc_a AND c.cb = t.doc_b
+         |      GROUP BY t.bucket),
+         |pp AS (SELECT bucket, n_pairs, n_caught,
+         |         least(2 * bucket + 1, 20) AS pm FROM j)
+         |SELECT bucket, n_pairs, n_caught,
+         |  n_caught * 1.0 / n_pairs AS recall,
+         |  CAST(2 * pm*pm*pm*pm * 160000 - pm*pm*pm*pm*pm*pm*pm*pm AS DOUBLE)
+         |    / 25600000000.0 AS predicted
+         |FROM pp ORDER BY bucket""".stripMargin) { (s, d) =>
+      val docs = Tables.parallel(
+        Tables.documents(s, d).select("doc_id", "text"))
+      val truth = pairScaffold(docs, 50)
+        .select(col("doc_a"), col("doc_b"),
+          expr("(10 * inter) div (n_a + n_b - inter)").as("bucket"))
+        .filter(col("bucket") >= 1)
+      val cand = lshCandidates(docs)
+        .select(col("doc_a").as("ca"), col("doc_b").as("cb"),
+          lit(1).as("hit"))
+      val pm = least(lit(2L) * col("bucket") + 1L, lit(20L))
+      truth
+        .join(cand,
+          col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_caught"))
+        .select(col("bucket"), col("n_pairs"), col("n_caught"),
+          (col("n_caught").cast("double") / col("n_pairs").cast("double"))
+            .as("recall"),
+          ((lit(2L) * pm * pm * pm * pm * lit(160000L) -
+            pm * pm * pm * pm * pm * pm * pm * pm).cast("double") /
+            lit(2.56e10)).as("predicted"))
+        .orderBy("bucket")
+    }
+  }
+
   def defs: Seq[QueryDef] =
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
       simhashPairs, simhashPairs64, contamination, minhashEstimate,
       canonicalKeep, editDistNeighborhood, sourceOverlapAudit,
       overlapContainment, lshPlanned, minhashCharLsh, lshCharPlanned,
-      charBandAudit, leakageSafeSplit, idfJaccard)
+      charBandAudit, leakageSafeSplit, idfJaccard, lshRecallAudit)
 }

@@ -130,4 +130,21 @@ class DedupTuningSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Jaccard dilutes the contained pair below threshold — the case " +
         "d18 exists for")
   }
+
+  test("d26 recall audit: laws the hash gate can't state") {
+    val rows = graft.QueryCatalog.byName("d26_lsh_recall_audit")
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bucket, nPairs, nCaught) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (recall, predicted) = (r.getDouble(3), r.getDouble(4))
+      assert(bucket >= 1 && bucket <= 10)
+      assert(nCaught <= nPairs, "caught mass cannot exceed truth mass")
+      assert(recall == nCaught.toDouble / nPairs.toDouble)
+      assert(predicted >= 0.0 && predicted <= 1.0)
+      // identical shingle sets (bucket 10) carry identical signatures —
+      // the band join catches them with certainty, not probability
+      if (bucket == 10) assert(recall == 1.0 && predicted == 1.0)
+    }
+  }
 }
