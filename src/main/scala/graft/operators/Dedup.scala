@@ -2289,10 +2289,73 @@ object Dedup {
     }
   }
 
+  /** t22: DEDUP SAVINGS report — what near-dup dedup is worth, in the
+    * currency that matters to a training run: tokens. Per source: docs
+    * and whitespace tokens before dedup, the mass the d07 cluster chain's
+    * keep-min policy drops, and the dropped fraction. This is the row a
+    * data lead reads before paying for a dedup pass at 100 TB — and the
+    * after-the-fact audit that the pass did what the planner promised.
+    *
+    * Scale shape: the cluster chain is d07's (in production read from the
+    * materialized artifact — [[loadClusters]] — instead of recomputed);
+    * the report itself is ONE documents scan with a row-local token
+    * count, a left join against the (small) drop set, and a per-source
+    * map-side-combined aggregate. Exact integer token sums; the one
+    * division is exact-operand.
+    */
+  val dedupSavings: QueryDef = q(
+    "t22_dedup_savings",
+    s"""WITH RECURSIVE $pairCtes,
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM conf
+       |        UNION ALL SELECT doc_b, doc_a FROM conf),
+       |reach(doc_id, r) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT und.a, reach.r FROM und JOIN reach ON reach.doc_id = und.b),
+       |cl AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+       |drops AS (SELECT doc_id FROM cl WHERE doc_id <> cluster),
+       |toks AS (SELECT doc_id, source,
+       |           len(regexp_extract_all(text, '\\S+')) AS t
+       |         FROM documents),
+       |agg AS (SELECT source,
+       |          count(*) AS n_docs,
+       |          count(d.doc_id) AS n_dropped,
+       |          CAST(sum(t) AS BIGINT) AS tokens_total,
+       |          CAST(coalesce(sum(t) FILTER (WHERE d.doc_id IS NOT NULL), 0)
+       |               AS BIGINT) AS tokens_dropped
+       |        FROM toks LEFT JOIN drops d ON d.doc_id = toks.doc_id
+       |        GROUP BY source)
+       |SELECT source, n_docs, n_dropped, tokens_total, tokens_dropped,
+       |       tokens_dropped * 1.0 / tokens_total AS pct_tokens_dropped
+       |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.parallel(
+      Tables.documents(s, d).select("doc_id", "source", "text"))
+    val drops = jaccardClusters(docs.select("doc_id", "text"), 0.2, 50)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("drop_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("t"))
+      .join(broadcast(drops), col("doc_id") === col("drop_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("drop_id")).as("n_dropped"),
+        sum(col("t")).as("tokens_total"),
+        sum(when(col("drop_id").isNotNull, col("t")).otherwise(lit(0L)))
+          .as("tokens_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("tokens_total"), col("tokens_dropped"),
+        (col("tokens_dropped").cast("double") /
+          col("tokens_total").cast("double")).as("pct_tokens_dropped"))
+      .orderBy("source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(exact, prefixKey, minhashLsh, simhash, ngramJaccard, dupClusters,
       simhashPairs, simhashPairs64, contamination, minhashEstimate,
       canonicalKeep, editDistNeighborhood, sourceOverlapAudit,
       overlapContainment, lshPlanned, minhashCharLsh, lshCharPlanned,
-      charBandAudit, leakageSafeSplit, idfJaccard, lshRecallAudit)
+      charBandAudit, leakageSafeSplit, idfJaccard, lshRecallAudit,
+      dedupSavings)
 }
