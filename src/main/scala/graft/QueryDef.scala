@@ -35,6 +35,7 @@ object QueryCatalog {
       operators.Similarity.defs ++
       operators.Similarity2.defs ++
       operators.TextAnalysis.defs ++
+      operators.Retrieval.defs ++
       operators.MlQuality.defs ++
       operators.Multimodal.defs ++
       operators.Skew.defs

@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Retrieval family over `documents` + `embeddings`: BM25 lexical scoring,
+  * RAG chunk extraction, and hybrid lexical+vector rank fusion — the query
+  * side of a training-data / RAG pipeline (the ingest side is the d-/s-
+  * families' dedup and ANN indexes).
+  *
+  * Integer-exact scoring discipline (same reason as t05's TF-IDF): BM25's
+  * `ln((N-df+0.5)/(df+0.5))` is libm-dependent, so the engine scores with
+  * the monotone rational core instead — IDF as the scaled odds ratio
+  * `(2N-2df+1)/(2df+1)` and the tf-saturation term cleared of fractions —
+  * all in BIGINT floor division that both engines floor identically on
+  * positive operands. Rankings agree with float BM25 wherever float BM25
+  * is itself unambiguous, and reproduce bit-for-bit everywhere.
+  *
+  * Scale shape: tf for the (tiny, literal) query-term set is scan-fused
+  * per-row array arithmetic — no explode, no keyed shuffle; the corpus
+  * statistics (N, Σdl, per-term df) collapse to ONE 1-row broadcast; the
+  * only distributed ordering is the final top-k (TakeOrderedAndProject,
+  * never a global window). A 100 TB corpus pays two streaming scans and a
+  * k-row driver result.
+  */
+object Retrieval {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** The fixed lexical query — df spread at sf0.01: dup 25, key 373,
+    * spark 385, batch 402 (one rare term, three common).
+    */
+  private val queryTerms: Seq[String] = Seq("dup", "key", "spark", "batch")
+
+  /** BM25 constants k1=1.2, b=0.75 appear fraction-cleared below:
+    * sat = 2.2·tf / (tf + 0.3 + 0.9·dl/avgdl)
+    *     = 22000·tf·A / (10·tf·A + 3·A + 9·dl·1e6) at milli scale,
+    * with A = avgdl_micro = ⌊Σdl·1e6 / N⌋. Headroom: 22000·tf·A needs
+    * tf·avgdl < 4e11 (fine past book-length docs); idf_milli·sat_milli
+    * stays under 2^63 for corpora to ~10¹⁰ docs.
+    */
+  private def satMilliSql(tf: String, dl: String): String =
+    s"(22000 * $tf * a) div (10 * $tf * a + 3 * a + 9 * $dl * 1000000)"
+  private def satMilliDuck(tf: String, dl: String): String =
+    s"(22000 * $tf * a) // (10 * $tf * a + 3 * a + 9 * $dl * 1000000)"
+
+  private def idfMilliSql(df: String): String =
+    s"((2 * n_total - 2 * $df + 1) * 1000) div (2 * $df + 1)"
+  private def idfMilliDuck(df: String): String =
+    s"((2 * n_total - 2 * $df + 1) * 1000) // (2 * $df + 1)"
+
+  /** Engine-side scored relation: doc_id, n_hit, score_micro for every doc
+    * matching ≥1 query term. Two scans (stats, scoring); stats broadcast.
+    */
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.parallel(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i",
+        expr(s"size(filter(ws, x -> x = '$t'))").cast("long"))
+    }
+    // ONE 1-row stats aggregate: N, Σdl, df per query term — broadcast.
+    val statCols = sum(col("dl")).as("sum_dl") +:
+      queryTerms.indices.map(i =>
+        count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))
+    val stats = withTf.agg(count(lit(1)).as("n_total"), statCols: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("a", expr("(sum_dl * 1000000) div n_total"))
+    val contribs = queryTerms.indices.map { i =>
+      when(col(s"tf_$i") > 0,
+        expr(s"(${idfMilliSql(s"df_$i")}) * (${satMilliSql(s"tf_$i", "dl")})"))
+        .otherwise(lit(0L))
+    }
+    val hits = queryTerms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+    scored
+      .withColumn("score_micro", contribs.reduce(_ + _))
+      .withColumn("n_hit", hits.reduce(_ + _))
+      .filter(col("n_hit") > 0)
+      .select("doc_id", "n_hit", "score_micro")
+  }
+
+  /** Oracle-side CTEs mirroring [[bm25Scored]] (relation `bm`). */
+  private val bm25OracleCtes: String = {
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$i"
+    }.mkString(",\n|    ")
+    val dfCols = queryTerms.indices
+      .map(i => s"count(CASE WHEN tf_$i > 0 THEN 1 END) AS df_$i")
+      .mkString(", ")
+    val contribs = queryTerms.indices.map { i =>
+      s"(CASE WHEN tf_$i > 0 THEN (${idfMilliDuck(s"df_$i")}) * (${satMilliDuck(s"tf_$i", "dl")}) ELSE 0 END)"
+    }.mkString("\n|      + ")
+    val hits = queryTerms.indices
+      .map(i => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_total, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |         $dfCols FROM tok),
+       |bm AS (
+       |  SELECT doc_id,
+       |      $contribs AS score_micro,
+       |      $hits AS n_hit
+       |  FROM (SELECT tok.*, stats.*, (sum_dl * 1000000) // n_total AS a
+       |        FROM tok, stats)
+       |  WHERE $hits > 0)""".stripMargin
+  }
+
+  /** r01: BM25 top-10 for the fixed query — rank, doc, hit count, score. */
+  val bm25TopK: QueryDef = q(
+    "r01_bm25_topk",
+    s"""WITH $bm25OracleCtes
+       |SELECT rn, doc_id, n_hit, score_micro FROM (
+       |  SELECT doc_id, n_hit, score_micro,
+       |         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+       |  FROM bm)
+       |WHERE rn <= 10
+       |ORDER BY rn""".stripMargin) { (s, d) =>
+    // top-k FIRST (TakeOrderedAndProject — distributed heap-k, no global
+    // window over the corpus), then rank the 10 survivors.
+    val top = bm25Scored(s, d)
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+    top
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select("rn", "doc_id", "n_hit", "score_micro")
+      .orderBy("rn")
+  }
+
+  /** r02: positional retrieval primitives — exact-phrase match counting
+    * and two-term proximity (minimum token span), the semantics a
+    * positional inverted index serves. Here they are scan-fused per-row
+    * array arithmetic over token positions: no index build, no shuffle,
+    * output bounded by matching docs. At 100 TB this is the
+    * "grep-with-positions" pass a corpus audit runs before paying for an
+    * index; the per-row span search is O(|pa|·|pb|) in the two terms'
+    * in-doc frequencies (both df-bounded rare terms here, and token
+    * frequency within one doc is small by construction).
+    *
+    * Phrase = "hash join" (adjacent tokens); proximity pair = (dup, spark).
+    * prox_micro = ⌊1e6 / min_span⌋ — integer, larger is closer.
+    */
+  val phraseProx: QueryDef = q(
+    "r02_phrase_prox",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  len(string_split(text, ' ')) AS n FROM documents),
+      |pos AS (SELECT doc_id, n,
+      |    len(list_filter(range(1, greatest(n, 2)),
+      |      i -> i < n AND ws[CAST(i AS INT)] = 'hash'
+      |             AND ws[CAST(i AS INT) + 1] = 'join')) AS n_phrase,
+      |    list_filter(range(1, n + 1), i -> ws[CAST(i AS INT)] = 'dup') AS pa,
+      |    list_filter(range(1, n + 1), i -> ws[CAST(i AS INT)] = 'spark') AS pb
+      |  FROM d)
+      |SELECT doc_id, n_phrase,
+      |  len(pa) AS n_a, len(pb) AS n_b,
+      |  CASE WHEN len(pa) > 0 AND len(pb) > 0
+      |    THEN list_min(flatten(list_transform(pa,
+      |           a -> list_transform(pb, b -> abs(a - b))))) ELSE 0 END
+      |    AS min_span,
+      |  CASE WHEN len(pa) > 0 AND len(pb) > 0
+      |    THEN 1000000 // list_min(flatten(list_transform(pa,
+      |           a -> list_transform(pb, b -> abs(a - b))))) ELSE 0 END
+      |    AS prox_micro
+      |FROM pos
+      |WHERE n_phrase > 0 OR (len(pa) > 0 AND len(pb) > 0)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pos = Tables.parallel(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .select(
+        col("doc_id"),
+        expr("""size(filter(sequence(1L, greatest(n - 1, 1L)),
+                 i -> i < n AND element_at(ws, CAST(i AS INT)) = 'hash'
+                        AND element_at(ws, CAST(i AS INT) + 1) = 'join'))""")
+          .cast("long").as("n_phrase"),
+        expr("filter(sequence(1L, n), i -> element_at(ws, CAST(i AS INT)) = 'dup')")
+          .as("pa"),
+        expr("filter(sequence(1L, n), i -> element_at(ws, CAST(i AS INT)) = 'spark')")
+          .as("pb"))
+    val minSpan = expr(
+      "array_min(flatten(transform(pa, a -> transform(pb, b -> abs(a - b)))))")
+    pos
+      .select(
+        col("doc_id"), col("n_phrase"),
+        size(col("pa")).cast("long").as("n_a"),
+        size(col("pb")).cast("long").as("n_b"),
+        when(size(col("pa")) > 0 && size(col("pb")) > 0, minSpan)
+          .otherwise(lit(0L)).as("min_span"),
+        when(size(col("pa")) > 0 && size(col("pb")) > 0,
+          expr("""1000000 div array_min(flatten(transform(pa,
+                   a -> transform(pb, b -> abs(a - b)))))"""))
+          .otherwise(lit(0L)).as("prox_micro"))
+      .filter(col("n_phrase") > 0 || (col("n_a") > 0 && col("n_b") > 0))
+      .orderBy("doc_id")
+  }
+
+  /** Vector-side probe for r03: doc 7's embedding. */
+  private val probeId = 7L
+
+  private def vecQuantDuck(emb: String): String =
+    s"CAST(CAST(CAST($emb AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+  /** r03: hybrid retrieval — reciprocal-rank fusion (k=60) of the BM25
+    * top-20 and the exact-cosine top-20 for probe vector 7 (doc_id and
+    * vec_id are aligned in this corpus). rrf contribution is the integer
+    * `1e6 // (60 + rank)`; a doc absent from one list contributes 0 there.
+    * Both inputs are already k-row relations, so the fusion join is
+    * trivially broadcast; the serving-scale vector side would swap in the
+    * s10/s15 IVF chain — this query pins the fusion contract against the
+    * exact baseline.
+    */
+  val hybridRrf: QueryDef = q(
+    "r03_hybrid_rrf",
+    s"""WITH $bm25OracleCtes,
+       |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS bm_rn
+       |        FROM bm QUALIFY bm_rn <= 20),
+       |j AS (SELECT unnest(range(1, 65)) AS j),
+       |qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = $probeId),
+       |dots AS (
+       |  SELECT c.vec_id AS cid,
+       |    CAST(sum(${vecQuantDuck("qv.embedding[CAST(j.j AS INT)]")}
+       |           * ${vecQuantDuck("c.embedding[CAST(j.j AS INT)]")}) AS BIGINT) AS dot,
+       |    CAST(sum(${vecQuantDuck("qv.embedding[CAST(j.j AS INT)]")}
+       |           * ${vecQuantDuck("qv.embedding[CAST(j.j AS INT)]")}) AS BIGINT) AS q_sq,
+       |    CAST(sum(${vecQuantDuck("c.embedding[CAST(j.j AS INT)]")}
+       |           * ${vecQuantDuck("c.embedding[CAST(j.j AS INT)]")}) AS BIGINT) AS c_sq
+       |  FROM qv, embeddings c, j
+       |  WHERE c.vec_id <> $probeId
+       |  GROUP BY c.vec_id),
+       |annr AS (SELECT cid AS doc_id,
+       |           row_number() OVER (
+       |             ORDER BY (CAST(dot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |               / (sqrt(CAST(q_sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |                * sqrt(CAST(c_sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))) DESC,
+       |               cid) AS ann_rn
+       |         FROM dots QUALIFY ann_rn <= 20),
+       |fused AS (
+       |  SELECT coalesce(bmr.doc_id, annr.doc_id) AS doc_id,
+       |    coalesce(bm_rn, 0) AS bm_rn, coalesce(ann_rn, 0) AS ann_rn,
+       |    (CASE WHEN bm_rn IS NULL THEN 0 ELSE 1000000 // (60 + bm_rn) END)
+       |    + (CASE WHEN ann_rn IS NULL THEN 0 ELSE 1000000 // (60 + ann_rn) END)
+       |      AS fused_micro
+       |  FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id)
+       |SELECT rn, doc_id, bm_rn, ann_rn, fused_micro FROM (
+       |  SELECT *, row_number() OVER (ORDER BY fused_micro DESC, doc_id) AS rn
+       |  FROM fused)
+       |WHERE rn <= 10
+       |ORDER BY rn""".stripMargin) { (s, d) =>
+    val bmTop = bm25Scored(s, d)
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+      .withColumn("bm_rn", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "bm_rn")
+    val e = Similarity.withQuant(Tables.parallel(Tables.embeddings(s, d)))
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("qv").as("qe"), col("sq").as("q_sq"))
+    val cos = (call_function("long_dot", col("qe"), col("ce")).cast("double")
+      / lit(1.0e12)) /
+      (sqrt(col("q_sq").cast("double") / lit(1.0e12)) *
+        sqrt(col("c_sq").cast("double") / lit(1.0e12)))
+    val annTop = e.filter(col("vec_id") =!= probeId)
+      .select(col("vec_id").as("cid"), col("qv").as("ce"), col("sq").as("c_sq"))
+      .crossJoin(broadcast(probe))
+      .withColumn("cos", cos)
+      .orderBy(col("cos").desc, col("cid")).limit(20)
+      .withColumn("ann_rn", row_number().over(
+        Window.orderBy(col("cos").desc, col("cid"))).cast("long"))
+      .select(col("cid").as("doc_id"), col("ann_rn"))
+    val fused = bmTop.join(annTop, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("bm_rn"), lit(0L)).as("bm_rn"),
+        coalesce(col("ann_rn"), lit(0L)).as("ann_rn"),
+        (when(col("bm_rn").isNull, 0L)
+          .otherwise(expr("1000000 div (60 + bm_rn)")) +
+          when(col("ann_rn").isNull, 0L)
+            .otherwise(expr("1000000 div (60 + ann_rn)"))).as("fused_micro"))
+    fused
+      .orderBy(col("fused_micro").desc, col("doc_id")).limit(10)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("fused_micro").desc, col("doc_id"))))
+      .select("rn", "doc_id", "bm_rn", "ann_rn", "fused_micro")
+      .orderBy("rn")
+  }
+
+  def defs: Seq[QueryDef] = Seq(bm25TopK, phraseProx, hybridRrf)
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Contracts of the retrieval family (r01-r03) beyond the oracle gates:
+  * BM25's ranking properties on planted fixtures (idf ordering, tf
+  * saturation, length normalization), the positional phrase/proximity
+  * semantics, RRF fusion arithmetic, and the plan shapes the 100 TB
+  * story rests on (scan-fused scoring — no explode, no keyed shuffle;
+  * top-k via TakeOrderedAndProject).
+  */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.EngineSession.local("4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("r01 BM25: rare query term dominates common ones (idf ordering)") {
+    val rows = graft.QueryCatalog.byName("r01_bm25_topk")
+      .run(spark, sf).collect()
+    assert(rows.length === 10)
+    // ranks are 1..10 contiguous, scores non-increasing and positive
+    assert(rows.map(_.getAs[Int]("rn")).toSeq === (1 to 10))
+    val scores = rows.map(_.getAs[Long]("score_micro"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every top-10 doc must contain the rare term 'dup': its idf is ~25x
+    // the common terms', so a single hit outweighs any common-term pile-up
+    val top = rows.map(_.getAs[Long]("doc_id")).toSet
+    val dupDocs = graft.Tables.documents(spark, sf)
+      .filter(col("text").contains("dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top.subsetOf(dupDocs),
+      s"top-10 contains non-'dup' docs: ${top -- dupDocs}")
+  }
+
+  test("r01 BM25 plan: scan-fused scoring — no explode, top-k not a sort") {
+    val p = graft.QueryCatalog.byName("r01_bm25_topk")
+      .run(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), "tf must come from array filters, not explode:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the stats side is a 1-row aggregate joined without a key shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("BM25 saturation and length normalization on planted docs") {
+    import spark.implicits._
+    // same rare term 'dup'; doc B has higher tf, doc C is much longer.
+    // BM25 must rank B > A (tf) and A > C (length normalization).
+    val docs = Seq(
+      (1L, "dup key " + ("pad " * 20).trim),
+      (2L, "dup dup dup key " + ("pad " * 18).trim),
+      (3L, "dup key " + ("pad " * 200).trim)).toDF("doc_id", "text")
+    // route the fixture through a temp dir so the query's loader sees it
+    val dir = java.nio.file.Files.createTempDirectory("bm25fx").toString
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scored = {
+      // private scorer, exercised via the public query at limit 10
+      graft.QueryCatalog.byName("r01_bm25_topk").run(spark, dir)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+    }
+    assert(scored(2L) > scored(1L), s"tf must raise the score: $scored")
+    assert(scored(1L) > scored(3L), s"length must damp the score: $scored")
+  }
+
+  test("r02 phrase and proximity positions on planted docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("proxfx").toString
+    Seq(
+      (1L, "hash join now hash join again"), // 2 phrase hits, no pair
+      (2L, "dup a b c spark then spark"),    // min span 4 (pos1 vs pos5)
+      (3L, "spark dup"),                     // adjacent reversed: span 1
+      (4L, "plain filler text only"))        // no hits -> filtered out
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.QueryCatalog.byName("r02_phrase_prox").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_phrase"), r.getAs[Long]("min_span"),
+          r.getAs[Long]("prox_micro"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((2L, 0L, 0L)))
+    assert(out(2L)._2 === 4L)
+    assert(out(2L)._3 === 250000L) // 1e6 div 4
+    assert(out(3L) === ((0L, 1L, 1000000L)))
+  }
+
+  test("r03 RRF: fused ranks reward presence in both lists") {
+    val rows = graft.QueryCatalog.byName("r03_hybrid_rrf")
+      .run(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Int]("rn")).toSeq === (1 to 10))
+    rows.foreach { r =>
+      val bm = r.getAs[Long]("bm_rn"); val ann = r.getAs[Long]("ann_rn")
+      val fused = r.getAs[Long]("fused_micro")
+      val expect = (if (bm > 0) 1000000L / (60 + bm) else 0L) +
+        (if (ann > 0) 1000000L / (60 + ann) else 0L)
+      assert(fused === expect, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(bm > 0 || ann > 0)
+    }
+    // a doc in both lists at rank r beats a doc in one list at the same r:
+    // monotonicity of the fused ordering in list membership
+    val fusedScores = rows.map(_.getAs[Long]("fused_micro"))
+    assert(fusedScores.zip(fusedScores.tail).forall { case (a, b) => a >= b })
+  }
+}
