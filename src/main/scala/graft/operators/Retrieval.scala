@@ -202,6 +202,139 @@ object Retrieval {
       .orderBy("doc_id")
   }
 
+  /** BM25 top-k doc ids (the feedback set for r04/r05). */
+  private def bm25TopDocs(s: SparkSession, d: String, k: Int): DataFrame =
+    bm25Scored(s, d)
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+      .select("doc_id")
+
+  /** Oracle CTE `fb`: the BM25 top-k doc ids (append after bm25OracleCtes). */
+  private def fbCte(k: Int): String =
+    s"""fb AS (SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+       |  FROM bm) WHERE rn <= $k)""".stripMargin
+
+  private val qtInList: String = inList(queryTerms)
+  private def inList(ts: Seq[String]): String =
+    ts.map(t => s"'$t'").mkString(", ")
+
+  /** r04: pseudo-relevance-feedback query expansion (Rocchio-style): mine
+    * the BM25 top-10 docs for the terms that best characterize them —
+    * score = (occurrences in the feedback set) × corpus IDF, the original
+    * query terms excluded. Integer-exact (same odds-ratio IDF as r01).
+    *
+    * Scale shape: the feedback side is 10 docs (broadcast joined back to
+    * the scan); the only corpus-scale work is the per-term df aggregate,
+    * and even that explodes DISTINCT in-doc terms and semi-joins the
+    * (tiny, broadcast) candidate set BEFORE the keyed shuffle, so the
+    * exchange carries candidate-term rows only — never the full posting
+    * list of every term.
+    */
+  val prfExpansion: QueryDef = q(
+    "r04_prf_expansion",
+    s"""WITH $bm25OracleCtes,
+       |${fbCte(10)},
+       |fterms AS (
+       |  SELECT term, count(*) AS ftf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term
+       |    FROM documents WHERE doc_id IN (SELECT doc_id FROM fb))
+       |  WHERE term NOT IN ($qtInList)
+       |  GROUP BY term),
+       |cdf AS (
+       |  SELECT term, count(*) AS df FROM (
+       |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |  GROUP BY term),
+       |scored AS (
+       |  SELECT f.term, ftf, df,
+       |         ftf * (${idfMilliDuck("df")}) AS score_milli
+       |  FROM fterms f JOIN cdf USING (term), stats)
+       |SELECT rn, term, ftf, df, score_milli FROM (
+       |  SELECT *, row_number() OVER (ORDER BY score_milli DESC, term) AS rn
+       |  FROM scored)
+       |WHERE rn <= 10
+       |ORDER BY rn""".stripMargin) { (s, d) =>
+    val docs = Tables.parallel(Tables.documents(s, d))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val fb = bm25TopDocs(s, d, 10)
+    val fterms = docs.join(broadcast(fb), "doc_id")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(!col("term").isInCollection(queryTerms))
+      .groupBy("term").agg(count(lit(1)).as("ftf"))
+    // corpus df for candidate terms ONLY: distinct-in-doc explode, then
+    // the broadcast semi-join prunes before the per-term exchange
+    val cdf = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .join(broadcast(fterms.select("term")), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    fterms.join(cdf, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_milli", expr(s"ftf * (${idfMilliSql("df")})"))
+      .orderBy(col("score_milli").desc, col("term")).limit(10)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score_milli").desc, col("term"))))
+      .select("rn", "term", "ftf", "df", "score_milli")
+      .orderBy("rn")
+  }
+
+  /** r05: snippet extraction — for each BM25 top-10 doc, the 16-token
+    * window with the most query-term hits (ties → earliest start). The
+    * candidate-window sweep is per-row array arithmetic over the 10
+    * feedback docs only; output is one row per result doc, with the
+    * snippet pinned by hash.
+    */
+  val snippets: QueryDef = q(
+    "r05_snippets",
+    s"""WITH $bm25OracleCtes,
+       |${fbCte(10)},
+       |dd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |         len(string_split(text, ' ')) AS n,
+       |         list_filter(range(1, len(string_split(text, ' ')) + 1),
+       |           i -> string_split(text, ' ')[CAST(i AS INT)] IN ($qtInList)) AS hp
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM fb)),
+       |cand AS (
+       |  SELECT doc_id, ws, n, hp,
+       |         unnest(range(1, greatest(n - 15, 1) + 1)) AS st
+       |  FROM dd),
+       |cnt AS (
+       |  SELECT doc_id, ws, n, st,
+       |         len(list_filter(hp, p -> p >= st AND p < st + 16)) AS n_window_hits
+       |  FROM cand),
+       |best AS (
+       |  SELECT doc_id, ws, n, st, n_window_hits,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY n_window_hits DESC, st) AS rn
+       |  FROM cnt)
+       |SELECT doc_id, st AS best_start, n_window_hits,
+       |  md5(array_to_string(list_slice(ws, CAST(st AS INT),
+       |        CAST(st + least(16, n - st + 1) - 1 AS INT)), ' ')) AS snippet_hash
+       |FROM best WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val fb = bm25TopDocs(s, d, 10)
+    val dd = Tables.documents(s, d).join(broadcast(fb), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("hp", expr(
+        s"filter(sequence(1L, n), i -> element_at(ws, CAST(i AS INT)) IN ($qtInList))"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_window_hits").desc, col("st"))
+    dd
+      .withColumn("st", explode(expr("sequence(1L, greatest(n - 15, 1L))")))
+      .withColumn("n_window_hits",
+        expr("size(filter(hp, p -> p >= st AND p < st + 16))").cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("st").as("best_start"), col("n_window_hits"),
+        md5(array_join(
+          slice(col("ws"), col("st").cast("int"),
+            least(lit(16L), col("n") - col("st") + 1).cast("int")),
+          " ")).as("snippet_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Vector-side probe for r03: doc 7's embedding. */
   private val probeId = 7L
 
@@ -291,5 +424,6 @@ object Retrieval {
       .orderBy("rn")
   }
 
-  def defs: Seq[QueryDef] = Seq(bm25TopK, phraseProx, hybridRrf)
+  def defs: Seq[QueryDef] =
+    Seq(bm25TopK, phraseProx, hybridRrf, prfExpansion, snippets)
 }

@@ -92,6 +92,54 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) === ((0L, 1L, 1000000L)))
   }
 
+  test("r04 PRF: a term distinctive to the feedback set tops the expansion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prffx").toString
+    // 10 docs carry the rare query term 'dup' AND a marker 'zzz'; 40
+    // background docs carry neither. BM25 top-10 = the dup docs, so 'zzz'
+    // (ftf=10, df=10) must out-idf the shared filler (df=50).
+    val docs = (1L to 10L).map(i => (i, "dup zzz " + ("pad " * 10).trim)) ++
+      (11L to 50L).map(i => (i, ("pad " * 12).trim))
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.QueryCatalog.byName("r04_prf_expansion").run(spark, dir)
+      .collect()
+    assert(rows.head.getAs[String]("term") === "zzz")
+    assert(rows.head.getAs[Long]("ftf") === 10L)
+    assert(rows.head.getAs[Long]("df") === 10L)
+    // the original query terms never appear as expansions
+    val terms = rows.map(_.getAs[String]("term")).toSet
+    assert(terms.intersect(Set("dup", "key", "spark", "batch")).isEmpty)
+  }
+
+  test("r05 snippet window lands on the densest query-term cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snipfx").toString
+    // one hit early, three hits clustered late: the 16-token window must
+    // anchor on the cluster, not the first hit
+    val text = "dup " + ("pad " * 30).trim + " key spark batch " +
+      ("pad " * 5).trim
+    Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.QueryCatalog.byName("r05_snippets").run(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_window_hits") === 3L)
+    // tokens: dup=1, pads 2..31, key=32, spark=33, batch=34, pads 35..39;
+    // earliest 16-token window holding all three starts at 19 (covers
+    // 19..34)
+    assert(r.getAs[Long]("best_start") === 19L)
+    val ws = text.split(" ")
+    val expected = ws.slice(18, 18 + 16).mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(expected.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getAs[String]("snippet_hash") === hex)
+  }
+
   test("r03 RRF: fused ranks reward presence in both lists") {
     val rows = graft.QueryCatalog.byName("r03_hybrid_rrf")
       .run(spark, sf).collect()
