@@ -172,7 +172,17 @@ object Retrieval {
       |FROM pos
       |WHERE n_phrase > 0 OR (len(pa) > 0 AND len(pb) > 0)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pos = Tables.parallel(Tables.documents(s, d))
+    // Cheap SUPERSET prefilter, stated FIRST so it is the leading conjunct
+    // of the scan-pushed Filter: substring `contains` prunes ~90% of rows
+    // before any interpreted array lambda runs (higher-order functions are
+    // not codegen'd — without this, the exact token predicate below is
+    // pushed into the scan and pays the full lambda chain on EVERY row).
+    // Substring match over-approximates token match ("dedup" contains
+    // "dup"), so the exact token-level filter still applies afterwards.
+    val pre = Tables.documents(s, d).filter(
+      col("text").contains("hash join") ||
+        (col("text").contains("dup") && col("text").contains("spark")))
+    val pos = Tables.parallel(pre)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("n", size(col("ws")).cast("long"))
       .select(
@@ -185,18 +195,20 @@ object Retrieval {
           .as("pa"),
         expr("filter(sequence(1L, n), i -> element_at(ws, CAST(i AS INT)) = 'spark')")
           .as("pb"))
-    val minSpan = expr(
-      "array_min(flatten(transform(pa, a -> transform(pb, b -> abs(a - b)))))")
+    // min_span materialized ONCE as a column; prox_micro derives from it
+    // (CollapseProject keeps non-cheap expressions referenced twice in
+    // their own Project, so the flatten runs a single time per row).
     pos
+      .withColumn("min_span0",
+        when(size(col("pa")) > 0 && size(col("pb")) > 0, expr(
+          "array_min(flatten(transform(pa, a -> transform(pb, b -> abs(a - b)))))"))
+          .otherwise(lit(0L)))
       .select(
         col("doc_id"), col("n_phrase"),
         size(col("pa")).cast("long").as("n_a"),
         size(col("pb")).cast("long").as("n_b"),
-        when(size(col("pa")) > 0 && size(col("pb")) > 0, minSpan)
-          .otherwise(lit(0L)).as("min_span"),
-        when(size(col("pa")) > 0 && size(col("pb")) > 0,
-          expr("""1000000 div array_min(flatten(transform(pa,
-                   a -> transform(pb, b -> abs(a - b)))))"""))
+        col("min_span0").as("min_span"),
+        when(col("min_span0") > 0, expr("1000000 div min_span0"))
           .otherwise(lit(0L)).as("prox_micro"))
       .filter(col("n_phrase") > 0 || (col("n_a") > 0 && col("n_b") > 0))
       .orderBy("doc_id")
