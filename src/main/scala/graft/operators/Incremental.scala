@@ -48,12 +48,12 @@ object Incremental {
       .filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"), col("source"), col("text"))
 
-  private val v1Sql: String =
+  private[operators] val v1SqlCte: String =
     """v1 AS (SELECT doc_id, source,
       |         CASE WHEN doc_id % 5 = 0 THEN text || ' draft' ELSE text END AS text
       |       FROM documents WHERE doc_id % 7 <> 0)""".stripMargin
 
-  private val v2Sql: String =
+  private[operators] val v2SqlCte: String =
     """v2 AS (SELECT doc_id, source, text
       |       FROM documents WHERE doc_id % 11 <> 0)""".stripMargin
 
@@ -73,7 +73,7 @@ object Incremental {
     */
   val snapshotDiff: QueryDef = q(
     "i01_snapshot_diff",
-    s"""WITH $v1Sql, $v2Sql,
+    s"""WITH $v1SqlCte, $v2SqlCte,
        |h1 AS (SELECT doc_id, source, md5(text) AS h FROM v1),
        |h2 AS (SELECT doc_id, source, md5(text) AS h FROM v2),
        |d AS (SELECT coalesce(h2.source, h1.source) AS source,
@@ -175,7 +175,7 @@ object Incremental {
 
   val upsertMerge: QueryDef = q(
     "i02_upsert_merge",
-    s"""WITH $v1Sql, $changelogSql,
+    s"""WITH $v1SqlCte, $changelogSql,
        |ranked AS (SELECT doc_id, op, text,
        |             row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
        |           FROM chg),

@@ -56,7 +56,7 @@ object Retrieval {
   /** Engine-side scored relation: doc_id, n_hit, score_micro for every doc
     * matching ≥1 query term. Two scans (stats, scoring); stats broadcast.
     */
-  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val base = Tables.parallel(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
@@ -82,6 +82,63 @@ object Retrieval {
       .withColumn("score_micro", contribs.reduce(_ + _))
       .withColumn("n_hit", hits.reduce(_ + _))
       .filter(col("n_hit") > 0)
+      .select("doc_id", "n_hit", "score_micro")
+  }
+
+  /** Frozen corpus statistics for the serving path: (N, Σdl, df per
+    * query term), collected from the same 1-row aggregate [[bm25Scored]]
+    * broadcasts. Driver-side result is one row — bounded by construction.
+    */
+  def bm25Stats(s: SparkSession, d: String): (Long, Long, Seq[Long]) = {
+    val base = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i",
+        expr(s"size(filter(ws, x -> x = '$t'))").cast("long"))
+    }
+    val statCols = sum(col("dl")).as("sum_dl") +:
+      queryTerms.indices.map(i =>
+        count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))
+    val r = withTf.agg(count(lit(1)).as("n_total"), statCols: _*).head()
+    (r.getAs[Long]("n_total"), r.getAs[Long]("sum_dl"),
+      queryTerms.indices.map(i => r.getAs[Long](s"df_$i")))
+  }
+
+  /** Score a (doc_id, text, …) relation against FROZEN stats — the
+    * serving shape: statistics are published with the index snapshot and
+    * scoring is stateless per-row arithmetic, so this column pipeline
+    * runs unchanged on a STREAMING DataFrame (see
+    * [[graft.streaming.DocStream.matchBm25]]). Arithmetic is identical to
+    * [[bm25Scored]] (idf_milli and avgdl_micro precomputed host-side in
+    * the same Long floor division), so the two paths score bit-for-bit
+    * equal — RetrievalStreamSpec pins that.
+    */
+  def bm25ScoreAgainst(docs: DataFrame, nTotal: Long, sumDl: Long,
+      dfs: Seq[Long]): DataFrame = {
+    require(nTotal > 0, "bm25ScoreAgainst: empty corpus stats")
+    require(dfs.length == queryTerms.length,
+      s"bm25ScoreAgainst: need ${queryTerms.length} dfs, got ${dfs.length}")
+    val a = sumDl * 1000000L / nTotal
+    val idfMilli = dfs.map(df => ((2 * nTotal - 2 * df + 1) * 1000L) / (2 * df + 1))
+    val base = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i",
+        expr(s"size(filter(ws, x -> x = '$t'))").cast("long"))
+    }
+    val contribs = queryTerms.indices.map { i =>
+      when(col(s"tf_$i") > 0,
+        lit(idfMilli(i)) * expr(
+          s"(22000 * tf_$i * ${a}L) div (10 * tf_$i * ${a}L + 3 * ${a}L + 9 * dl * 1000000)"))
+        .otherwise(lit(0L))
+    }
+    val hits = queryTerms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+    withTf
+      .withColumn("score_micro", contribs.reduce(_ + _))
+      .withColumn("n_hit", hits.reduce(_ + _))
       .select("doc_id", "n_hit", "score_micro")
   }
 
@@ -436,6 +493,86 @@ object Retrieval {
       .orderBy("rn")
   }
 
+  /** r06: incremental posting-stats maintenance — the index-side twin of
+    * the i-family's snapshot pair (v1 → v2, [[Incremental.snapshotV1]]).
+    * A 100 TB lexical index is not rebuilt per release: per-term document
+    * frequency is updated from the DELTA docs only (−1 per distinct term
+    * of a removed/changed doc's old text, +1 per distinct term of an
+    * added/changed doc's new text); unchanged docs are never re-tokenized.
+    *
+    * Output: every term the delta touched, with df_v1, the signed delta,
+    * and df_v2 = df_v1 + delta. RetrievalSpec asserts df_v2 equals a
+    * from-scratch recompute over v2 for every touched term — the
+    * incremental-correctness invariant.
+    *
+    * Scale shape: the status diff joins md5 keys only (narrow, as i01);
+    * texts are re-fetched for delta doc ids alone via semi-joins; the
+    * baseline df aggregate explodes distinct-in-doc terms and is pruned
+    * to touched terms by a broadcast semi-join before its exchange (the
+    * r04 trick), so no full posting list ever shuffles.
+    */
+  val postingDelta: QueryDef = q(
+    "r06_posting_delta",
+    s"""WITH ${Incremental.v1SqlCte},
+       |${Incremental.v2SqlCte},
+       |k1 AS (SELECT doc_id, md5(text) AS h1 FROM v1),
+       |k2 AS (SELECT doc_id, md5(text) AS h2 FROM v2),
+       |status AS (
+       |  SELECT coalesce(k1.doc_id, k2.doc_id) AS doc_id,
+       |    CASE WHEN k1.doc_id IS NULL THEN 'added'
+       |         WHEN k2.doc_id IS NULL THEN 'removed'
+       |         WHEN h1 <> h2 THEN 'changed' ELSE 'same' END AS st
+       |  FROM k1 FULL OUTER JOIN k2 ON k1.doc_id = k2.doc_id),
+       |minus AS (
+       |  SELECT unnest(list_distinct(string_split(v1.text, ' '))) AS term
+       |  FROM v1 JOIN status USING (doc_id) WHERE st IN ('removed', 'changed')),
+       |plus AS (
+       |  SELECT unnest(list_distinct(string_split(v2.text, ' '))) AS term
+       |  FROM v2 JOIN status USING (doc_id) WHERE st IN ('added', 'changed')),
+       |delta AS (
+       |  SELECT term, CAST(sum(d) AS BIGINT) AS delta FROM (
+       |    SELECT term, -1 AS d FROM minus
+       |    UNION ALL SELECT term, 1 AS d FROM plus)
+       |  GROUP BY term),
+       |dfv1 AS (
+       |  SELECT term, count(*) AS df_v1 FROM (
+       |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+       |    FROM v1)
+       |  GROUP BY term)
+       |SELECT d.term, coalesce(df_v1, 0) AS df_v1, d.delta,
+       |       coalesce(df_v1, 0) + d.delta AS df_v2
+       |FROM delta d LEFT JOIN dfv1 USING (term)
+       |ORDER BY d.term""".stripMargin) { (s, d) =>
+    val v1 = Incremental.snapshotV1(s, d)
+    val v2 = Incremental.snapshotV2(s, d)
+    val k1 = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val k2 = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    val status = k1.join(k2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("same").as("st"))
+    def touchedTerms(snap: DataFrame, states: Seq[String]): DataFrame =
+      snap.join(status.filter(col("st").isInCollection(states))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+    val delta = touchedTerms(v1, Seq("removed", "changed")).withColumn("d", lit(-1L))
+      .unionAll(touchedTerms(v2, Seq("added", "changed")).withColumn("d", lit(1L)))
+      .groupBy("term").agg(sum(col("d")).as("delta"))
+    // baseline df over v1, pruned to touched terms BEFORE the exchange
+    val dfv1 = v1
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .join(broadcast(delta.select("term")), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df_v1"))
+    delta.join(dfv1, Seq("term"), "left_outer")
+      .select(col("term"),
+        coalesce(col("df_v1"), lit(0L)).as("df_v1"), col("delta"),
+        (coalesce(col("df_v1"), lit(0L)) + col("delta")).as("df_v2"))
+      .orderBy("term")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(bm25TopK, phraseProx, hybridRrf, prfExpansion, snippets)
+    Seq(bm25TopK, phraseProx, hybridRrf, prfExpansion, snippets, postingDelta)
 }

@@ -51,6 +51,20 @@ object DocStream {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming BM25 match: score arriving documents against FROZEN corpus
+    * statistics (published with the index snapshot — the standing-query /
+    * alerting shape) and keep docs at or above `minScoreMicro`. Stateless
+    * per-row arithmetic via [[graft.operators.Retrieval.bm25ScoreAgainst]]
+    * — the SAME column pipeline as the batch scorer, so stream ≡ batch by
+    * construction (pinned across micro-batch cuts in RetrievalStreamSpec).
+    * No state, no watermark: a 100 TB/day firehose pays one codegen'd
+    * projection per row.
+    */
+  def matchBm25(docs: DataFrame, nTotal: Long, sumDl: Long,
+      dfs: Seq[Long], minScoreMicro: Long): DataFrame =
+    graft.operators.Retrieval.bm25ScoreAgainst(docs, nTotal, sumDl, dfs)
+      .filter(col("score_micro") >= minScoreMicro)
+
   /** Full streaming curation: the per-row Gopher-rules gate AND the
     * hashed-n-gram classifier gate (both stateless scan projections —
     * Catalyst fuses them into one pass), then exact dedup. Composes the

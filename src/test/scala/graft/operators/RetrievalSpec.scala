@@ -140,6 +140,24 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("snippet_hash") === hex)
   }
 
+  test("r06 incremental posting stats equal a from-scratch v2 recompute") {
+    val out = graft.QueryCatalog.byName("r06_posting_delta").run(spark, sf)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df_v1"), r.getAs[Long]("delta"),
+          r.getAs[Long]("df_v2"))).toMap
+    assert(out.nonEmpty)
+    // full recompute over v2 — the invariant the incremental path claims
+    val dfv2 = graft.operators.Incremental.snapshotV2(spark, sf)
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (term, (v1, delta, v2)) =>
+      assert(v1 + delta === v2, s"$term: $v1 + $delta != $v2")
+      assert(v2 === dfv2.getOrElse(term, 0L),
+        s"$term: incremental df_v2 $v2 != recompute ${dfv2.getOrElse(term, 0L)}")
+    }
+  }
+
   test("r03 RRF: fused ranks reward presence in both lists") {
     val rows = graft.QueryCatalog.byName("r03_hybrid_rrf")
       .run(spark, sf).collect()
