@@ -189,29 +189,35 @@ object Relational4 {
          |$rows
          |ORDER BY col_name""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
-      // STRING min/max live in their OWN keyless aggregate: one string-
-      // buffered aggregate function in the main pass forces the whole
-      // multi-distinct dedup aggregate (keyed on all profiled columns +
-      // gid) to SortAggregate — a 6-column sort of the Expand output,
-      // measured 7.8 s -> 4.6 s at sf0.1 from this split (suite-context; BASELINE.md). The keyless
-      // side pass has no grouping key, so its SortAggregate needs no sort
-      // at all, and the 1-row result broadcast-joins back.
-      val aggs = count(lit(1)).as("n") +:
+      // Plan shape (two revisions, both in BASELINE.md):
+      //   1. ALL distincts in one aggregate → Spark's multi-distinct
+      //      rewrite Expands the scan 7× into a dedup aggregate keyed on
+      //      (gid + every profiled column) — 4.2 M wide rows through one
+      //      keyed exchange, 4.5-4.8 s at sf0.1.
+      //   2. Now: each EXACT distinct runs as its own SINGLE-distinct
+      //      aggregate (no Expand — partial agg keyed on the value, one
+      //      narrow exchange each, all six independent and parallel) and
+      //      the seven 1-row results broadcast-join back. On a columnar
+      //      store the six extra scans each read ONE column, so total
+      //      bytes ≈ the one wide scan; 4.8 s -> ~1 s at sf0.1.
+      // String min/max stay in their own keyless pass: a string-buffered
+      // function in the numeric pass forces SortAggregate (r9 finding).
+      val plainAggs = count(lit(1)).as("n") +:
         (profNumeric.flatMap { case (c, a) =>
           Seq(count(col(c)).as(s"c_$a"),
-            countDistinct(col(c)).as(s"d_$a"),
             min(money(col(c))).cast("string").as(s"mn_$a"),
             max(money(col(c))).cast("string").as(s"mx_$a"),
             sum(money(col(c))).cast("double").as(s"s_$a"))
-        } ++ profString.flatMap { case (c, a) =>
-          Seq(count(col(c)).as(s"c_$a"),
-            countDistinct(col(c)).as(s"d_$a"))
-        })
+        } ++ profString.map { case (c, a) => count(col(c)).as(s"c_$a") })
       val strAggs = profString.flatMap { case (c, a) =>
         Seq(min(col(c)).as(s"mn_$a"), max(col(c)).as(s"mx_$a"))
       }
-      val one = li.agg(aggs.head, aggs.tail: _*)
-        .join(broadcast(li.agg(strAggs.head, strAggs.tail: _*)))
+      val one = (profNumeric ++ profString).foldLeft(
+        li.agg(plainAggs.head, plainAggs.tail: _*)
+          .join(broadcast(li.agg(strAggs.head, strAggs.tail: _*)))) {
+        case (acc, (c, a)) =>
+          acc.join(broadcast(li.agg(countDistinct(col(c)).as(s"d_$a"))))
+      }
       val stackArgs = (profNumeric.map { case (c, a) =>
         s"'$c', n, n - c_$a, d_$a, mn_$a, mx_$a, s_$a"
       } ++ profString.map { case (c, a) =>

@@ -600,18 +600,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortAggregate"), p)
   }
 
-  test("q56 column profile: one Expand pass + string side-pass, hash dedup") {
+  test("q56 column profile: per-column single-distinct aggs, NO Expand") {
     val p = plan("q56_column_profile")
-    // numeric profile reads the table once (Expand replicates in-memory);
-    // string min/max get their own 2-column scan — six unioned SELECTs
-    // would scan six times
-    assert("FileScan parquet".r.findAllIn(p).size == 2, p)
-    assert(p.contains("Expand"), p)
-    // the (values, gid) dedup aggregate must stay HASH-based: one string-
-    // buffered agg function in the main pass would flip it to a KEYED
-    // SortAggregate — a 6-column sort of the Expand output (measured
-    // 7.8 s vs 4.6 s at sf0.1). The keyless string side-pass sort-aggs
-    // without sorting (empty grouping key) and is fine.
+    // each exact distinct is its own single-distinct aggregate: eight
+    // narrow single-column scans (plain + string side-pass + 6 distincts)
+    // beat ONE multi-distinct pass, whose rewrite Expands the scan 7x
+    // into a dedup aggregate keyed on (gid + every profiled column) —
+    // measured 4.8 s (Expand) vs 0.93 s (this shape) at sf0.1. On a
+    // columnar store the extra scans read one column each, so total
+    // bytes match the single wide scan.
+    assert(!p.contains("Expand"),
+      "multi-distinct Expand resurfaced in the profile plan: " + p)
+    assert("FileScan parquet".r.findAllIn(p).size == 8, p)
+    // every dedup aggregate stays HASH-based; the keyless string
+    // side-pass sort-aggs without sorting (empty grouping key), fine
     assert(!"SortAggregate\\(key=\\[[^\\]]".r.findAllIn(p).exists(_ => true),
       "keyed SortAggregate in the profile dedup: " + p)
   }

@@ -44,7 +44,12 @@ class PlanSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q47_skyline", // two windows over the bounded x-histogram
     "p09_curriculum", // cumulative over the score histogram
     "p13_weighted_systematic", // exclusive prefix over the bin table
-    "p16_interleave" // row_number over an already-LIMITed 200-row frame
+    "p16_interleave", // row_number over an already-LIMITed 200-row frame
+    // retrieval result ranking: rn over rows ALREADY cut to k by a
+    // TakeOrderedAndProject limit — ≤20 rows reach the window
+    "r01_bm25_topk",
+    "r03_hybrid_rrf",
+    "r04_prf_expansion"
   )
 
   test("unpartitioned windows appear only in whitelisted spine passes") {
