@@ -276,28 +276,36 @@ object Dedup {
       doc: DataFrame, numSigs: Int, numBands: Int): DataFrame = {
     require(numSigs > 0 && numBands > 0 && numSigs % numBands == 0,
       s"numBands ($numBands) must divide numSigs ($numSigs)")
-    val bands = bandKeys(doc, numSigs, numBands)
-    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi"),
-      col("band_val").as("bv"))
-    // merge hint: with both sides shuffled on the band key the two
-    // exchanges canonicalize identically and ReusedExchange computes the
-    // whole signature pipeline ONCE; the default broadcast join would
-    // run it twice (measured slower despite the cheaper join itself)
-    a.hint("merge")
-      .join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    pairsFromBands(bandKeys(doc, numSigs, numBands), "doc_a", "doc_b")
   }
 
-  /** (doc_id, band_idx, band_val) LSH band keys — the shared kernel of
-    * [[lshCandidatesTuned]]'s equi-join and the [[IndexScreen]] band
-    * bloom. Per-row signature computation, zero shuffle.
+  /** Candidate pairs (left < right) from a band-key relation — the one
+    * self-equi-join every LSH lane uses.
+    *
+    * merge hint: with both sides shuffled on the band key the two
+    * exchanges canonicalize identically and ReusedExchange computes the
+    * whole signature pipeline ONCE; the default broadcast join would
+    * run it twice (measured slower despite the cheaper join itself).
     */
-  private[operators] def bandKeys(
-      doc: DataFrame, numSigs: Int, numBands: Int): DataFrame = {
-    val rows = numSigs / numBands
-    val sig = minhashSigsTuned(doc, numSigs)
+  private[operators] def pairsFromBands(
+      bands: DataFrame, leftName: String, rightName: String): DataFrame = {
+    val a = bands.select(col("doc_id").as(leftName), col("band_idx"),
+      col("band_val"))
+    val b = bands.select(col("doc_id").as(rightName),
+      col("band_idx").as("bi"), col("band_val").as("bv"))
+    a.hint("merge")
+      .join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+        col(leftName) < col(rightName))
+      .select(leftName, rightName).distinct()
+  }
+
+  /** Band-key rows (doc_id, band_idx, band_val) from a minhash signature
+    * frame with columns m0..m{numBands·rows−1} — the banding kernel shared
+    * by the word lane, the char lane, and the index screen. Per-row
+    * array construction, zero shuffle.
+    */
+  private def bandsFromSig(
+      sig: DataFrame, numBands: Int, rows: Int): DataFrame = {
     val bandArr = array((0 until numBands).map { b =>
       struct(lit(b).as("band_idx"),
         md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
@@ -306,6 +314,14 @@ object Dedup {
     sig.select(col("doc_id"), explode(bandArr).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
   }
+
+  /** (doc_id, band_idx, band_val) LSH band keys — the shared kernel of
+    * [[lshCandidatesTuned]]'s equi-join and the [[IndexScreen]] band
+    * bloom. Per-row signature computation, zero shuffle.
+    */
+  private[operators] def bandKeys(
+      doc: DataFrame, numSigs: Int, numBands: Int): DataFrame =
+    bandsFromSig(minhashSigsTuned(doc, numSigs), numBands, numSigs / numBands)
 
   /** Distinct word-trigram shingle ARRAY per doc: (doc_id, arr). Pure
     * row-local map; the pre-explode stage shared by [[trigrams]] and the
@@ -1248,17 +1264,9 @@ object Dedup {
   /** (doc_id, band_idx, band_val) keys for the char lane at a tuned
     * banding — [[bandKeys]]'s char-shingle twin. */
   private[operators] def charBandKeys(
-      doc: DataFrame, numSigs: Int, numBands: Int): DataFrame = {
-    val rows = numSigs / numBands
-    val sig = sigsFromShingles(charShingles(doc), numSigs, "doc_id")
-    val bandArr = array((0 until numBands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
-          .as("band_val"))
-    }: _*)
-    sig.select(col("doc_id"), explode(bandArr).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
-  }
+      doc: DataFrame, numSigs: Int, numBands: Int): DataFrame =
+    bandsFromSig(sigsFromShingles(charShingles(doc), numSigs, "doc_id"),
+      numBands, numSigs / numBands)
 
   /** The shared oracle CTE prefix for d24/d25: distinct-text
     * representatives → char 5-gram shingles → 12 minhash signatures →
@@ -1330,15 +1338,7 @@ object Dedup {
     val kept = bands
       .join(kc.filter(col("nk") <= CharBandCap), Seq("band_idx", "band_val"))
       .select("doc_id", "band_idx", "band_val")
-    val a = kept.select(col("doc_id").as("rep_a"),
-      col("band_idx"), col("band_val"))
-    val b = kept.select(col("doc_id").as("rep_b"),
-      col("band_idx").as("bi"), col("band_val").as("bv"))
-    a.hint("merge")
-      .join(b, col("band_idx") === col("bi") && col("band_val") === col("bv")
-        && col("rep_a") < col("rep_b"))
-      .select("rep_a", "rep_b").distinct()
-      .orderBy("rep_a", "rep_b")
+    pairsFromBands(kept, "rep_a", "rep_b").orderBy("rep_a", "rep_b")
   }
 
   /** d25: the char-band AUDIT row — what a platform team reads BEFORE
@@ -1382,25 +1382,8 @@ object Dedup {
     * passed in — the d20 kernel, callable on [[collapseExact]]
     * representatives (the gated query does) or raw docs.
     */
-  private[operators] def charLshCandidates(doc: DataFrame): DataFrame = {
-    val sig = sigsFromShingles(charShingles(doc), SIGS, "doc_id")
-    val rows = SIGS / BANDS
-    val bandArr = array((0 until BANDS).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat((0 until rows).map(r => col(s"m${b * rows + r}")): _*))
-          .as("band_val"))
-    }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandArr).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
-      col("band_val"))
-    val b = bands.select(col("doc_id").as("doc_b"),
-      col("band_idx").as("bi"), col("band_val").as("bv"))
-    a.hint("merge")
-      .join(b, col("band_idx") === col("bi") &&
-        col("band_val") === col("bv") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+  private[operators] def charLshCandidates(doc: DataFrame): DataFrame =
+    pairsFromBands(charBandKeys(doc, SIGS, BANDS), "doc_a", "doc_b")
 
   val simhash: QueryDef = q(
     "d04_dedup_simhash",

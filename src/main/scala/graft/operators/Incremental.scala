@@ -135,21 +135,6 @@ object Incremental {
       |  UNION ALL
       |  SELECT doc_id, 3, 'D', '' FROM documents WHERE doc_id % 11 = 0)""".stripMargin
 
-  /** i02: latest-wins upsert merge (the CDC MERGE / compaction kernel).
-    * Applies the changelog to snapshot v1: per key the highest-seq op
-    * decides — D removes, I/U upserts its text, untouched keys pass
-    * through.
-    *
-    * Scale shape: "latest per key" is ONE map-side-combined
-    * max(struct(seq, op, text)) aggregate — not a window (a window
-    * sort-shuffles every changelog row; the aggregate moves one struct
-    * per key and seqs are unique per key by construction, so the struct
-    * ordering never consults the tie fields). The merge itself is a
-    * single left join of base onto the (small) latest table plus a
-    * row-local CASE: at 100 TB the changelog side of a daily merge is
-    * orders of magnitude below the base and broadcasts; the base is
-    * never shuffled at all.
-    */
   /** Latest-wins reduction of a changelog: ONE map-side-combined
     * max(struct(seq, op, text)) per key — not a window (a window
     * sort-shuffles every changelog row; the aggregate moves one struct per
@@ -173,6 +158,15 @@ object Incremental {
     untouched.select("doc_id", "text").union(upserts)
   }
 
+  /** i02: latest-wins upsert merge (the CDC MERGE / compaction kernel).
+    * Applies the changelog to snapshot v1: per key the highest-seq op
+    * decides — D removes, I/U upserts its text, untouched keys pass
+    * through. Composes [[latestPerKey]] (one struct per key — seqs are
+    * unique per key by construction, so the struct ordering never
+    * consults the tie fields) with [[applyLatest]] (a single anti-join +
+    * union; at 100 TB the daily changelog side broadcasts and the base
+    * never shuffles).
+    */
   val upsertMerge: QueryDef = q(
     "i02_upsert_merge",
     s"""WITH $v1SqlCte, $changelogSql,

@@ -39,9 +39,13 @@ object Retrieval {
   /** BM25 constants k1=1.2, b=0.75 appear fraction-cleared below:
     * sat = 2.2·tf / (tf + 0.3 + 0.9·dl/avgdl)
     *     = 22000·tf·A / (10·tf·A + 3·A + 9·dl·1e6) at milli scale,
-    * with A = avgdl_micro = ⌊Σdl·1e6 / N⌋. Headroom: 22000·tf·A needs
-    * tf·avgdl < 4e11 (fine past book-length docs); idf_milli·sat_milli
-    * stays under 2^63 for corpora to ~10¹⁰ docs.
+    * with A = avgdl_micro = ⌊Σdl·1e6 / N⌋, computed as the two-step floor
+    * `(Σdl div N)·1e6 + ((Σdl mod N)·1e6) div N` — algebraically the same
+    * value, but safe to Long.MaxValue TOTAL corpus tokens where the
+    * one-step product overflows past ~9.2e12 tokens (~50 TB of text).
+    * Remaining headroom: 22000·tf·A needs tf·avgdl < 4e11 (fine past
+    * book-length docs); idf_milli·sat_milli stays under 2^63 for corpora
+    * to ~10¹⁰ docs.
     */
   private def satMilliSql(tf: String, dl: String): String =
     s"(22000 * $tf * a) div (10 * $tf * a + 3 * a + 9 * $dl * 1000000)"
@@ -56,21 +60,42 @@ object Retrieval {
   /** Engine-side scored relation: doc_id, n_hit, score_micro for every doc
     * matching ≥1 query term. Two scans (stats, scoring); stats broadcast.
     */
-  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.parallel(Tables.documents(s, d))
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+  /** Shared tokenize + per-query-term tf frame — the ONE definition both
+    * the analytical path ([[bm25Scored]]) and the frozen-stats path
+    * ([[bm25Stats]]) build on, so their tokenization can never drift.
+    */
+  private def withTf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("ws", split(col("text"), " "))
       .withColumn("dl", size(col("ws")).cast("long"))
-    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+    queryTerms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
       df.withColumn(s"tf_$i",
         expr(s"size(filter(ws, x -> x = '$t'))").cast("long"))
     }
-    // ONE 1-row stats aggregate: N, Σdl, df per query term — broadcast.
+  }
+
+  /** The 1-row stats aggregate over a [[withTf]] frame: N, Σdl, per-term
+    * df — the index-publish-time statistics.
+    */
+  private def statsAgg(tf: DataFrame): DataFrame = {
     val statCols = sum(col("dl")).as("sum_dl") +:
       queryTerms.indices.map(i =>
         count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))
-    val stats = withTf.agg(count(lit(1)).as("n_total"), statCols: _*)
-    val scored = withTf.crossJoin(broadcast(stats))
-      .withColumn("a", expr("(sum_dl * 1000000) div n_total"))
+    tf.agg(count(lit(1)).as("n_total"), statCols: _*)
+  }
+
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val tf = withTf(Tables.parallel(Tables.documents(s, d)))
+    val stats = statsAgg(tf)
+    val scored = tf.crossJoin(broadcast(stats))
+      // avgdl_micro in two floor-division steps: the one-step form
+      // (sum_dl * 1e6) div n_total overflows BIGINT once the corpus holds
+      // > ~9.2e12 total tokens — inside the 100 TB envelope. The split
+      // form is algebraically the same floor and is overflow-safe to
+      // Long.MaxValue total tokens ((sum_dl mod n_total) < n_total, so
+      // the second product is < n_total * 1e6).
+      .withColumn("a", expr(
+        "(sum_dl div n_total) * 1000000 + ((sum_dl % n_total) * 1000000) div n_total"))
     val contribs = queryTerms.indices.map { i =>
       when(col(s"tf_$i") > 0,
         expr(s"(${idfMilliSql(s"df_$i")}) * (${satMilliSql(s"tf_$i", "dl")})"))
@@ -90,17 +115,7 @@ object Retrieval {
     * broadcasts. Driver-side result is one row — bounded by construction.
     */
   def bm25Stats(s: SparkSession, d: String): (Long, Long, Seq[Long]) = {
-    val base = Tables.documents(s, d)
-      .select(split(col("text"), " ").as("ws"))
-      .withColumn("dl", size(col("ws")).cast("long"))
-    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
-      df.withColumn(s"tf_$i",
-        expr(s"size(filter(ws, x -> x = '$t'))").cast("long"))
-    }
-    val statCols = sum(col("dl")).as("sum_dl") +:
-      queryTerms.indices.map(i =>
-        count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))
-    val r = withTf.agg(count(lit(1)).as("n_total"), statCols: _*).head()
+    val r = statsAgg(withTf(Tables.documents(s, d))).head()
     (r.getAs[Long]("n_total"), r.getAs[Long]("sum_dl"),
       queryTerms.indices.map(i => r.getAs[Long](s"df_$i")))
   }
@@ -119,15 +134,11 @@ object Retrieval {
     require(nTotal > 0, "bm25ScoreAgainst: empty corpus stats")
     require(dfs.length == queryTerms.length,
       s"bm25ScoreAgainst: need ${queryTerms.length} dfs, got ${dfs.length}")
-    val a = sumDl * 1000000L / nTotal
+    // same two-step floor as bm25Scored's `a` — overflow-safe past the
+    // ~9.2e12-total-token ceiling of the one-step (sumDl * 1e6) form
+    val a = (sumDl / nTotal) * 1000000L + (sumDl % nTotal) * 1000000L / nTotal
     val idfMilli = dfs.map(df => ((2 * nTotal - 2 * df + 1) * 1000L) / (2 * df + 1))
-    val base = docs
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("dl", size(col("ws")).cast("long"))
-    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
-      df.withColumn(s"tf_$i",
-        expr(s"size(filter(ws, x -> x = '$t'))").cast("long"))
-    }
+    val tf = withTf(docs)
     val contribs = queryTerms.indices.map { i =>
       when(col(s"tf_$i") > 0,
         lit(idfMilli(i)) * expr(
@@ -136,7 +147,7 @@ object Retrieval {
     }
     val hits = queryTerms.indices
       .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
-    withTf
+    tf
       .withColumn("score_micro", contribs.reduce(_ + _))
       .withColumn("n_hit", hits.reduce(_ + _))
       .select("doc_id", "n_hit", "score_micro")
@@ -166,7 +177,9 @@ object Retrieval {
        |  SELECT doc_id,
        |      $contribs AS score_micro,
        |      $hits AS n_hit
-       |  FROM (SELECT tok.*, stats.*, (sum_dl * 1000000) // n_total AS a
+       |  FROM (SELECT tok.*, stats.*,
+       |          (sum_dl // n_total) * 1000000
+       |            + ((sum_dl % n_total) * 1000000) // n_total AS a
        |        FROM tok, stats)
        |  WHERE $hits > 0)""".stripMargin
   }

@@ -137,12 +137,25 @@ object AvroStore {
       w.close()
       Iterator.single(n)
     }.sum() // action: materializes the write; per-partition counts discarded
-    // commit: marker first (inside staging), then publish by rename —
-    // overwrite semantics match the parquet stores
+    // commit: marker first (inside staging), then publish. The previous
+    // store (if any) is moved ASIDE before the staging rename — never
+    // deleted first: delete-then-rename has a crash window in which the
+    // old data is gone and the new data is still in staging (no readable
+    // copy at all), and a silently failed delete would make
+    // rename(staging, existing-dir) nest staging INSIDE the old store.
+    // A crash between the two renames here leaves the old store intact
+    // under .replaced-* (recoverable by hand), and read() refuses the
+    // missing/markerless destination loudly.
     fs.create(new Path(staging, "_SUCCESS"), true).close()
-    fs.delete(new Path(path), true)
-    require(fs.rename(staging, new Path(path)),
+    val dst = new Path(path)
+    val aside = new Path(path + ".replaced-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    if (fs.exists(dst))
+      require(fs.rename(dst, aside),
+        s"AvroStore.write: could not move previous store $path aside")
+    require(!fs.exists(dst) && fs.rename(staging, dst),
       s"AvroStore.write: commit rename $stagingStr -> $path failed")
+    fs.delete(aside, true)
   }
 
   /** Reads every `.avro` container under `path` with file-grain

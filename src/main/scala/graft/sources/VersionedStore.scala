@@ -43,10 +43,14 @@ object VersionedStore {
 
   private def vdir(n: Int): String = f"v$n%05d"
 
+  // accepts 'v' + any digit run (the %05d format grows past 5 digits at
+  // version 100000 — a fixed-width parse would brick the store there)
   private def parse(name: String): Option[Int] =
-    if (name.length == 6 && name.charAt(0) == 'v' &&
-      name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
-    else None
+    if (name.length >= 2 && name.length <= 11 && name.charAt(0) == 'v' &&
+      name.drop(1).forall(_.isDigit)) {
+      val v = name.drop(1).toLong
+      if (v <= Int.MaxValue) Some(v.toInt) else None
+    } else None
 
   /** Published versions present on disk (with `_SUCCESS`), ascending. */
   def versions(spark: SparkSession, root: String): Seq[Int] = {
@@ -83,8 +87,19 @@ object VersionedStore {
     val out = f.create(tmp, true)
     try out.write(vdir(n).getBytes("UTF-8")) finally out.close()
     val dst = new Path(rp, Pointer)
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"pointer flip failed for $root -> ${vdir(n)}")
+    // OVERWRITE rename — one atomic flip where the FS provides it (HDFS,
+    // POSIX). delete-then-rename would open a window with NO pointer at
+    // all: a reader in that window sees "no published version" and a
+    // writer crash inside it strands the store pointer-less.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"pointer flip failed for $root -> ${vdir(n)}", e)
+    }
   }
 
   /** Publish `df` as the next version and flip the pointer to it. The
@@ -132,22 +147,41 @@ object VersionedStore {
     writePointer(spark, root, version)
   }
 
-  /** Delete versions older than the newest `keepLast` (and any
-    * `_SUCCESS`-less debris directories), but never the pointer's current
-    * target. Returns the versions removed.
+  /** Default age a `_SUCCESS`-less directory must reach before [[expire]]
+    * treats it as debris rather than an in-flight publish: 1 hour.
     */
-  def expire(spark: SparkSession, root: String, keepLast: Int): Seq[Int] = {
+  val DefaultDebrisGraceMs: Long = 3600000L
+
+  /** Delete versions older than the newest `keepLast` (and `_SUCCESS`-less
+    * debris directories older than `debrisGraceMs`), but never the
+    * pointer's current target. Returns the versions removed.
+    *
+    * Race safety: the published set and the debris set derive from ONE
+    * directory listing (two listings could classify a version published
+    * between them as debris), and a `_SUCCESS`-less directory younger
+    * than the grace window is presumed an IN-FLIGHT publish and left
+    * alone — a publish slower than the grace is still safe as long as
+    * expire is not scheduled concurrently with it; raise the grace if
+    * maintenance must overlap multi-hour writes.
+    */
+  def expire(spark: SparkSession, root: String, keepLast: Int,
+      debrisGraceMs: Long = DefaultDebrisGraceMs): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
     val rp = new Path(root)
     val f = fs(spark, rp)
-    val all = versions(spark, root)
+    if (!f.exists(rp)) return Seq.empty
+    val byVersion = f.listStatus(rp).toSeq.filter(_.isDirectory)
+      .flatMap(s => parse(s.getPath.getName).map(_ -> s))
+    val published = byVersion.map(_._1)
+      .filter(n => f.exists(new Path(rp, s"${vdir(n)}/_SUCCESS"))).sorted
     val current = latestVersion(spark, root)
-    val keep = all.takeRight(keepLast).toSet ++ current
-    // sweep unpublished debris (failed writes) alongside expired versions
-    val debris = f.listStatus(rp).toSeq.filter(_.isDirectory)
-      .flatMap(s => parse(s.getPath.getName))
-      .filterNot(all.contains)
-    val drop = all.filterNot(keep.contains)
+    val keep = published.takeRight(keepLast).toSet ++ current
+    val drop = published.filterNot(keep.contains)
+    val now = System.currentTimeMillis()
+    val debris = byVersion.collect {
+      case (n, s) if !published.contains(n) &&
+        now - s.getModificationTime >= debrisGraceMs => n
+    }
     (drop ++ debris).foreach(n => f.delete(new Path(rp, vdir(n)), true))
     drop
   }

@@ -38,8 +38,19 @@ object ChangeStream {
     spark.readStream.schema(schema).parquet(dir).as[Change]
   }
 
+  // String legs compare UTF-8 BYTES unsigned — the ordering Spark's
+  // UTF8String gives `max(struct(seq, op, text))` on the batch side.
+  // Scala's default String ordering is UTF-16 code-unit order, which
+  // disagrees on seq ties whose texts mix U+E000..U+FFFF chars with
+  // supplementary (surrogate-pair) characters — that divergence would
+  // silently break the documented stream ≡ batch contract.
+  private val utf8Ord: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private val changeOrd: Ordering[(Int, String, String)] =
-    Ordering.Tuple3(Ordering.Int, Ordering.String, Ordering.String)
+    Ordering.Tuple3(Ordering.Int, utf8Ord, utf8Ord)
 
   /** Latest-wins state per key, maintained across micro-batches: emits,
     * for every key TOUCHED in a batch, its current winning row (update
@@ -98,9 +109,25 @@ object ChangeStream {
     * so replayed appends and stale batch winners collapse to the final
     * answer. One map-side-combined aggregate over the log.
     */
-  def logLatest(spark: SparkSession, logDir: String): DataFrame =
-    graft.operators.Incremental.latestPerKey(
-      spark.read.parquet(logDir).select("doc_id", "seq", "op", "text"))
+  def logLatest(spark: SparkSession, logDir: String): DataFrame = {
+    // zero-delta publish cycle (fresh deployment, or a trigger that saw
+    // no input): foreachBatch never appended, so the artifact directory
+    // is absent or file-less and spark.read.parquet cannot infer a
+    // schema — return an EMPTY latest-state relation instead of crashing
+    // the most common publish day.
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(logDir, "*.parquet")))
+        .exists(_.nonEmpty)
+    if (!hasData) {
+      import spark.implicits._
+      // latestPerKey's output shape: (doc_id, op, text)
+      spark.emptyDataset[Change].toDF().select("doc_id", "op", "text")
+    } else
+      graft.operators.Incremental.latestPerKey(
+        spark.read.parquet(logDir).select("doc_id", "seq", "op", "text"))
+  }
 
   /** Publish: fold the changelog artifact into a base snapshot — D
     * removes, I/U upserts, untouched base rows pass through. Exactly the

@@ -92,8 +92,9 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v = VersionedStore.publish(docs.limit(20), root)
     assert(v === 3)
     assert(VersionedStore.read(spark, root).count() === 20)
-    // and expire sweeps the debris directory
-    VersionedStore.expire(spark, root, keepLast = 5)
+    // and expire sweeps the debris directory once it ages past the grace
+    // window (0 here: the failed write is known-dead, not in-flight)
+    VersionedStore.expire(spark, root, keepLast = 5, debrisGraceMs = 0L)
     val names = new java.io.File(root).listFiles().map(_.getName).toSet
     assert(!names.contains("v00002"))
     assert(VersionedStore.versions(spark, root) === Seq(1, 3))
@@ -113,5 +114,40 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = graft.QueryCatalog.byName("i02_upsert_merge").run(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === want)
+  }
+
+  test("expire presumes a YOUNG _SUCCESS-less directory is in-flight") {
+    val root = tmp()
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    VersionedStore.publish(docs.limit(10), root)
+    // simulate a publish in progress: a version dir without _SUCCESS,
+    // freshly modified
+    val inflight = new java.io.File(root, "v00002")
+    inflight.mkdirs()
+    new java.io.File(inflight, "part-0.parquet").createNewFile()
+    VersionedStore.expire(spark, root, keepLast = 5) // default grace
+    assert(inflight.exists(), "grace window must spare an in-flight write")
+    // aged past the grace → swept
+    VersionedStore.expire(spark, root, keepLast = 5, debrisGraceMs = 0L)
+    assert(!inflight.exists())
+  }
+
+  test("version numbers past 99999 parse (pointer + listing)") {
+    val root = tmp()
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    VersionedStore.publish(docs.limit(10), root)
+    // fast-forward the store to a 6-digit version by renaming on disk
+    // and rewriting the pointer — what the store itself would produce
+    // on publish #100000 (f"v$n%05d" grows past 5 digits naturally)
+    assert(new java.io.File(root, "v00001")
+      .renameTo(new java.io.File(root, "v100000")))
+    VersionedStore.rollback(spark, root, 100000) // pointer via the store
+    assert(VersionedStore.latestVersion(spark, root) === Some(100000))
+    assert(VersionedStore.versions(spark, root) === Seq(100000))
+    assert(VersionedStore.read(spark, root).count() === 10)
+    // and the NEXT publish takes the slot above, not a colliding one
+    val v = VersionedStore.publish(docs.limit(20), root)
+    assert(v === 100001)
+    assert(VersionedStore.read(spark, root).count() === 20)
   }
 }

@@ -123,4 +123,20 @@ class ChangeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     dup.write.mode("append").parquet(logDir)
     assert(fold() == batch)
   }
+
+  test("zero-delta publish: empty/absent changelog folds to the base unchanged") {
+    val base = graft.operators.Incremental.snapshotV1(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    // absent directory (fresh deployment, no batch ever appended)
+    val absent = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cdc-empty").resolve("never-written")
+    val snap = ChangeStream.snapshot(base, spark, absent.toString)
+    assert(snap.count() === base.count())
+    // present but file-less directory (trigger that saw no input)
+    val empty = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cdc-empty2")
+    val snap2 = ChangeStream.snapshot(base, spark, empty.toString)
+    assert(snap2.count() === base.count())
+  }
 }
