@@ -423,6 +423,10 @@ object Retrieval {
   private def vecQuantDuck(emb: String): String =
     s"CAST(CAST(CAST($emb AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
 
+  /** Per-dimension quantized element for the s01-style dot CTEs (r07). */
+  private def xiLocal(tbl: String): String =
+    vecQuantDuck(s"$tbl.embedding[CAST(j.j AS INT)]")
+
   /** r03: hybrid retrieval — reciprocal-rank fusion (k=60) of the BM25
     * top-20 and the exact-cosine top-20 for probe vector 7 (doc_id and
     * vec_id are aligned in this corpus). rrf contribution is the integer
@@ -586,6 +590,110 @@ object Retrieval {
       .orderBy("term")
   }
 
+  /** r07: lexical ↔ vector agreement audit. For each probe doc (id < 10),
+    * the query-by-document lexical top-10 (candidates scored by Σ
+    * odds-ratio-IDF over SHARED DISTINCT TERMS with the probe — the
+    * BM25-lite document-similarity kernel) is compared against the
+    * exact-cosine top-10 of the probe's embedding; the row reports the
+    * overlap and its Jaccard. This is the audit a hybrid deployment runs
+    * before trusting one modality to backstop the other (and the measured
+    * justification for r03's fusion): low agreement ⇒ the two retrievers
+    * see different neighborhoods and fusion adds recall.
+    *
+    * Scale shape: the posting join explodes DISTINCT in-doc terms and
+    * joins the (10-probe, broadcast) term lists BEFORE any keyed
+    * exchange, so the shuffle carries only probe-matched rows; the df
+    * side is vocabulary-bounded and broadcasts; the vector side is the
+    * s01 baseline (10 probes broadcast against the corpus, top-k via
+    * per-probe WindowGroupLimit).
+    */
+  val lexVecAgreement: QueryDef = q(
+    "r07_lex_vec_agreement",
+    s"""WITH ${Similarity.oracleNorms},
+       |dt AS (SELECT DISTINCT doc_id,
+       |         unnest(list_distinct(string_split(text, ' '))) AS term
+       |       FROM documents),
+       |n AS (SELECT count(*) AS n_total FROM documents),
+       |dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+       |pl AS (SELECT doc_id AS qid, term FROM dt WHERE doc_id < 10),
+       |lex AS (
+       |  SELECT pl.qid, dt.doc_id AS cid,
+       |    CAST(sum(${idfMilliDuck("df")}) AS BIGINT) AS lex_milli
+       |  FROM pl JOIN dt USING (term) JOIN dfq USING (term), n
+       |  WHERE dt.doc_id <> pl.qid
+       |  GROUP BY pl.qid, dt.doc_id),
+       |lex10 AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY lex_milli DESC, cid) AS rn
+       |  FROM lex) WHERE rn <= 10),
+       |q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+       |dots AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |    CAST(sum(${xiLocal("q")} * ${xiLocal("c")}) AS BIGINT) AS dot
+       |  FROM q, embeddings c, j
+       |  WHERE c.vec_id <> q.qid
+       |  GROUP BY q.qid, c.vec_id),
+       |vec10 AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      (CAST(dot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |        / (sqrt(CAST(na.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |         * sqrt(CAST(nb.sq AS DOUBLE) / CAST(1000000000000 AS DOUBLE))) DESC,
+       |      cid) AS rn
+       |  FROM dots JOIN norms na ON na.vec_id = qid
+       |            JOIN norms nb ON nb.vec_id = cid) WHERE rn <= 10)
+       |SELECT l.qid, CAST(count(v.cid) AS BIGINT) AS n_common,
+       |  CAST(count(v.cid) * 1000000 // (20 - count(v.cid)) AS BIGINT)
+       |    AS jaccard_micro
+       |FROM lex10 l LEFT JOIN vec10 v ON l.qid = v.qid AND l.cid = v.cid
+       |GROUP BY l.qid
+       |ORDER BY l.qid""".stripMargin) { (s, d) =>
+    val docs = Tables.parallel(Tables.documents(s, d))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val dfq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val pl = dt.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("term"))
+    val lex = dt
+      .join(broadcast(pl), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("qid"), col("doc_id").as("cid"))
+      .agg(sum(expr(idfMilliSql("df"))).as("lex_milli"))
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("lex_milli").desc, col("cid"))
+    val lex10 = lex.withColumn("rn", row_number().over(wl))
+      .filter(col("rn") <= 10).select("qid", "cid")
+    val e = Similarity.withQuant(Tables.parallel(Tables.embeddings(s, d)))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("sq").as("q_sq"))
+    val cos = (call_function("long_dot", col("qe"), col("ce")).cast("double")
+      / lit(1.0e12)) /
+      (sqrt(col("q_sq").cast("double") / lit(1.0e12)) *
+        sqrt(col("c_sq").cast("double") / lit(1.0e12)))
+    val wv = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val vec10 = e.select(col("vec_id").as("cid"), col("qv").as("ce"),
+        col("sq").as("c_sq"))
+      .crossJoin(broadcast(qs))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= 10).select("qid", "cid")
+    val v10 = vec10.select(col("qid").as("vqid"), col("cid").as("vcid"))
+    lex10.join(v10,
+        col("qid") === col("vqid") && col("cid") === col("vcid"),
+        "left_outer")
+      .groupBy("qid")
+      .agg(count(col("vcid")).as("n_common"),
+        expr("CAST(count(vcid) * 1000000 div (20 - count(vcid)) AS BIGINT)")
+          .as("jaccard_micro"))
+      .orderBy("qid")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(bm25TopK, phraseProx, hybridRrf, prfExpansion, snippets, postingDelta)
+    Seq(bm25TopK, phraseProx, hybridRrf, prfExpansion, snippets, postingDelta,
+      lexVecAgreement)
 }

@@ -140,6 +140,17 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("snippet_hash") === hex)
   }
 
+  test("r07 agreement audit: one row per probe, Jaccard identity, bounds") {
+    val rows = graft.QueryCatalog.byName("r07_lex_vec_agreement")
+      .run(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("qid")).toSeq === (0L to 9L))
+    rows.foreach { r =>
+      val c = r.getAs[Long]("n_common")
+      assert(c >= 0 && c <= 10, s"qid ${r.getAs[Long]("qid")}: overlap $c")
+      assert(r.getAs[Long]("jaccard_micro") === c * 1000000L / (20 - c))
+    }
+  }
+
   test("r06 incremental posting stats equal a from-scratch v2 recompute") {
     val out = graft.QueryCatalog.byName("r06_posting_delta").run(spark, sf)
       .collect().map(r => r.getAs[String]("term") ->
