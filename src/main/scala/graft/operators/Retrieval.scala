@@ -643,12 +643,20 @@ object Retrieval {
        |      cid) AS rn
        |  FROM dots JOIN norms na ON na.vec_id = qid
        |            JOIN norms nb ON nb.vec_id = cid) WHERE rn <= 10)
-       |SELECT l.qid, CAST(count(v.cid) AS BIGINT) AS n_common,
-       |  CAST(count(v.cid) * 1000000 // (20 - count(v.cid)) AS BIGINT)
-       |    AS jaccard_micro
-       |FROM lex10 l LEFT JOIN vec10 v ON l.qid = v.qid AND l.cid = v.cid
-       |GROUP BY l.qid
-       |ORDER BY l.qid""".stripMargin) { (s, d) =>
+       |,nl AS (SELECT qid, count(*) AS n_lex FROM lex10 GROUP BY qid),
+       |nv AS (SELECT qid, count(*) AS n_vec FROM vec10 GROUP BY qid),
+       |nc AS (SELECT l.qid, count(*) AS n_common
+       |       FROM lex10 l JOIN vec10 v ON l.qid = v.qid AND l.cid = v.cid
+       |       GROUP BY l.qid)
+       |SELECT qid, CAST(COALESCE(nc.n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(CASE WHEN COALESCE(nl.n_lex, 0) + COALESCE(nv.n_vec, 0)
+       |                 - COALESCE(nc.n_common, 0) = 0 THEN 0
+       |       ELSE COALESCE(nc.n_common, 0) * 1000000
+       |            // (COALESCE(nl.n_lex, 0) + COALESCE(nv.n_vec, 0)
+       |                - COALESCE(nc.n_common, 0))
+       |       END AS BIGINT) AS jaccard_micro
+       |FROM nl FULL JOIN nv USING (qid) LEFT JOIN nc USING (qid)
+       |ORDER BY qid""".stripMargin) { (s, d) =>
     val docs = Tables.parallel(Tables.documents(s, d))
     val n = docs.agg(count(lit(1)).as("n_total"))
     val dt = docs.select(col("doc_id"),
@@ -682,14 +690,26 @@ object Retrieval {
       .withColumn("cos", cos)
       .withColumn("rn", row_number().over(wv))
       .filter(col("rn") <= 10).select("qid", "cid")
+    // union per probe is count(lex) + count(vec) − common — NOT a constant
+    // 20 − common, which would inflate Jaccard for a probe with fewer than
+    // 10 candidates in either modality (and a zero-candidate probe must
+    // still surface, via the full outer spine, not drop from the report)
     val v10 = vec10.select(col("qid").as("vqid"), col("cid").as("vcid"))
-    lex10.join(v10,
-        col("qid") === col("vqid") && col("cid") === col("vcid"),
-        "left_outer")
-      .groupBy("qid")
-      .agg(count(col("vcid")).as("n_common"),
-        expr("CAST(count(vcid) * 1000000 div (20 - count(vcid)) AS BIGINT)")
-          .as("jaccard_micro"))
+    val nl = lex10.groupBy("qid").agg(count(lit(1)).as("n_lex"))
+    val nv = vec10.groupBy("qid").agg(count(lit(1)).as("n_vec"))
+    val nc = lex10.join(v10,
+        col("qid") === col("vqid") && col("cid") === col("vcid"))
+      .groupBy("qid").agg(count(lit(1)).as("nc"))
+    nl.join(nv, Seq("qid"), "full_outer")
+      .join(nc, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("nc"), lit(0L)).as("n_common"),
+        expr("""CAST(CASE WHEN coalesce(n_lex, 0) + coalesce(n_vec, 0)
+               |               - coalesce(nc, 0) = 0 THEN 0
+               |     ELSE coalesce(nc, 0) * 1000000
+               |          div (coalesce(n_lex, 0) + coalesce(n_vec, 0)
+               |               - coalesce(nc, 0))
+               |     END AS BIGINT)""".stripMargin).as("jaccard_micro"))
       .orderBy("qid")
   }
 

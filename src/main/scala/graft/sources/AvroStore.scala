@@ -155,7 +155,21 @@ object AvroStore {
         s"AvroStore.write: could not move previous store $path aside")
     require(!fs.exists(dst) && fs.rename(staging, dst),
       s"AvroStore.write: commit rename $stagingStr -> $path failed")
-    fs.delete(aside, true)
+    // best-effort cleanup AFTER the commit: a failed delete must not fail
+    // the (already-committed) write, but it must not leak silently either —
+    // warn, and let the sweep below reclaim it on the next successful write
+    if (fs.exists(aside) && !fs.delete(aside, true))
+      System.err.println(s"AvroStore.write: WARNING could not delete " +
+        s"replaced store $aside — will retry on the next write")
+    // sweep .replaced-* siblings stranded by earlier crashes between the
+    // two commit renames or by failed deletes (globStatus returns null,
+    // not empty, for a nonexistent parent glob)
+    Option(fs.globStatus(new Path(path + ".replaced-*"))).getOrElse(Array.empty)
+      .foreach { s =>
+        if (!fs.delete(s.getPath, true))
+          System.err.println(
+            s"AvroStore.write: WARNING could not sweep ${s.getPath}")
+      }
   }
 
   /** Reads every `.avro` container under `path` with file-grain

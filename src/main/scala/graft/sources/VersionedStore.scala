@@ -37,19 +37,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object VersionedStore {
 
   private val Pointer = "LATEST"
+  private val ClaimPrefix = ".claim-"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def vdir(n: Int): String = f"v$n%05d"
 
-  // accepts 'v' + any digit run (the %05d format grows past 5 digits at
-  // version 100000 — a fixed-width parse would brick the store there)
+  // CANONICAL names only, enforced by round-trip (vdir(parsed) == name):
+  // the %05d format grows past 5 digits at version 100000, so "v100000"
+  // parses, but aliases like "v1"/"v001" do not — accepting them would let
+  // one version number surface twice from [[versions]] and point [[expire]]
+  // at a different directory than the one it listed.
   private def parse(name: String): Option[Int] =
     if (name.length >= 2 && name.length <= 11 && name.charAt(0) == 'v' &&
       name.drop(1).forall(_.isDigit)) {
       val v = name.drop(1).toLong
-      if (v <= Int.MaxValue) Some(v.toInt) else None
+      if (v <= Int.MaxValue && vdir(v.toInt) == name) Some(v.toInt) else None
     } else None
 
   /** Published versions present on disk (with `_SUCCESS`), ascending. */
@@ -84,21 +88,55 @@ object VersionedStore {
     val rp = new Path(root)
     val f = fs(spark, rp)
     val tmp = new Path(rp, s".$Pointer.tmp")
-    val out = f.create(tmp, true)
-    try out.write(vdir(n).getBytes("UTF-8")) finally out.close()
     val dst = new Path(rp, Pointer)
     // OVERWRITE rename — one atomic flip where the FS provides it (HDFS,
     // POSIX). delete-then-rename would open a window with NO pointer at
     // all: a reader in that window sees "no published version" and a
-    // writer crash inside it strands the store pointer-less.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"pointer flip failed for $root -> ${vdir(n)}", e)
+    // writer crash inside it strands the store pointer-less. Schemes with
+    // no AbstractFileSystem binding (getFileContext throws) take the
+    // FileSystem fallback below instead of failing publish outright.
+    val fcOpt =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration))
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+      }
+    fcOpt match {
+      case Some(fc) =>
+        // ONE API end-to-end: the tmp file is created through the SAME
+        // FileContext that renames it. Creating it via FileSystem would go
+        // through ChecksumFileSystem on file:// — a .crc sidecar the raw
+        // FileContext rename leaves stranded next to the NEW pointer
+        // bytes, failing the next checksummed open with ChecksumException.
+        val qtmp = f.makeQualified(tmp)
+        val out = fc.create(qtmp,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+            org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+        try out.write(vdir(n).getBytes("UTF-8")) finally out.close()
+        // a store whose pointer was last written through the FileSystem
+        // path (older layout, or the fallback arm) may still carry
+        // checksum sidecars — drop them so the raw flip can't strand a
+        // stale checksum against fresh pointer bytes
+        Seq(new Path(rp, s".$Pointer.crc"), new Path(rp, s"..$Pointer.tmp.crc"))
+          .foreach(p => if (f.exists(p)) f.delete(p, false))
+        try fc.rename(qtmp, f.makeQualified(dst),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch {
+          case e: java.io.IOException =>
+            throw new IllegalStateException(
+              s"pointer flip failed for $root -> ${vdir(n)}", e)
+        }
+      case None =>
+        // FileSystem fallback: create tmp, delete dst, rename. Narrower
+        // guarantee — a crash between the delete and the rename leaves
+        // the store pointer-less until the next publish/rollback; the
+        // price of a scheme with no atomic-overwrite rename binding.
+        val out = f.create(tmp, true)
+        try out.write(vdir(n).getBytes("UTF-8")) finally out.close()
+        if (f.exists(dst)) f.delete(dst, false)
+        if (!f.rename(tmp, dst))
+          throw new IllegalStateException(
+            s"pointer flip failed for $root -> ${vdir(n)}")
     }
   }
 
@@ -107,21 +145,60 @@ object VersionedStore {
     * leaves an unreferenced `_SUCCESS`-less directory (ignored by
     * [[versions]] and swept by [[expire]]), and readers still see the
     * previous version. Returns the new version number.
+    *
+    * Concurrent publishers are safe and cheap to lose with: each claims
+    * its slot ATOMICALLY (exclusive create of a `.claim-vNNNNN` marker)
+    * BEFORE staging any data, so the loser of a slot race fails the
+    * claim in milliseconds and retries on the next slot — it never pays
+    * a full staged write only to die at `errorifexists` (at 100 TB that
+    * write is hours). Two concurrent publishes therefore land as two
+    * DISTINCT versions; the later pointer flip wins, the earlier version
+    * stays readable via time-travel. A crashed claimant's marker blocks
+    * only its own slot (later publishers skip past it) until [[expire]]
+    * sweeps markers older than the debris grace. The slot's parquet
+    * write keeps `errorifexists` as a second, independent guard.
     */
   def publish(df: DataFrame, root: String): Int = {
     val spark = df.sparkSession
-    // next slot clears DEBRIS too (a failed write's _SUCCESS-less dir must
-    // not block the next publish — it stays unreferenced until expire())
     val rp = new Path(root)
     val f = fs(spark, rp)
-    val occupied =
-      if (!f.exists(rp)) Seq.empty
-      else f.listStatus(rp).toSeq.filter(_.isDirectory)
-        .flatMap(s => parse(s.getPath.getName))
-    val next = (0 +: occupied).max + 1
-    df.write.mode("errorifexists").parquet(s"$root/${vdir(next)}")
-    writePointer(spark, root, next)
-    next
+    f.mkdirs(rp)
+    var attempt = 0
+    while (attempt < 64) {
+      // next slot clears DEBRIS and foreign CLAIMS too (a failed write's
+      // _SUCCESS-less dir or a crashed claimant's marker must not block
+      // the next publish — both stay unreferenced until expire())
+      val listing = f.listStatus(rp).toSeq
+      val occupied =
+        listing.filter(_.isDirectory).flatMap(s => parse(s.getPath.getName)) ++
+          listing.filterNot(_.isDirectory).map(_.getPath.getName)
+            .filter(_.startsWith(ClaimPrefix))
+            .flatMap(n => parse(n.stripPrefix(ClaimPrefix)))
+      val next = (0 +: occupied).max + 1
+      val claim = new Path(rp, s"$ClaimPrefix${vdir(next)}")
+      val claimed =
+        try { f.create(claim, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException =>
+            // some FileSystems signal an occupied slot with a bare
+            // IOException; treat it as a lost race only if the marker
+            // demonstrably exists, else surface the real failure
+            if (f.exists(claim)) false else throw e
+        }
+      if (claimed) {
+        try {
+          df.write.mode("errorifexists").parquet(s"$root/${vdir(next)}")
+          writePointer(spark, root, next)
+          return next
+        } finally f.delete(claim, false)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"publish to $root lost the slot race $attempt times — " +
+        "pathological publisher contention or stale claim markers " +
+        "(sweep with expire())")
   }
 
   /** Read a version: the pointer's by default, or a pinned `version` for
@@ -152,13 +229,16 @@ object VersionedStore {
     */
   val DefaultDebrisGraceMs: Long = 3600000L
 
-  /** Delete versions older than the newest `keepLast` (and `_SUCCESS`-less
-    * debris directories older than `debrisGraceMs`), but never the
-    * pointer's current target. Returns the versions removed.
+  /** Delete versions older than the newest `keepLast` (plus `_SUCCESS`-less
+    * debris directories and orphaned `.claim-*` markers older than
+    * `debrisGraceMs`), but never the pointer's current target. Returns the
+    * versions removed.
     *
-    * Race safety: the published set and the debris set derive from ONE
-    * directory listing (two listings could classify a version published
-    * between them as debris), and a `_SUCCESS`-less directory younger
+    * Race safety: the published set, the debris set, and the stale-claim
+    * set derive from ONE directory listing (two listings could classify a
+    * version published between them as debris), deletes target the exact
+    * paths that listing returned (never a reconstruction from the version
+    * number), and a `_SUCCESS`-less directory or claim marker younger
     * than the grace window is presumed an IN-FLIGHT publish and left
     * alone — a publish slower than the grace is still safe as long as
     * expire is not scheduled concurrently with it; raise the grace if
@@ -170,19 +250,25 @@ object VersionedStore {
     val rp = new Path(root)
     val f = fs(spark, rp)
     if (!f.exists(rp)) return Seq.empty
-    val byVersion = f.listStatus(rp).toSeq.filter(_.isDirectory)
+    val listing = f.listStatus(rp).toSeq
+    val byVersion = listing.filter(_.isDirectory)
       .flatMap(s => parse(s.getPath.getName).map(_ -> s))
     val published = byVersion.map(_._1)
       .filter(n => f.exists(new Path(rp, s"${vdir(n)}/_SUCCESS"))).sorted
     val current = latestVersion(spark, root)
     val keep = published.takeRight(keepLast).toSet ++ current
-    val drop = published.filterNot(keep.contains)
+    val dropSet = published.filterNot(keep.contains).toSet
     val now = System.currentTimeMillis()
-    val debris = byVersion.collect {
+    val doomed = byVersion.collect {
+      case (n, s) if dropSet.contains(n) => s.getPath
       case (n, s) if !published.contains(n) &&
-        now - s.getModificationTime >= debrisGraceMs => n
+        now - s.getModificationTime >= debrisGraceMs => s.getPath
     }
-    (drop ++ debris).foreach(n => f.delete(new Path(rp, vdir(n)), true))
-    drop
+    val staleClaims = listing.collect {
+      case s if !s.isDirectory && s.getPath.getName.startsWith(ClaimPrefix) &&
+        now - s.getModificationTime >= debrisGraceMs => s.getPath
+    }
+    (doomed ++ staleClaims).foreach(p => f.delete(p, true))
+    dropSet.toSeq.sorted
   }
 }

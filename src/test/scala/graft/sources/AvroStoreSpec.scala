@@ -72,6 +72,21 @@ class AvroStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msg.contains("missing from Avro schema"), msg)
   }
 
+  test("stranded .replaced-* debris is swept by the next successful write") {
+    val df = graft.Tables.documents(spark, sfDir).limit(20)
+    val out = Files.createTempDirectory(Paths.get("target"), "avro-swp")
+      .toString + "/store"
+    AvroStore.write(df, out)
+    // a crash between the two commit renames (or a failed delete) leaves
+    // the previous store stranded under .replaced-*
+    val debris = new java.io.File(out + ".replaced-deadbeef")
+    debris.mkdirs()
+    new java.io.File(debris, "part-00000.avro").createNewFile()
+    AvroStore.write(df, out) // overwrite commit
+    assert(!debris.exists(), "next successful write must sweep stale debris")
+    assert(AvroStore.read(spark, out, df.schema).count() === 20)
+  }
+
   test("commit protocol: write publishes atomically with _SUCCESS; " +
       "read refuses uncommitted (marker-less) part files") {
     val df = graft.Tables.documents(spark, sfDir)

@@ -132,6 +132,92 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!inflight.exists())
   }
 
+  test("two concurrent publishers land as DISTINCT versions (slot claim)") {
+    val root = tmp()
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    VersionedStore.publish(docs.limit(5), root)
+    // race two full publishes; the claim-first protocol means each takes
+    // its own slot (or one fails loudly at the claim/errorifexists guard
+    // in the nanosecond local-fs check-then-create window — never a
+    // silent overwrite)
+    val results = scala.collection.mutable.ListBuffer.empty[Int]
+    val threads = Seq(10, 20).map { n =>
+      new Thread(() => {
+        try {
+          val v = VersionedStore.publish(docs.limit(n), root)
+          results.synchronized { results += v }
+        } catch { case _: Exception => () } // loud failure is an allowed outcome
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val got = results.toList
+    assert(got.distinct.size === got.size, s"colliding versions: $got")
+    assert(got.nonEmpty)
+    // every published version is readable and the pointer targets one
+    val published = VersionedStore.versions(spark, root)
+    assert(got.toSet.subsetOf(published.toSet))
+    val head = VersionedStore.latestVersion(spark, root).get
+    assert(published.contains(head))
+    published.foreach(v =>
+      assert(VersionedStore.read(spark, root, Some(v)).count() > 0))
+  }
+
+  test("a foreign in-flight claim blocks ONLY its slot; expire sweeps it") {
+    val root = tmp()
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    VersionedStore.publish(docs.limit(10), root)
+    // another publisher claimed slot 2 and is still staging its data:
+    // our publish must skip past it WITHOUT writing anything into v00002
+    new java.io.File(root, ".claim-v00002").createNewFile()
+    val v = VersionedStore.publish(docs.limit(20), root)
+    assert(v === 3)
+    assert(!new java.io.File(root, "v00002").exists(),
+      "must not stage data into a slot someone else claimed")
+    // the claimant crashed: once the marker ages past the grace, expire
+    // sweeps it and the slot becomes claimable again
+    VersionedStore.expire(spark, root, keepLast = 5, debrisGraceMs = 0L)
+    assert(!new java.io.File(root, ".claim-v00002").exists())
+    assert(VersionedStore.publish(docs.limit(30), root) === 4)
+  }
+
+  test("pointer flip survives a stale checksum sidecar (.LATEST.crc)") {
+    val root = tmp()
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    VersionedStore.publish(docs.limit(10), root)
+    VersionedStore.publish(docs.limit(20), root)
+    // simulate a store whose pointer was last written by a checksummed
+    // FileSystem (older layout): LocalFileSystem create() emits the
+    // .LATEST.crc sidecar alongside the pointer bytes
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fsys = rp.getFileSystem(conf)
+    val out = fsys.create(new org.apache.hadoop.fs.Path(rp, "LATEST"), true)
+    try out.write("v00002".getBytes("UTF-8")) finally out.close()
+    assert(new java.io.File(root, ".LATEST.crc").exists(),
+      "precondition: the checksummed write left a sidecar")
+    // the raw-rename flip must clear the sidecar, not strand it against
+    // the new pointer bytes (a stranded sidecar fails the NEXT
+    // checksummed open with ChecksumException)
+    VersionedStore.rollback(spark, root, 1)
+    assert(VersionedStore.latestVersion(spark, root) === Some(1))
+    assert(VersionedStore.read(spark, root).count() === 10)
+  }
+
+  test("non-canonical version aliases are ignored, never double-listed") {
+    val root = tmp()
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    VersionedStore.publish(docs.limit(10), root)
+    // debris written by something else: an alias of v00001's number
+    val alias = new java.io.File(root, "v001")
+    alias.mkdirs()
+    new java.io.File(alias, "_SUCCESS").createNewFile()
+    assert(VersionedStore.versions(spark, root) === Seq(1),
+      "an alias directory must not surface a duplicate version number")
+    // and expire never deletes a path it did not list as a version
+    VersionedStore.expire(spark, root, keepLast = 5, debrisGraceMs = 0L)
+    assert(VersionedStore.read(spark, root).count() === 10)
+  }
+
   test("version numbers past 99999 parse (pointer + listing)") {
     val root = tmp()
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
