@@ -114,10 +114,36 @@ object Retrieval {
     * query term), collected from the same 1-row aggregate [[bm25Scored]]
     * broadcasts. Driver-side result is one row — bounded by construction.
     */
-  def bm25Stats(s: SparkSession, d: String): (Long, Long, Seq[Long]) = {
-    val r = statsAgg(withTf(Tables.documents(s, d))).head()
-    (r.getAs[Long]("n_total"), r.getAs[Long]("sum_dl"),
+  def bm25Stats(s: SparkSession, d: String): (Long, Long, Seq[Long]) =
+    bm25StatsOf(Tables.documents(s, d))
+
+  /** [[bm25Stats]] over an arbitrary (doc_id, text, …) relation — the
+    * form the incremental pipeline freezes at snapshot-publish time.
+    * Empty relations yield the zero stats (all components are sums of
+    * per-doc contributions, so zero is the correct identity).
+    */
+  def bm25StatsOf(docs: DataFrame): (Long, Long, Seq[Long]) = {
+    val r = statsAgg(withTf(docs)).head()
+    val n = r.getAs[Long]("n_total")
+    if (n == 0L) (0L, 0L, queryTerms.map(_ => 0L))
+    else (n, r.getAs[Long]("sum_dl"),
       queryTerms.indices.map(i => r.getAs[Long](s"df_$i")))
+  }
+
+  /** Fold a publish cycle's removed/added documents into frozen serving
+    * stats — r06's LIBRARY twin, and the reason a 100 TB index never
+    * recounts unchanged docs: every stat component (N, Σdl, per-term df)
+    * is a sum of per-document contributions, so subtracting the removed
+    * docs' aggregate and adding the added docs' aggregate is EXACT, not
+    * approximate (IncrementalPipelineSpec pins equality with the
+    * from-scratch recount). Cost: two delta-sized aggregates.
+    */
+  def bm25StatsDelta(old: (Long, Long, Seq[Long]),
+      removed: DataFrame, added: DataFrame): (Long, Long, Seq[Long]) = {
+    val rm = bm25StatsOf(removed)
+    val ad = bm25StatsOf(added)
+    val dfs = queryTerms.indices.map(i => old._3(i) - rm._3(i) + ad._3(i))
+    (old._1 - rm._1 + ad._1, old._2 - rm._2 + ad._2, dfs)
   }
 
   /** Score a (doc_id, text, …) relation against FROZEN stats — the
