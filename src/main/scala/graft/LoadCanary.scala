@@ -54,6 +54,69 @@ object LoadCanary {
     spark.range(200000000L).selectExpr("bit_xor(xxhash64(id))").collect()
     (System.nanoTime() - t0) / 1e9
   }
+
+  // ------------------------------------------------------- bandwidth probe
+
+  /** Quiet-box reference for the BANDWIDTH canary (r11 review item 5):
+    * the r11 graded bench carried +10% wall inflation from another
+    * process's memory-bandwidth residue while the compute canary read
+    * 0.95 — a codegen'd hash loop lives in registers and L1 and is blind
+    * to DRAM contention. [[bandwidthMeasure]] is the complementary probe:
+    * its wall time is dominated by DRAM channel throughput, so residue the
+    * CPU canary cannot see reads ≫ 1 here. Re-based alongside
+    * [[referenceSec]]; methodology in BASELINE.md §canary.
+    */
+  val bandwidthReferenceSec: Double = 0.012
+
+  // 64M longs = 512 MiB, allocated once per JVM and reused; filled with a
+  // non-trivial pattern so the xor-reduce cannot fold away
+  private lazy val bwArray: Array[Long] = {
+    val a = new Array[Long](64 << 20)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  // blackhole for the per-thread reductions (defeats dead-code elimination)
+  @volatile private var bwSink: Long = 0L
+
+  /** One timed bandwidth pass: `threads` JVM threads each xor-stream a
+    * disjoint stripe of the shared 512 MiB array, twice (1 GiB of DRAM
+    * traffic per call — large enough to swamp cache and thread-start
+    * jitter). Pure JVM, no Spark: the probe must measure the MACHINE.
+    */
+  def bandwidthOnce(threads: Int = Runtime.getRuntime.availableProcessors()): Double = {
+    val a = bwArray
+    val per = a.length / threads
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var s = 0L
+        var pass = 0
+        while (pass < 2) {
+          var i = t * per
+          val end = if (t == threads - 1) a.length else i + per
+          while (i < end) { s ^= a(i); i += 1 }
+          pass += 1
+        }
+        bwSink ^= s
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The self-grading bandwidth reading benches emit: a few untimed
+    * warm-ups (page-in + thread-pool JIT), then min-of-K. Unlike the CPU
+    * canary there is no deep JIT knee — the loop is trivial — so 3
+    * warm-ups suffice (measured flat after the first two).
+    */
+  def bandwidthMeasure(warmups: Int = 3, timed: Int = 5,
+      threads: Int = Runtime.getRuntime.availableProcessors()): Double = {
+    (1 to warmups).foreach(_ => bandwidthOnce(threads))
+    (1 to timed).map(_ => bandwidthOnce(threads)).min
+  }
 }
 
 /** Re-base tool for [[LoadCanary.referenceSec]]: prints N raw timed
@@ -84,6 +147,8 @@ object BenchCanary {
     }
     // the reading a bench would emit at this point (JVM now deep-warmed)
     println(s"measure=${f3(LoadCanary.measure(spark))}")
+    println(s"bandwidth_measure=${f3(LoadCanary.bandwidthMeasure())} " +
+      s"current_bw_ref=${f3(LoadCanary.bandwidthReferenceSec)}")
     spark.stop()
   }
 }
