@@ -13,15 +13,15 @@ import graft.streaming.ChangeStream
   *   CDC stream ──ChangeStream.ingest──▶ changelog artifact (append-only)
   *                                            │
   *   publishDay (once per cycle):             ▼
+  *     repair: heal any crash-torn derived state (see below)
   *     snapshot = VersionedStore.read(latest) + ChangeStream.logLatest
   *     ADDED keys → Dedup.deduplicateAgainst(BandIndex)   [i07 kernel]
   *     survivors + updates/deletes → Incremental.applyLatest [i02 kernel]
   *     → VersionedStore.publish (atomic flip, time-travel)
-  *     → Dedup.appendBandIndex (index maintenance, batch-sized)
+  *     → Dedup.appendBandIndex (committed batch, keyed by the version)
   *     → Retrieval.bm25StatsDelta (posting-stats fold, r06's twin)
-  *       → published to its own versioned store
-  *                                            │
-  *   serving:                                 ▼
+  *       → published to its own versioned store, tagged `covered`
+  *   serving:
   *     DocStream.matchBm25(arrivals, published stats)
   * }}}
   *
@@ -33,6 +33,30 @@ import graft.streaming.ChangeStream
   *   - maintained stats ≡ the from-scratch recount over the final corpus;
   *   - serving scores against the published stats ≡ batch scores against
   *     the from-scratch stats.
+  *
+  * CRASH COHERENCE (IncrementalRepairSpec pins every window): the corpus
+  * publish is the transaction's commit point; the band index and the
+  * serving stats are DERIVED state, re-derivable from the corpus store's
+  * time-travel alone. A crash in any window —
+  *
+  *   1. after `VersionedStore.publish` flips to vN but before the index
+  *      batch lands → the index misses vN's accepted adds (a later
+  *      near-dup of them would sneak in);
+  *   2. mid index append → an UNCOMMITTED batch directory (invisible to
+  *      the loader by the `_COMMITTED` protocol — never torn);
+  *   3. after the index commit but before the stats publish → stats lag
+  *      the corpus, and a naive next-day fold would permanently skip the
+  *      missed diff;
+  *
+  * — is healed by [[repair]], which runs at the top of every
+  * [[publishDay]]: for each corpus version with no committed index batch
+  * it rebuilds the batch from the snapshot diff (added keys between vN-1
+  * and vN are EXACTLY the survivors the crashed run computed — the
+  * deterministic replay), and it re-folds the stats from `covered` to the
+  * corpus head using time-travel reads. Repair is idempotent (committed
+  * batches are no-ops; the stats fold is keyed by `covered`) and
+  * delta-proportional (each missing version costs one narrow key
+  * anti-join plus fingerprinting of just the added docs).
   *
   * Dedup posture (the documented contracts):
   *   - the near-dup screen applies to ADDED keys only (new documents
@@ -62,24 +86,31 @@ object IncrementalPipeline {
       nAccepted: Long, nScreenedOut: Long)
 
   /** Day 0: publish the base corpus, build its band index, freeze and
-    * publish the serving stats.
+    * publish the serving stats. Crash windows here are healed by
+    * [[repair]] too: the index base build writes its `meta` LAST (the
+    * artifact is unreadable until complete, so a half-built base reads
+    * as "no artifact" and is rebuilt fresh), and a missing stats store
+    * is recounted from the corpus head.
     */
   def bootstrap(base: DataFrame, storeRoot: String, idxRoot: String,
       statsRoot: String): DayState = {
     val spark = base.sparkSession
     val docs = base.select("doc_id", "text")
     val v = VersionedStore.publish(docs, storeRoot)
-    Dedup.writeBandIndex(docs, idxRoot)
-    val sv = publishStats(spark, statsRoot, Retrieval.bm25StatsOf(docs))
+    Dedup.writeBandIndex(docs, idxRoot, covered = v)
+    val sv = publishStats(spark, statsRoot, Retrieval.bm25StatsOf(docs), v)
     DayState(v, sv, docs.count(), 0L, 0L)
   }
 
   /** One publish cycle over whatever the changelog artifact currently
     * holds (the stream keeps appending; this folds the latest state).
+    * Starts with [[repair]], so a crash anywhere in the previous cycle's
+    * post-publish maintenance is healed before the new screen runs.
     */
   def publishDay(spark: SparkSession, storeRoot: String, idxRoot: String,
       statsRoot: String, logDir: String,
       jaccardThreshold: Double = 0.6): DayState = {
+    repair(spark, storeRoot, idxRoot, statsRoot)
     val base = VersionedStore.read(spark, storeRoot).select("doc_id", "text")
     // log-sized; several legs below re-derive it
     val latest = ChangeStream.logLatest(spark, logDir).localCheckpoint()
@@ -102,11 +133,93 @@ object IncrementalPipeline {
         .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
     val applied = Incremental.applyLatest(base, applicable).localCheckpoint()
 
-    // exact stats fold from the narrow snapshot diff (i01's shape):
-    // removed = base rows whose key vanished or text changed; added =
-    // new-corpus rows whose key is new or text changed
-    val k1 = base.select(col("doc_id"), col("text"), md5(col("text")).as("h1"))
-    val k2 = applied.select(col("doc_id"), col("text"), md5(col("text")).as("h2"))
+    // exact stats fold from the narrow snapshot diff (i01's shape)
+    val (removed, added) = snapshotDiff(base, applied)
+    val newStats = Retrieval.bm25StatsDelta(
+      loadStats(spark, statsRoot), removed, added)
+
+    val v = VersionedStore.publish(applied, storeRoot)
+    Dedup.appendBandIndex(survivors, idxRoot,
+      VersionedStore.versionDirName(v))
+    val sv = publishStats(spark, statsRoot, newStats, v)
+    DayState(v, sv, applied.count(), survivors.count(),
+      addCands.count() - survivors.count())
+  }
+
+  /** Heal crash-torn derived state: for every corpus version newer than
+    * the band index's committed coverage, rebuild the index batch from
+    * the corpus snapshot diff; if the serving stats lag the corpus head,
+    * fold the missed diff (or recount from scratch when the stats store
+    * is missing/untagged). Idempotent; no-op on healthy state. Requires
+    * the corpus versions it must diff to still exist — keep
+    * [[VersionedStore.expire]]'s horizon at least as long as the longest
+    * outage this must heal across (it fails loudly otherwise).
+    */
+  def repair(spark: SparkSession, storeRoot: String, idxRoot: String,
+      statsRoot: String): Unit = {
+    val vLatest = VersionedStore.latestVersion(spark, storeRoot)
+      .getOrElse(return) // nothing published yet: nothing to heal
+    val avail = VersionedStore.versions(spark, storeRoot).toSet
+
+    def docsAt(n: Int): DataFrame = {
+      require(avail.contains(n),
+        s"repair needs corpus ${VersionedStore.versionDirName(n)} at " +
+          s"$storeRoot but it was expired — keep expire()'s horizon " +
+          "longer than the outage window")
+      VersionedStore.read(spark, storeRoot, Some(n)).select("doc_id", "text")
+    }
+    def addedBetween(a: Int, b: Int): DataFrame =
+      docsAt(b).join(docsAt(a).select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // ---- band index: base must exist (meta is written last, so a torn
+    //      bootstrap build reads as no-artifact and rebuilds fresh)
+    val hasBase =
+      try { Dedup.bandIndexCovered(spark, idxRoot) >= -1 }
+      catch { case _: Exception => false }
+    if (!hasBase) {
+      Dedup.writeBandIndex(docsAt(vLatest), idxRoot, covered = vLatest)
+    } else {
+      val baseCovered = Dedup.bandIndexCovered(spark, idxRoot)
+      require(baseCovered >= 0,
+        s"$idxRoot is not pipeline-managed (covered=$baseCovered): repair " +
+          "cannot infer which corpus version its base build reflects")
+      val committed = Dedup.bandIndexBatches(spark, idxRoot)
+        .flatMap(parseVersionDir).toSet
+      ((baseCovered + 1) to vLatest)
+        .filterNot(committed.contains)
+        .foreach { n =>
+          // added keys between vN-1 and vN = exactly the survivors the
+          // crashed cycle accepted: the deterministic replay
+          Dedup.appendBandIndex(addedBetween(n - 1, n), idxRoot,
+            VersionedStore.versionDirName(n))
+        }
+    }
+
+    // ---- serving stats: fold covered → head via time-travel
+    statsCovered(spark, statsRoot) match {
+      case Some(w) if w == vLatest => // healthy
+      case Some(w) if w < vLatest =>
+        val (removed, added) = snapshotDiff(docsAt(w), docsAt(vLatest))
+        publishStats(spark, statsRoot,
+          Retrieval.bm25StatsDelta(loadStats(spark, statsRoot),
+            removed, added), vLatest)
+      case Some(w) =>
+        throw new IllegalStateException(
+          s"stats at $statsRoot cover v$w AHEAD of corpus head v$vLatest " +
+            "— corpus store rolled back? re-point or rebuild the stats")
+      case None => // missing or untagged: recount from the corpus head
+        publishStats(spark, statsRoot,
+          Retrieval.bm25StatsOf(docsAt(vLatest)), vLatest)
+    }
+  }
+
+  /** (removed, added) between two snapshots by key + text hash — rows
+    * whose key vanished/changed, and rows whose key is new/changed.
+    */
+  private def snapshotDiff(before: DataFrame, after: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val k1 = before.select(col("doc_id"), col("text"), md5(col("text")).as("h1"))
+    val k2 = after.select(col("doc_id"), col("text"), md5(col("text")).as("h2"))
     val removed = k1
       .join(k2.select(col("doc_id"), col("h2")), Seq("doc_id"), "left_outer")
       .filter(col("h2").isNull || col("h2") =!= col("h1"))
@@ -115,25 +228,25 @@ object IncrementalPipeline {
       .join(k1.select(col("doc_id"), col("h1")), Seq("doc_id"), "left_outer")
       .filter(col("h1").isNull || col("h1") =!= col("h2"))
       .select("doc_id", "text")
-    val newStats = Retrieval.bm25StatsDelta(
-      loadStats(spark, statsRoot), removed, added)
-
-    val v = VersionedStore.publish(applied, storeRoot)
-    Dedup.appendBandIndex(survivors, idxRoot)
-    val sv = publishStats(spark, statsRoot, newStats)
-    DayState(v, sv, applied.count(), survivors.count(),
-      addCands.count() - survivors.count())
+    (removed, added)
   }
 
-  /** Publish frozen serving stats as a 1-row versioned relation —
-    * corpus version and stats version advance in lockstep when driven
-    * through [[bootstrap]]/[[publishDay]].
+  private def parseVersionDir(name: String): Option[Int] =
+    if (name.length >= 2 && name.charAt(0) == 'v' &&
+      name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
+    else None
+
+  /** Publish frozen serving stats as a 1-row versioned relation, tagged
+    * with the corpus version they COVER — the lineage [[repair]] keys its
+    * catch-up fold by. Corpus version and stats version advance in
+    * lockstep when driven through [[bootstrap]]/[[publishDay]].
     */
   def publishStats(spark: SparkSession, statsRoot: String,
-      stats: (Long, Long, Seq[Long])): Int = {
+      stats: (Long, Long, Seq[Long]), covered: Int): Int = {
     val row = spark.range(1).select(
       lit(stats._1).as("n_total"), lit(stats._2).as("sum_dl"),
-      array(stats._3.map(lit(_)): _*).as("dfs"))
+      array(stats._3.map(lit(_)): _*).as("dfs"),
+      lit(covered).as("covered"))
     VersionedStore.publish(row, statsRoot)
   }
 
@@ -144,4 +257,16 @@ object IncrementalPipeline {
     (r.getAs[Long]("n_total"), r.getAs[Long]("sum_dl"),
       r.getAs[scala.collection.Seq[Long]]("dfs").toVector)
   }
+
+  /** The corpus version the published stats cover: None when no stats
+    * are published or the row predates the `covered` tag (either way,
+    * [[repair]] recounts from scratch).
+    */
+  def statsCovered(spark: SparkSession, statsRoot: String): Option[Int] =
+    VersionedStore.latestVersion(spark, statsRoot).flatMap { _ =>
+      val df = VersionedStore.read(spark, statsRoot)
+      if (df.columns.contains("covered"))
+        Some(df.head().getAs[Int]("covered"))
+      else None
+    }
 }

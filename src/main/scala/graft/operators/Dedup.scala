@@ -678,12 +678,19 @@ object Dedup {
     * fails loudly at load rather than silently missing candidates.
     *
     * Incremental maintenance mirrors [[mergeBlooms]]: after a batch's
-    * survivors append to the corpus, append their (texts, bands, tris)
-    * rows — built from just the survivors — to the same artifact paths;
-    * min-composability of the underlying relations makes the union
-    * exactly the full rebuild (BandIndexSpec pins it).
+    * survivors append to the corpus, [[appendBandIndex]] lands their
+    * (texts, bands, tris) rows — built from just the survivors — as a
+    * COMMITTED batch directory under the same root; min-composability of
+    * the underlying relations makes the union exactly the full rebuild
+    * (BandIndexSpec pins it).
+    *
+    * `covered` is free-form lineage metadata (-1 = unversioned): a
+    * pipeline that owns the artifact records the corpus snapshot version
+    * the base build covers, so its crash repair
+    * ([[graft.IncrementalPipeline.repair]]) knows where batch coverage
+    * must begin. The loader ignores it.
     */
-  def writeBandIndex(index: DataFrame, path: String): Unit = {
+  def writeBandIndex(index: DataFrame, path: String, covered: Int = -1): Unit = {
     val base = index.select(col("doc_id"), col("text"))
     val reps = collapseExact(base)
       .select(col("rep_id").as("doc_id"), col("text"))
@@ -701,40 +708,120 @@ object Dedup {
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$path/tris")
     index.sparkSession.range(1)
-      .select(lit(SIGS).as("sigs"), lit(BANDS).as("bands"))
+      .select(lit(SIGS).as("sigs"), lit(BANDS).as("bands"),
+        lit(covered).as("covered"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val BatchCommitMarker = "_COMMITTED"
+
   /** Append a survivor batch's rows to an existing [[writeBandIndex]]
-    * artifact — the per-batch maintenance step of incremental ingest.
-    * Batch-sized work only; the existing artifact is never read or
-    * rewritten. Callers pass the batch's SURVIVORS (already screened), so
-    * rep-collapse within the batch suffices: cross-batch exact duplicates
-    * were dropped by the screen and cannot reach here.
+    * artifact as a COMMITTED BATCH — the per-batch maintenance step of
+    * incremental ingest. Batch-sized work only; the existing artifact is
+    * never read or rewritten. Callers pass the batch's SURVIVORS (already
+    * screened), so rep-collapse within the batch suffices: cross-batch
+    * exact duplicates were dropped by the screen and cannot reach here.
+    *
+    * Crash coherence (why batches, not in-place appends): the three
+    * relations cannot be appended atomically together — a crash between
+    * the `texts` and `bands` writes of an in-place append would leave a
+    * TORN artifact whose exact leg knows a document its candidate leg
+    * does not, silently missing near-dup candidates forever after. Each
+    * batch therefore lands in its own `path/batches/<batchId>/` directory
+    * and becomes visible to [[loadBandIndex]] only when the ONE-FILE
+    * `_COMMITTED` marker is created, strictly after all three relations
+    * finished (each through Spark's committer). A crash at ANY point
+    * leaves either no batch or an invisible uncommitted directory.
+    *
+    * Idempotent per batchId: a re-run after a crash deletes the
+    * uncommitted debris and rebuilds; a batchId that is already COMMITTED
+    * is final and the call is a no-op (re-delivered batches cannot
+    * double-insert). BandIndexSpec pins both.
+    *
+    * Compaction note: batch count grows by one per ingest cycle (365/yr
+    * at daily cadence — file-listing noise, not a scale problem); the
+    * compaction story is a fresh [[writeBandIndex]] over the current
+    * corpus into a new root, swapped by the owner.
     */
-  def appendBandIndex(survivors: DataFrame, path: String): Unit = {
+  def appendBandIndex(survivors: DataFrame, path: String,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty &&
+      batchId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchId must be [A-Za-z0-9_-]+ (got '$batchId')")
+    val spark = survivors.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$path/batches/$batchId")
+    val f = hadoopFs(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, BatchCommitMarker)
+    if (f.exists(marker)) return // committed = final; re-delivery is a no-op
+    if (f.exists(dir)) f.delete(dir, true) // uncommitted crash debris
     val base = survivors.select(col("doc_id"), col("text"))
     val reps = collapseExact(base)
       .select(col("rep_id").as("doc_id"), col("text"))
     base.select(xxhash64(col("text")).as("text_hash"), col("text"))
       .distinct()
-      .write.mode("append").parquet(s"$path/texts")
+      .write.mode("overwrite").parquet(s"$dir/texts")
     bandKeys(reps, SIGS, BANDS)
-      .write.mode("append").parquet(s"$path/bands")
+      .write.mode("overwrite").parquet(s"$dir/bands")
     trigramArr(reps)
-      .write.mode("append").parquet(s"$path/tris")
+      .write.mode("overwrite").parquet(s"$dir/tris")
+    f.create(marker, false).close() // the commit point
   }
 
-  /** Load a [[writeBandIndex]] artifact, schema- and banding-checked. */
+  /** Batch ids visible to [[loadBandIndex]] (committed only), sorted. */
+  def bandIndexBatches(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val f = hadoopFs(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, BatchCommitMarker)))
+      .map(_.getName).sorted
+  }
+
+  /** The `covered` lineage metadata recorded by [[writeBandIndex]]
+    * (-1 when the artifact predates the column or is unversioned).
+    */
+  def bandIndexCovered(spark: SparkSession, path: String): Int = {
+    val meta = spark.read.parquet(s"$path/meta")
+    if (meta.columns.contains("covered"))
+      meta.head().getAs[Int]("covered")
+    else -1
+  }
+
+  /** Delete UNCOMMITTED batch directories (crash debris whose batchId was
+    * never retried). Committed batches and the base are untouched.
+    * Returns the ids swept.
+    */
+  def sweepBandIndex(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val f = hadoopFs(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filterNot(p =>
+        f.exists(new org.apache.hadoop.fs.Path(p, BatchCommitMarker)))
+      .map { p => f.delete(p, true); p.getName }.sorted
+  }
+
+  /** Load a [[writeBandIndex]] artifact, schema- and banding-checked:
+    * the base relations unioned with every COMMITTED batch
+    * ([[appendBandIndex]]); uncommitted (torn/in-flight) batch
+    * directories are invisible.
+    */
   def loadBandIndex(spark: SparkSession, path: String): BandIndex = {
     val meta = spark.read.parquet(s"$path/meta").head()
     require(meta.getAs[Int]("sigs") == SIGS && meta.getAs[Int]("bands") == BANDS,
       s"$path was built with (sigs=${meta.getAs[Int]("sigs")}, " +
         s"bands=${meta.getAs[Int]("bands")}) but this engine bands at " +
         s"($SIGS, $BANDS) — rebuild the artifact")
-    val texts = spark.read.parquet(s"$path/texts")
-    val bands = spark.read.parquet(s"$path/bands")
-    val tris = spark.read.parquet(s"$path/tris")
+    val batches = bandIndexBatches(spark, path)
+    def rel(name: String): DataFrame =
+      spark.read.parquet(
+        (s"$path/$name" +: batches.map(b => s"$path/batches/$b/$name")): _*)
+    val texts = rel("texts")
+    val bands = rel("bands")
+    val tris = rel("tris")
     require(texts.columns.sorted.sameElements(Array("text", "text_hash")) &&
       bands.columns.sorted.sameElements(Array("band_idx", "band_val", "doc_id")) &&
       tris.columns.sorted.sameElements(Array("arr", "doc_id")),
@@ -2257,11 +2344,17 @@ object Dedup {
     * weight aggregate; the pair-term intersection joins touch |pairs|
     * rows. Doc-level like d11 (its oracle states doc-level); a skewed
     * corpus feeds this the [[collapseExact]] representatives.
+    *
+    * Oracle note: `cand` is MATERIALIZED. Inlined, DuckDB cannot
+    * estimate the md5-derived candidate count (250 at sf0.1), orders
+    * the `inter` joins term-first, and the wterm⋈wterm leg explodes
+    * quadratically in common-word df — the r11 sf0.1 oracle DNF
+    * (>300 s where 4.8 s suffices once the fence pins cand's size).
     */
   val idfJaccard: QueryDef = q(
     "d21_idf_jaccard",
     s"""WITH $minhashOracleCtes,
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a
        |         JOIN bands b ON a.band_idx = b.band_idx
        |                     AND a.band_val = b.band_val

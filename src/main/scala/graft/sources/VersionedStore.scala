@@ -44,6 +44,12 @@ object VersionedStore {
 
   private def vdir(n: Int): String = f"v$n%05d"
 
+  /** Canonical directory name of version `n` ("v00003") — the naming
+    * contract owners of derived artifacts (band-index batches, stats
+    * rows) key their per-version increments by.
+    */
+  def versionDirName(n: Int): String = vdir(n)
+
   // CANONICAL names only, enforced by round-trip (vdir(parsed) == name):
   // the %05d format grows past 5 digits at version 100000, so "v100000"
   // parses, but aliases like "v1"/"v001" do not — accepting them would let

@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.{Files => JF, Paths => JP}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Crash coherence of the incremental publish path
+  * ([[IncrementalPipeline.repair]]): the corpus publish is the commit
+  * point; the band index and serving stats are derived state that a crash
+  * can strand behind it. Each test reproduces the exact on-disk state a
+  * JVM kill leaves in one crash window, then proves the next publish
+  * cycle heals it to BIT-IDENTICAL state with an uncrashed twin pipeline
+  * fed the same changes:
+  *
+  *  - window 1 — after `VersionedStore.publish`, before the index batch
+  *    lands: the missing batch is rebuilt from the corpus snapshot diff,
+  *    so a day-2 near-dup of a day-1 accepted doc is STILL screened out;
+  *  - window 2 — mid `appendBandIndex` (torn batch, no `_COMMITTED`):
+  *    invisible to the loader, deleted and rebuilt by repair;
+  *  - window 3 — after the index commit, before the stats publish: the
+  *    missed diff is re-folded from time-travel reads, including a
+  *    MULTI-version lag folded in one pass;
+  *  - bootstrap crash — corpus published, index/stats never built: both
+  *    are rebuilt from the corpus head (the index base writes `meta`
+  *    last, so a half-built base reads as no-artifact).
+  */
+class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = EngineSession.local("4")
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    JF.createTempDirectory(JP.get("target"), prefix).toString
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def hashes(df: DataFrame): Set[(Long, String)] =
+    df.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  /** Append changes to a changelog artifact exactly as
+    * [[streaming.ChangeStream.ingest]]'s foreachBatch does.
+    */
+  private def appendLog(logDir: String, batchId: Long,
+      changes: Seq[(Long, Int, String, String)]): Unit = {
+    import spark.implicits._
+    changes.toDF("doc_id", "seq", "op", "text")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("append").parquet(logDir)
+  }
+
+  private case class Roots(store: String, idx: String, stats: String,
+      log: String)
+  private def freshRoots(tag: String): Roots =
+    Roots(tmp(s"rep-$tag-store"), tmp(s"rep-$tag-idx"),
+      tmp(s"rep-$tag-stats"), tmp(s"rep-$tag-log"))
+
+  private def day(r: Roots): IncrementalPipeline.DayState =
+    IncrementalPipeline.publishDay(spark, r.store, r.idx, r.stats, r.log)
+
+  test("crash windows 1+2+3 heal to the uncrashed twin across two days") {
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200).select("doc_id", "text").localCheckpoint()
+    val freshA = "completely fresh document text with unique vocabulary " +
+      "tokens arriving on day one of the incremental ingest cycle"
+    val baseText3 = base.filter(col("doc_id") === 3L)
+      .head().getAs[String]("text")
+    val day1 = Seq(
+      (100001L, 1, "I", freshA), // accept
+      (100002L, 1, "I", baseText3 + " appended"), // near-dup of base 3: drop
+      (5L, 2, "U", "doc five rewritten for day one with new words"),
+      (7L, 2, "D", ""))
+    val day2 = Seq(
+      (200001L, 1, "I", freshA + " trailing"), // near-dup of ACCEPTED 100001
+      (200002L, 1, "I", "day two genuinely new content nothing shared"),
+      (5L, 3, "U", "doc five rewritten again on day two differently"))
+
+    val clean = freshRoots("clean")
+    val crash = freshRoots("crash")
+    Seq(clean, crash).foreach { r =>
+      IncrementalPipeline.bootstrap(base, r.store, r.idx, r.stats)
+      appendLog(r.log, 0L, day1)
+    }
+    val c1 = day(clean)
+    val x1 = day(crash)
+    assert(c1.corpusVersion === 2 && x1.corpusVersion === 2)
+    assert(x1.nAccepted === 1L && x1.nScreenedOut === 1L)
+
+    // ---- inject the crash windows on the crashed pipeline, as if the
+    //      day-1 run died right after its corpus publish:
+    // window 1: the v00002 index batch never landed — replace it with
+    // window 2's variant, a TORN directory (texts only, no _COMMITTED)
+    val fs = new org.apache.hadoop.fs.Path(crash.idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b2 = new org.apache.hadoop.fs.Path(s"${crash.idx}/batches/v00002")
+    fs.delete(b2, true)
+    spark.range(1).select(lit(0L).as("text_hash"), lit("torn").as("text"))
+      .write.parquet(s"$b2/texts")
+    assert(operators.Dedup.bandIndexBatches(spark, crash.idx).isEmpty)
+    // window 3: the day-1 stats publish never happened — pointer back to
+    // the bootstrap stats (covering corpus v1)
+    sources.VersionedStore.rollback(spark, crash.stats, 1)
+    assert(IncrementalPipeline.statsCovered(spark, crash.stats) === Some(1))
+
+    // ---- day 2 on both; the crashed pipeline must first heal itself
+    Seq(clean, crash).foreach(r => appendLog(r.log, 1L, day1 ++ day2))
+    val c2 = day(clean)
+    val x2 = day(crash)
+    assert(c2.corpusVersion === 3 && x2.corpusVersion === 3)
+
+    val cleanPub = sources.VersionedStore.read(spark, clean.store)
+    val crashPub = sources.VersionedStore.read(spark, crash.store)
+    assert(hashes(crashPub) === hashes(cleanPub),
+      "healed pipeline's corpus ≡ uncrashed twin")
+    assert(!ids(crashPub).contains(200001L),
+      "near-dup of the day-1 accepted doc must be screened by the " +
+        "REPAIRED index batch")
+    assert(ids(crashPub).contains(200002L))
+    assert(IncrementalPipeline.loadStats(spark, crash.stats) ===
+      operators.Retrieval.bm25StatsOf(crashPub),
+      "healed stats ≡ from-scratch recount")
+    assert(IncrementalPipeline.loadStats(spark, crash.stats) ===
+      IncrementalPipeline.loadStats(spark, clean.stats))
+  }
+
+  test("multi-version stats lag folds to the head in one repair pass") {
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100).select("doc_id", "text").localCheckpoint()
+    val r = freshRoots("lag")
+    IncrementalPipeline.bootstrap(base, r.store, r.idx, r.stats)
+    appendLog(r.log, 0L, Seq(
+      (300001L, 1, "I", "first added document with novel words entirely")))
+    day(r)
+    appendLog(r.log, 1L, Seq(
+      (300001L, 1, "I", "first added document with novel words entirely"),
+      (300002L, 1, "I", "second added document also completely unrelated"),
+      (3L, 2, "D", "")))
+    day(r)
+    // stats now cover v3; strand them two versions back (bootstrap's v1)
+    sources.VersionedStore.rollback(spark, r.stats, 1)
+    assert(IncrementalPipeline.statsCovered(spark, r.stats) === Some(1))
+    IncrementalPipeline.repair(spark, r.store, r.idx, r.stats)
+    val pub = sources.VersionedStore.read(spark, r.store)
+    assert(IncrementalPipeline.statsCovered(spark, r.stats) === Some(3))
+    assert(IncrementalPipeline.loadStats(spark, r.stats) ===
+      operators.Retrieval.bm25StatsOf(pub))
+  }
+
+  test("bootstrap crash (corpus published, index+stats never built) " +
+    "rebuilds both from the corpus head") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val r = freshRoots("boot")
+    sources.VersionedStore.publish(docs, r.store) // ...and the JVM dies
+    IncrementalPipeline.repair(spark, r.store, r.idx, r.stats)
+    assert(operators.Dedup.bandIndexCovered(spark, r.idx) === 1)
+    assert(IncrementalPipeline.statsCovered(spark, r.stats) === Some(1))
+    assert(IncrementalPipeline.loadStats(spark, r.stats) ===
+      operators.Retrieval.bm25StatsOf(docs))
+    // the rebuilt index screens an exact copy of a base doc
+    val probe = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "wholly new material sharing nothing with the base corpus"))
+      .toDF("doc_id", "text")
+    assert(ids(operators.Dedup.deduplicateAgainst(
+      probe, operators.Dedup.loadBandIndex(spark, r.idx), 0.6)) === Set(11L))
+  }
+
+  test("repair refuses an index it cannot reason about (unversioned " +
+    "covered) and a stats store ahead of the corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "some document text here for the tiny store"))
+      .toDF("doc_id", "text")
+    val r = freshRoots("guard")
+    sources.VersionedStore.publish(docs, r.store)
+    operators.Dedup.writeBandIndex(docs, r.idx) // covered = -1: not ours
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPipeline.repair(spark, r.store, r.idx, r.stats)
+    }
+    assert(e.getMessage.contains("not pipeline-managed"))
+
+    val r2 = freshRoots("ahead")
+    sources.VersionedStore.publish(docs, r2.store)
+    operators.Dedup.writeBandIndex(docs, r2.idx, covered = 1)
+    IncrementalPipeline.publishStats(spark, r2.stats,
+      operators.Retrieval.bm25StatsOf(docs), covered = 99)
+    val e2 = intercept[IllegalStateException] {
+      IncrementalPipeline.repair(spark, r2.store, r2.idx, r2.stats)
+    }
+    assert(e2.getMessage.contains("AHEAD of corpus head"))
+  }
+}

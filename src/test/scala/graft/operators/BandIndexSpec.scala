@@ -102,7 +102,7 @@ class BandIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b1 = delta
     val s1 = Dedup.deduplicateAgainst(
       b1, Dedup.loadBandIndex(spark, dir), 0.6).localCheckpoint()
-    Dedup.appendBandIndex(s1, dir)
+    Dedup.appendBandIndex(s1, dir, "b1")
     val grown = corpus.unionByName(s1)
     // batch 2: near-dups of batch-1 survivors + fresh rows, ids disjoint
     val b2 = s1.limit(5)
@@ -121,6 +121,56 @@ class BandIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaInline = ids(Dedup.deduplicateAgainst(b2, grown, 0.6))
     assert(viaMaintained === viaRebuild)
     assert(viaMaintained === viaInline)
+  }
+
+  test("batch commit protocol: a torn (uncommitted) batch is invisible, " +
+    "a retried appendBandIndex repairs it, a committed one is final") {
+    import spark.implicits._
+    val dir = tmp()
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    Dedup.writeBandIndex(base, dir)
+    val survivors = Seq(
+      (10L, "entirely novel accepted document with distinct vocabulary"))
+      .toDF("doc_id", "text")
+
+    // simulate the crash: texts written, bands/tris missing, NO marker —
+    // exactly what a JVM kill between the relation writes leaves behind
+    survivors.select(xxhash64(col("text")).as("text_hash"), col("text"))
+      .write.mode("overwrite").parquet(s"$dir/batches/b-crash/texts")
+    assert(Dedup.bandIndexBatches(spark, dir).isEmpty,
+      "uncommitted batch must be invisible")
+    // the loader sees the torn batch's doc in NEITHER leg (never torn):
+    // an exact copy of it still survives the screen
+    val probe = Seq(
+      (20L, "entirely novel accepted document with distinct vocabulary"))
+      .toDF("doc_id", "text")
+    assert(ids(Dedup.deduplicateAgainst(
+      probe, Dedup.loadBandIndex(spark, dir), 0.6)) === Set(20L))
+
+    // the retry deletes the debris and lands the batch atomically
+    Dedup.appendBandIndex(survivors, dir, "b-crash")
+    assert(Dedup.bandIndexBatches(spark, dir) === Seq("b-crash"))
+    assert(ids(Dedup.deduplicateAgainst(
+      probe, Dedup.loadBandIndex(spark, dir), 0.6)).isEmpty,
+      "committed batch screens its exact copy")
+
+    // committed = final: a re-delivery with DIFFERENT content is a no-op
+    Dedup.appendBandIndex(
+      Seq((30L, "imposter content that must not enter the index"))
+        .toDF("doc_id", "text"), dir, "b-crash")
+    assert(ids(Dedup.deduplicateAgainst(
+      Seq((31L, "imposter content that must not enter the index"))
+        .toDF("doc_id", "text"),
+      Dedup.loadBandIndex(spark, dir), 0.6)) === Set(31L))
+
+    // sweep removes only uncommitted debris
+    Seq((40L, "stranded")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batches/b-dead/texts")
+    assert(Dedup.sweepBandIndex(spark, dir) === Seq("b-dead"))
+    assert(Dedup.bandIndexBatches(spark, dir) === Seq("b-crash"))
   }
 
   test("banding-config mismatch fails loudly at load") {
