@@ -514,8 +514,8 @@ object TextAnalysis {
       |       count(CASE WHEN n_num > 0 THEN 1 END) AS n_matched,
       |       CAST(sum(n_num) AS BIGINT) AS n_matches,
       |       CAST(sum(length(props) - length(redacted)) AS BIGINT) AS chars_delta,
-      |       CAST(sum(CAST('0x' || substr(md5(redacted), 1, 12) AS BIGINT)) AS BIGINT)
-      |         AS redacted_sum
+      |       sum(CAST(CAST('0x' || substr(md5(redacted), 1, 12) AS BIGINT)
+      |           AS DECIMAL(38,0))) AS redacted_sum
       |FROM r
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>
@@ -526,8 +526,11 @@ object TextAnalysis {
         count(when(col("n_num") > 0, 1)).as("n_matched"),
         sum(col("n_num")).as("n_matches"),
         sum(length(col("props")) - length(col("redacted"))).as("chars_delta"),
-        sum(conv(substring(md5(col("redacted")), 1, 12), 16, 10).cast("long"))
-          .as("redacted_sum"))
+        // DECIMAL(38,0) accumulator: the 48-bit slice sums past Long range
+        // around 3e4 rows/group — sf10's ~20M-row event types overflowed
+        // the long sum (ANSI abort); decimal-38 is exact to ~3e23 rows
+        sum(conv(substring(md5(col("redacted")), 1, 12), 16, 10)
+          .cast("decimal(38,0)")).as("redacted_sum"))
       .orderBy("event_type")
   }
 
