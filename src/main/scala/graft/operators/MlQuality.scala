@@ -58,8 +58,14 @@ object MlQuality {
       .withColumn("words", split(col("text"), " "))
       .cache()
 
+    // 2^15 hash buckets: sized for corpora whose vocabulary outgrows the
+    // feature space — at 100× (500k docs, per-replica word salt) 1024
+    // buckets collide every signal word into cross-replica soup and the
+    // held-out AUC honestly fell through the 0.85 self-gate; 32k buckets
+    // hold the collision rate down at 100× vocabulary while staying a
+    // trivially small dense coefficient vector for LBFGS
     val tf = new HashingTF()
-      .setInputCol("words").setOutputCol("features").setNumFeatures(1024)
+      .setInputCol("words").setOutputCol("features").setNumFeatures(1 << 15)
     val train = tf.transform(labeled.filter(col("is_train")))
     val test = tf.transform(labeled.filter(!col("is_train")))
     val model = new LogisticRegression()
