@@ -172,17 +172,33 @@ object IncrementalPipeline {
       docsAt(b).join(docsAt(a).select("doc_id"), Seq("doc_id"), "left_anti")
 
     // ---- band index: base must exist (meta is written last, so a torn
-    //      bootstrap build reads as no-artifact and rebuilds fresh)
+    //      bootstrap build reads as no-artifact and rebuilds fresh).
+    //      ONLY the missing-artifact signal (AnalysisException from the
+    //      absent meta relation) means "no base" — any other exception
+    //      (transient FS/read error) rethrows and fails the cycle, so a
+    //      flaky read cannot silently trigger a full base rebuild.
     val hasBase =
       try { Dedup.bandIndexCovered(spark, idxRoot) >= -1 }
-      catch { case _: Exception => false }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!hasBase) {
+      // a fresh base at vLatest already covers everything any previously
+      // committed batch carried — sweep batches/ entirely, or
+      // loadBandIndex would union them in and duplicate those docs'
+      // candidate work forever
+      val batchRoot = new org.apache.hadoop.fs.Path(s"$idxRoot/batches")
+      val bfs = batchRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (bfs.exists(batchRoot)) bfs.delete(batchRoot, true)
       Dedup.writeBandIndex(docsAt(vLatest), idxRoot, covered = vLatest)
     } else {
       val baseCovered = Dedup.bandIndexCovered(spark, idxRoot)
       require(baseCovered >= 0,
         s"$idxRoot is not pipeline-managed (covered=$baseCovered): repair " +
           "cannot infer which corpus version its base build reflects")
+      require(baseCovered <= vLatest,
+        s"band index at $idxRoot covers v$baseCovered AHEAD of corpus " +
+          s"head v$vLatest — corpus store rolled back? re-point or " +
+          "rebuild the index, or future docs would wrongly screen out " +
+          "re-inserted texts")
       val committed = Dedup.bandIndexBatches(spark, idxRoot)
         .flatMap(parseVersionDir).toSet
       ((baseCovered + 1) to vLatest)
@@ -231,10 +247,17 @@ object IncrementalPipeline {
     (removed, added)
   }
 
+  // CANONICAL names only, same round-trip contract as VersionedStore's
+  // parser: a stray alias dir ("v1" for "v00001") must NOT count as
+  // committed coverage for that version, or its repair would be skipped
   private def parseVersionDir(name: String): Option[Int] =
-    if (name.length >= 2 && name.charAt(0) == 'v' &&
-      name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
-    else None
+    if (name.length >= 2 && name.length <= 11 && name.charAt(0) == 'v' &&
+      name.drop(1).forall(_.isDigit)) {
+      val v = name.drop(1).toLong
+      if (v <= Int.MaxValue &&
+        VersionedStore.versionDirName(v.toInt) == name) Some(v.toInt)
+      else None
+    } else None
 
   /** Publish frozen serving stats as a 1-row versioned relation, tagged
     * with the corpus version they COVER — the lineage [[repair]] keys its

