@@ -206,9 +206,14 @@ object Incremental {
     * streaming ingest path uses) and the band join fans out only where
     * delta bands collide.
     */
-  val deltaDedup: QueryDef = {
-    // nearDupPairs banding (SIGS = 8, BANDS = 2) over the exact-collapsed
-    // union, restated verbatim from the d03 oracle with `coll` as source.
+  /** The i03 delta-vs-corpus LSH screen as shared oracle CTEs (through
+    * `surv`, the accepted delta rows) — i03 gates the screen itself and
+    * i08 reuses it verbatim inside the composed-pipeline replay, so the
+    * two oracles cannot drift. nearDupPairs banding (SIGS = 8,
+    * BANDS = 2) over the exact-collapsed union, restated from the d03
+    * oracle with `coll` as source.
+    */
+  private val screenCtes: String = {
     val bandSelects = (0 until 2).map { b =>
       val parts = (0 until 4).map(r => s"m${b * 4 + r}").mkString("||")
       s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_val FROM sig"
@@ -218,56 +223,60 @@ object Incremental {
       val pos = (k % 4) * 8 + 1
       s"min(substr($src, $pos, 8)) AS m$k"
     }.mkString(", ")
+    s"""corpus AS (SELECT doc_id, text FROM documents),
+       |delta AS (SELECT -doc_id - 1 AS doc_id,
+       |            CASE WHEN doc_id % 26 = 0
+       |                 THEN 'entirely fresh content row ' || CAST(doc_id AS VARCHAR)
+       |                 ELSE text || ' appended' END AS text
+       |          FROM documents WHERE doc_id % 13 = 0),
+       |allr AS (SELECT doc_id, text, FALSE AS is_new FROM corpus
+       |         UNION ALL SELECT doc_id, text, TRUE FROM delta),
+       |coll AS (SELECT doc_id, text, is_new FROM (
+       |           SELECT doc_id, text, is_new,
+       |             row_number() OVER (PARTITION BY text ORDER BY is_new, doc_id) AS rn
+       |           FROM allr) WHERE rn = 1),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM coll),
+       |tri AS (SELECT DISTINCT doc_id,
+       |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+       |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
+       |        FROM w),
+       |hs AS (SELECT doc_id, md5(s) AS h1, md5('s:'||s) AS h2 FROM tri),
+       |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a
+       |         JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |                     AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |          FROM cand c
+       |          JOIN tri ta ON ta.doc_id = c.doc_a
+       |          JOIN tri tb ON tb.doc_id = c.doc_b AND ta.s = tb.s
+       |          GROUP BY c.doc_a, c.doc_b),
+       |conf AS (SELECT i.doc_a, i.doc_b
+       |         FROM inter i
+       |         JOIN sz sa ON sa.doc_id = i.doc_a
+       |         JOIN sz sb ON sb.doc_id = i.doc_b
+       |         WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.6),
+       |flags AS (SELECT doc_id, is_new FROM coll),
+       |drops AS (SELECT DISTINCT
+       |            CASE WHEN fa.is_new AND NOT fb.is_new THEN c.doc_a
+       |                 WHEN fb.is_new AND NOT fa.is_new THEN c.doc_b
+       |                 ELSE c.doc_b END AS doc_id
+       |          FROM conf c
+       |          JOIN flags fa ON fa.doc_id = c.doc_a
+       |          JOIN flags fb ON fb.doc_id = c.doc_b
+       |          WHERE fa.is_new OR fb.is_new),
+       |surv AS (SELECT d.doc_id, d.text
+       |         FROM delta d
+       |         JOIN coll ON coll.doc_id = d.doc_id AND coll.is_new
+       |         WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.doc_id = d.doc_id))""".stripMargin
+  }
+
+  val deltaDedup: QueryDef = {
     q("i03_delta_dedup",
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
-         |delta AS (SELECT -doc_id - 1 AS doc_id,
-         |            CASE WHEN doc_id % 26 = 0
-         |                 THEN 'entirely fresh content row ' || CAST(doc_id AS VARCHAR)
-         |                 ELSE text || ' appended' END AS text
-         |          FROM documents WHERE doc_id % 13 = 0),
-         |allr AS (SELECT doc_id, text, FALSE AS is_new FROM corpus
-         |         UNION ALL SELECT doc_id, text, TRUE FROM delta),
-         |coll AS (SELECT doc_id, text, is_new FROM (
-         |           SELECT doc_id, text, is_new,
-         |             row_number() OVER (PARTITION BY text ORDER BY is_new, doc_id) AS rn
-         |           FROM allr) WHERE rn = 1),
-         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM coll),
-         |tri AS (SELECT DISTINCT doc_id,
-         |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
-         |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
-         |        FROM w),
-         |hs AS (SELECT doc_id, md5(s) AS h1, md5('s:'||s) AS h2 FROM tri),
-         |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a
-         |         JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |                     AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-         |          FROM cand c
-         |          JOIN tri ta ON ta.doc_id = c.doc_a
-         |          JOIN tri tb ON tb.doc_id = c.doc_b AND ta.s = tb.s
-         |          GROUP BY c.doc_a, c.doc_b),
-         |conf AS (SELECT i.doc_a, i.doc_b
-         |         FROM inter i
-         |         JOIN sz sa ON sa.doc_id = i.doc_a
-         |         JOIN sz sb ON sb.doc_id = i.doc_b
-         |         WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.6),
-         |flags AS (SELECT doc_id, is_new FROM coll),
-         |drops AS (SELECT DISTINCT
-         |            CASE WHEN fa.is_new AND NOT fb.is_new THEN c.doc_a
-         |                 WHEN fb.is_new AND NOT fa.is_new THEN c.doc_b
-         |                 ELSE c.doc_b END AS doc_id
-         |          FROM conf c
-         |          JOIN flags fa ON fa.doc_id = c.doc_a
-         |          JOIN flags fb ON fb.doc_id = c.doc_b
-         |          WHERE fa.is_new OR fb.is_new)
-         |SELECT d.doc_id AS doc_id
-         |FROM delta d
-         |JOIN coll ON coll.doc_id = d.doc_id AND coll.is_new
-         |WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.doc_id = d.doc_id)
-         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      s"""WITH $screenCtes
+         |SELECT doc_id FROM surv ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val corpus = Tables.parallel(docs)
       val delta = docs.filter(col("doc_id") % 13 === 0)
@@ -340,6 +349,109 @@ object Incremental {
         Tables.parallel(Tables.documents(s, sfDir).select("doc_id", "text")),
         root.toString)
     root.toString
+  }
+
+  // ----------------------------------------------------------------- i08
+
+  /** i08: the COMPOSED incremental pipeline under the oracle's hard
+    * signal — [[graft.IncrementalPipeline.bootstrap]] (publish corpus v1,
+    * build its band index, freeze BM25 serving stats) followed by one
+    * [[graft.IncrementalPipeline.publishDay]] over a deterministic
+    * changelog (the q45 change-feed discipline, modular predicates on
+    * driver data): updates on `doc_id % 17 = 0` (text + " v2"), deletes
+    * on `% 19 = 0` (seq 2, winning the % 323 overlap by latest-wins),
+    * and adds that are EXACTLY i03's delta (`% 13 = 0`, re-keyed
+    * negative, near-dup or fresh text) so the screen leg of the oracle
+    * is i03's SQL verbatim ([[screenCtes]]).
+    *
+    * The emitted 1-row summary pins every lane of the composition law
+    * IncrementalPipelineSpec proves in-process: corpus size and an
+    * order-independent full-content checksum (md5-slice mod 2^62 —
+    * int64-safe in any transport) of the PUBLISHED v2 snapshot,
+    * accepted/screened-out counts from the band-index screen, and
+    * `sum_dl`/per-term dfs read back from the MAINTAINED stats store
+    * (the delta fold), which the oracle restates as a from-scratch
+    * recount over its replayed final corpus.
+    *
+    * Pipeline state lives in a per-invocation temp root, deleted in a
+    * `finally` after the summary row is collected (the counts and
+    * checksum are eager, so nothing lazy outlives the artifacts) — the
+    * self-contained driver contract forces the bootstrap inline;
+    * production pays it once and then runs days (BenchDelta's table).
+    */
+  val pipelineDay: QueryDef = q(
+    "i08_pipeline_day",
+    s"""WITH $screenCtes,
+       |touched AS (SELECT doc_id FROM documents
+       |            WHERE doc_id % 17 = 0 OR doc_id % 19 = 0),
+       |fin AS (
+       |  SELECT c.doc_id, c.text FROM corpus c
+       |  WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.doc_id = c.doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, text || ' v2' FROM documents
+       |  WHERE doc_id % 17 = 0 AND doc_id % 19 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, text FROM surv)
+       |SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+       |       (SELECT count(*) FROM surv) AS n_accepted,
+       |       (SELECT count(*) FROM delta) - (SELECT count(*) FROM surv)
+       |         AS n_screened_out,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl,
+       |       CAST(sum(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |           || ':' || text), 1, 12) AS BIGINT) AS DECIMAL(38,0)))
+       |         % 4611686018427387904 AS BIGINT) AS corpus_checksum,
+       |       CAST(count(CASE WHEN list_contains(string_split(text, ' '), 'dup')
+       |           THEN 1 END) AS BIGINT) AS df_dup,
+       |       CAST(count(CASE WHEN list_contains(string_split(text, ' '), 'key')
+       |           THEN 1 END) AS BIGINT) AS df_key,
+       |       CAST(count(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+       |           THEN 1 END) AS BIGINT) AS df_spark,
+       |       CAST(count(CASE WHEN list_contains(string_split(text, ' '), 'batch')
+       |           THEN 1 END) AS BIGINT) AS df_batch
+       |FROM fin""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val upd = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), lit(1).as("seq"), lit("U").as("op"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val del = docs.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id"), lit(2).as("seq"), lit("D").as("op"),
+        lit("").as("text"))
+    val add = docs.filter(col("doc_id") % 13 === 0)
+      .select((-col("doc_id") - 1).as("doc_id"), lit(1).as("seq"),
+        lit("I").as("op"),
+        when(col("doc_id") % 26 === 0,
+          concat(lit("entirely fresh content row "),
+            col("doc_id").cast("string")))
+          .otherwise(concat(col("text"), lit(" appended"))).as("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-i08").toString
+    try {
+      val (storeRoot, idxRoot, statsRoot, logDir) =
+        (s"$root/corpus", s"$root/bandidx", s"$root/stats", s"$root/log")
+      upd.unionByName(del).unionByName(add).write.parquet(logDir)
+      graft.IncrementalPipeline.bootstrap(
+        Tables.parallel(docs), storeRoot, idxRoot, statsRoot)
+      val day = graft.IncrementalPipeline.publishDay(
+        s, storeRoot, idxRoot, statsRoot, logDir)
+      // stats come from the MAINTAINED store (bm25StatsDelta fold), not a
+      // recount — that is the lane the oracle's from-scratch recount gates.
+      // dfs order = Retrieval.queryTerms = (dup, key, spark, batch).
+      val stats = graft.IncrementalPipeline.loadStats(s, statsRoot)
+      val ck = graft.sources.VersionedStore.read(s, storeRoot)
+        .agg((sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("text"))), 1, 12), 16, 10).cast("decimal(38,0)"))
+          % lit(4611686018427387904L)).cast("long")).head().getLong(0)
+      s.range(1).select(
+        lit(day.nCorpus).as("n_corpus"),
+        lit(day.nAccepted).as("n_accepted"),
+        lit(day.nScreenedOut).as("n_screened_out"),
+        lit(stats._2).as("sum_dl"),
+        lit(ck).as("corpus_checksum"),
+        lit(stats._3(0)).as("df_dup"), lit(stats._3(1)).as("df_key"),
+        lit(stats._3(2)).as("df_spark"), lit(stats._3(3)).as("df_batch"))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   // ----------------------------------------------------------------- i04
@@ -482,5 +594,5 @@ object Incremental {
 
   def defs: Seq[QueryDef] =
     Seq(snapshotDiff, upsertMerge, deltaDedup, lateReconcile, expectationAudit,
-      deltaDedupArtifact)
+      deltaDedupArtifact, pipelineDay)
 }
