@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Two-process race harness for [[sources.VersionedStore.publish]] —
+  * spawned by VersionedStoreSpec as a REAL second (and third) JVM.
+  * In-process thread races share one JVM's Hadoop FileSystem instance
+  * and lock tables, which can mask check-then-create windows that two
+  * independent processes hit for real; this worker is the honest proof
+  * for the claim-first protocol's contract (distinct versions, loser
+  * stays readable, no cross-contamination of slot contents).
+  *
+  * args: root barrierDir tag nPublishes
+  *
+  * Protocol: touch `<barrierDir>/ready-<tag>`, spin until
+  * `<barrierDir>/go` exists (so both workers' publish loops overlap
+  * regardless of JVM startup jitter), then publish `nPublishes`
+  * 10-row frames whose text rows carry the worker's tag, printing
+  * `PUBLISHED <tag> <version>` per publish.
+  */
+object PublishWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(root, barrierDir, tag, nStr) = args
+    val spark = EngineSession.local("2")
+    try {
+      val ready = new java.io.File(barrierDir, s"ready-$tag")
+      ready.getParentFile.mkdirs()
+      ready.createNewFile()
+      val go = new java.io.File(barrierDir, "go")
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!go.exists()) {
+        if (System.nanoTime() > deadline)
+          sys.error(s"worker $tag: barrier never opened")
+        Thread.sleep(20)
+      }
+      (0 until nStr.toInt).foreach { _ =>
+        val df = spark.range(10).select(col("id").as("doc_id"),
+          concat(lit(s"$tag-"), col("id").cast("string")).as("text"))
+        val v = sources.VersionedStore.publish(df, root)
+        // parsed by the spec; println is the worker's only channel
+        println(s"PUBLISHED $tag $v")
+      }
+    } finally spark.stop()
+  }
+}

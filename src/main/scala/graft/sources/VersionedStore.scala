@@ -93,7 +93,12 @@ object VersionedStore {
   private def writePointer(spark: SparkSession, root: String, n: Int): Unit = {
     val rp = new Path(root)
     val f = fs(spark, rp)
-    val tmp = new Path(rp, s".$Pointer.tmp")
+    // tmp name UNIQUE per publisher: concurrent pointer flips each stage
+    // their own bytes and race only at the rename, which is atomic with
+    // last-writer-wins — a SHARED tmp name let one publisher truncate or
+    // steal another's staged pointer mid-flip (found by the two-real-JVM
+    // race in VersionedStoreSpec once claims became properly atomic)
+    val tmp = new Path(rp, s".$Pointer.tmp-${java.util.UUID.randomUUID()}")
     val dst = new Path(rp, Pointer)
     // OVERWRITE rename — one atomic flip where the FS provides it (HDFS,
     // POSIX). delete-then-rename would open a window with NO pointer at
@@ -129,6 +134,7 @@ object VersionedStore {
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         catch {
           case e: java.io.IOException =>
+            try f.delete(qtmp, false) catch { case _: java.io.IOException => }
             throw new IllegalStateException(
               s"pointer flip failed for $root -> ${vdir(n)}", e)
         }
@@ -182,17 +188,7 @@ object VersionedStore {
             .flatMap(n => parse(n.stripPrefix(ClaimPrefix)))
       val next = (0 +: occupied).max + 1
       val claim = new Path(rp, s"$ClaimPrefix${vdir(next)}")
-      val claimed =
-        try { f.create(claim, false).close(); true }
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException =>
-            // some FileSystems signal an occupied slot with a bare
-            // IOException; treat it as a lost race only if the marker
-            // demonstrably exists, else surface the real failure
-            if (f.exists(claim)) false else throw e
-        }
-      if (claimed) {
+      if (exclusiveCreate(f, claim)) {
         try {
           df.write.mode("errorifexists").parquet(s"$root/${vdir(next)}")
           writePointer(spark, root, next)
@@ -205,6 +201,39 @@ object VersionedStore {
       s"publish to $root lost the slot race $attempt times — " +
         "pathological publisher contention or stale claim markers " +
         "(sweep with expire())")
+  }
+
+  /** Atomically create-if-absent the claim marker — true iff WE created
+    * it. The primitive must be atomic at the STORAGE layer, not
+    * check-then-create: Hadoop's RawLocalFileSystem.create(overwrite =
+    * false) is an exists() probe followed by a plain create, and the
+    * two-real-JVM race in VersionedStoreSpec demonstrated both
+    * publishers passing the probe, double-claiming one slot, and
+    * corrupting each other's staged write through the shared
+    * `_temporary/0`. On file:// we therefore go through NIO's
+    * createFile (O_CREAT|O_EXCL — kernel-atomic); on HDFS and friends
+    * create(false) is already namenode-atomic and stays the path.
+    */
+  private def exclusiveCreate(f: FileSystem, claim: Path): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(f.makeQualified(claim).toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    case _ =>
+      try { f.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          // some FileSystems signal an occupied slot with a bare
+          // IOException; treat it as a lost race only if the marker
+          // demonstrably exists, else surface the real failure
+          if (f.exists(claim)) false else throw e
+      }
   }
 
   /** Read a version: the pointer's by default, or a pinned `version` for
@@ -272,6 +301,11 @@ object VersionedStore {
     }
     val staleClaims = listing.collect {
       case s if !s.isDirectory && s.getPath.getName.startsWith(ClaimPrefix) &&
+        now - s.getModificationTime >= debrisGraceMs => s.getPath
+      // a publisher that crashed between staging its pointer bytes and
+      // the rename strands its unique `.LATEST.tmp-<uuid>` — same grace
+      case s if !s.isDirectory &&
+        s.getPath.getName.startsWith(s".$Pointer.tmp") &&
         now - s.getModificationTime >= debrisGraceMs => s.getPath
     }
     (doomed ++ staleClaims).foreach(p => f.delete(p, true))

@@ -236,4 +236,80 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v === 100001)
     assert(VersionedStore.read(spark, root).count() === 20)
   }
+
+  test("TWO REAL JVMs racing publish: distinct versions, losers readable") {
+    // the in-process thread race above shares one JVM's FileSystem
+    // instance and lock tables; two independent processes exercise the
+    // claim protocol's check-then-create window for real. A file barrier
+    // aligns the two publish loops past JVM-startup jitter.
+    val root = tmp()
+    val barrier = tmp()
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val javaBin = new java.io.File(
+      System.getProperty("java.home"), "bin/java").getPath
+    def spawn(tag: String): (Process, java.io.File) = {
+      val out = java.io.File.createTempFile(s"pubworker-$tag", ".log",
+        new java.io.File("target"))
+      val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp",
+        System.getProperty("java.class.path"), "graft.PublishWorker",
+        root, barrier, tag, "5")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(out)
+      (pb.start(), out)
+    }
+    val (pa, oa) = spawn("alpha")
+    val (pb, ob) = spawn("beta")
+    try {
+      // wait for both sessions up, then open the barrier → loops overlap
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      while (!(new java.io.File(barrier, "ready-alpha").exists() &&
+        new java.io.File(barrier, "ready-beta").exists())) {
+        assert(System.nanoTime() < deadline, "workers never became ready")
+        assert(pa.isAlive || new java.io.File(barrier, "ready-alpha").exists(),
+          s"alpha died early:\n${scala.io.Source.fromFile(oa).mkString}")
+        assert(pb.isAlive || new java.io.File(barrier, "ready-beta").exists(),
+          s"beta died early:\n${scala.io.Source.fromFile(ob).mkString}")
+        Thread.sleep(50)
+      }
+      new java.io.File(barrier, "go").createNewFile()
+      assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+        pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "a worker hung past the deadline")
+      assert(pa.exitValue() === 0,
+        s"alpha failed:\n${scala.io.Source.fromFile(oa).mkString}")
+      assert(pb.exitValue() === 0,
+        s"beta failed:\n${scala.io.Source.fromFile(ob).mkString}")
+      val got = Seq(oa, ob).flatMap(f =>
+        scala.io.Source.fromFile(f).getLines()
+          .filter(_.startsWith("PUBLISHED "))
+          .map { l => val p = l.split(" "); (p(1), p(2).toInt) })
+      assert(got.size === 10, s"expected 10 publishes, got $got")
+      // THE contract: no two publishes ever land the same version
+      assert(got.map(_._2).distinct.size === 10, s"colliding versions: $got")
+      // every version readable with EXACTLY its claimant's rows — the
+      // loser of each slot race stayed out of the winner's directory
+      val published = VersionedStore.versions(spark, root)
+      assert(got.map(_._2).toSet.subsetOf(published.toSet))
+      got.foreach { case (tag, v) =>
+        val rows = VersionedStore.read(spark, root, Some(v))
+          .select("text").collect().map(_.getString(0))
+        assert(rows.length === 10, s"v$v row count")
+        assert(rows.forall(_.startsWith(s"$tag-")),
+          s"v$v (claimed by $tag) holds foreign rows: ${rows.take(3).toSeq}")
+      }
+      // pointer targets one of the published versions and reads clean
+      val head = VersionedStore.latestVersion(spark, root).get
+      assert(published.contains(head))
+      assert(VersionedStore.read(spark, root).count() === 10)
+      // no stale claim markers survive a clean run
+      val claims = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith(".claim-"))
+      assert(claims.isEmpty, s"stale claims: ${claims.map(_.getName).toSeq}")
+    } finally {
+      pa.destroyForcibly(); pb.destroyForcibly()
+    }
+  }
 }
