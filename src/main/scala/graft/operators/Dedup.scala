@@ -1703,6 +1703,18 @@ object Dedup {
     * only then expands to documents via two equi-joins, so the corpus is
     * never self-joined. This is the sketch-pairing counterpart of d03's
     * banding: constant-size candidate structure, linear expansion.
+    *
+    * SCALE GUARD: 16 bits saturate under corpus growth — every docs/2^16
+    * density factor multiplies the OUTPUT quadratically (the r12 sf10
+    * sweep wrote 1.68e9 pairs "successfully", which is the wrong default
+    * at 100×). A pre-audit computes the EXACT output-pair count from the
+    * fingerprint group sizes (one aggregate over ≤ 2^16 groups plus a
+    * bounded theta join, milliseconds) and refuses past
+    * `SPARK_GRAFT_D08_PAIR_BUDGET` (default 2^27 ≈ 1.3e8) with a
+    * message routing to the scale paths: d09 (64-bit fingerprints — the
+    * production width, 102k rows where this lane saturates) and d24
+    * (banded + capped char lane). Raise the knob only when a
+    * billion-pair materialization is the intended product.
     */
   val simhashPairs: QueryDef = q(
     "d08_simhash_pairs",
@@ -1720,6 +1732,26 @@ object Dedup {
        |WHERE fa.doc_id < fb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val fps = simhashFps(Tables.parallel(Tables.documents(s, d)))
+    // pair-budget pre-audit (see scaladoc): exact output size from group
+    // sizes, refused loudly instead of detonating a saturated sketch.
+    // The 1-row collect is the audit's point — bounded and driver-side.
+    val budget = sys.env.get("SPARK_GRAFT_D08_PAIR_BUDGET")
+      .map(_.toLong).getOrElse(1L << 27)
+    val gc = fps.groupBy(col("simhash")).agg(count(lit(1)).as("n"))
+    val bound = Option(gc.select(col("simhash").as("f1"), col("n").as("n1"))
+      .join(gc.select(col("simhash").as("f2"), col("n").as("n2")),
+        bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3 &&
+          col("f1") <= col("f2"))
+      .agg(sum(when(col("f1") === col("f2"),
+        expr("n1 * (n1 - 1) div 2")).otherwise(col("n1") * col("n2")))
+        .as("b"))
+      .head().getAs[java.lang.Long]("b")).map(_.longValue).getOrElse(0L)
+    require(bound <= budget,
+      s"d08 would emit $bound pairs (> budget $budget): the 16-bit " +
+        "simhash space is saturated at this corpus size. Use d09 " +
+        "(64-bit fingerprints) or d24 (banded+capped char lane), or " +
+        "raise SPARK_GRAFT_D08_PAIR_BUDGET if the full materialization " +
+        "is intended.")
     // the theta-join candidate table holds DISTINCT fingerprints only —
     // at 16 bits a fingerprint group collects UNRELATED colliding docs,
     // so carrying doc-id lists here would put the whole corpus's ids on
