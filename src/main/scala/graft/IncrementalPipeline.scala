@@ -106,10 +106,46 @@ object IncrementalPipeline {
     * holds (the stream keeps appending; this folds the latest state).
     * Starts with [[repair]], so a crash anywhere in the previous cycle's
     * post-publish maintenance is healed before the new screen runs.
+    *
+    * SINGLE-WRITER, ENFORCED: the cycle takes an exclusive
+    * `.cycle-claim` marker under the store root (same atomic primitive
+    * as the store's slot claims) and a concurrent publishDay fails
+    * loudly in milliseconds. This is not just politeness — the
+    * VersionedStore tolerates racing CORPUS publishes (distinct
+    * versions, both readable), but the stats store is maintained by a
+    * read-fold-publish: two interleaved cycles can fold the SAME
+    * snapshot diff twice (B loads stats after A's publish but diffs
+    * from the base it read before), leaving stats whose `covered` tag
+    * equals the corpus head — silently wrong, invisible to [[repair]].
+    * A crashed cycle's marker is swept once it ages past
+    * `cycleClaimGraceMs` (the next day's run heals the torn state via
+    * [[repair]] as usual).
     */
   def publishDay(spark: SparkSession, storeRoot: String, idxRoot: String,
       statsRoot: String, logDir: String,
-      jaccardThreshold: Double = 0.6): DayState = {
+      jaccardThreshold: Double = 0.6,
+      cycleClaimGraceMs: Long = 6L * 3600 * 1000): DayState = {
+    val rp = new org.apache.hadoop.fs.Path(storeRoot)
+    val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(rp)
+    val claim = new org.apache.hadoop.fs.Path(rp, ".cycle-claim")
+    if (f.exists(claim) && System.currentTimeMillis() -
+      f.getFileStatus(claim).getModificationTime >= cycleClaimGraceMs)
+      f.delete(claim, false) // crashed cycle's debris, aged past grace
+    if (!VersionedStore.exclusiveCreate(f, claim))
+      throw new IllegalStateException(
+        s"another publishDay cycle holds $claim — concurrent cycles can " +
+          "double-fold the serving stats. If the holder crashed, the " +
+          s"marker sweeps itself after ${cycleClaimGraceMs} ms (or " +
+          "delete it once you are sure no cycle is in flight).")
+    try publishDayExclusive(spark, storeRoot, idxRoot, statsRoot, logDir,
+      jaccardThreshold)
+    finally f.delete(claim, false)
+  }
+
+  private def publishDayExclusive(spark: SparkSession, storeRoot: String,
+      idxRoot: String, statsRoot: String, logDir: String,
+      jaccardThreshold: Double): DayState = {
     repair(spark, storeRoot, idxRoot, statsRoot)
     val base = VersionedStore.read(spark, storeRoot).select("doc_id", "text")
     // log-sized; several legs below re-derive it

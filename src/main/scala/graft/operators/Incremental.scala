@@ -213,7 +213,17 @@ object Incremental {
     * BANDS = 2) over the exact-collapsed union, restated from the d03
     * oracle with `coll` as source.
     */
-  private val screenCtes: String = {
+  private def screenCtes: String = screenCtes(mat = false)
+
+  /** `mat = true` fences the heavy multi-referenced CTEs with DuckDB's
+    * `MATERIALIZED` keyword — the d21 lesson: md5-derived cardinalities
+    * misestimate join orders, and i08's summary re-references the chain
+    * (scalar subqueries over delta/surv, fin over corpus+surv), which
+    * without the fence re-plans the whole LSH screen per reference at
+    * 100×. i03 keeps the un-fenced form (its sf10 oracle passes as-is).
+    */
+  private def screenCtes(mat: Boolean): String = {
+    val M = if (mat) "MATERIALIZED " else ""
     val bandSelects = (0 until 2).map { b =>
       val parts = (0 until 4).map(r => s"m${b * 4 + r}").mkString("||")
       s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_val FROM sig"
@@ -223,27 +233,27 @@ object Incremental {
       val pos = (k % 4) * 8 + 1
       s"min(substr($src, $pos, 8)) AS m$k"
     }.mkString(", ")
-    s"""corpus AS (SELECT doc_id, text FROM documents),
-       |delta AS (SELECT -doc_id - 1 AS doc_id,
+    s"""corpus AS ${M}(SELECT doc_id, text FROM documents),
+       |delta AS ${M}(SELECT -doc_id - 1 AS doc_id,
        |            CASE WHEN doc_id % 26 = 0
        |                 THEN 'entirely fresh content row ' || CAST(doc_id AS VARCHAR)
        |                 ELSE text || ' appended' END AS text
        |          FROM documents WHERE doc_id % 13 = 0),
        |allr AS (SELECT doc_id, text, FALSE AS is_new FROM corpus
        |         UNION ALL SELECT doc_id, text, TRUE FROM delta),
-       |coll AS (SELECT doc_id, text, is_new FROM (
+       |coll AS ${M}(SELECT doc_id, text, is_new FROM (
        |           SELECT doc_id, text, is_new,
        |             row_number() OVER (PARTITION BY text ORDER BY is_new, doc_id) AS rn
        |           FROM allr) WHERE rn = 1),
        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM coll),
-       |tri AS (SELECT DISTINCT doc_id,
+       |tri AS ${M}(SELECT DISTINCT doc_id,
        |          unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
        |            i -> ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2])) AS s
        |        FROM w),
        |hs AS (SELECT doc_id, md5(s) AS h1, md5('s:'||s) AS h2 FROM tri),
        |sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
        |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |cand AS ${M}(SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a
        |         JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |                     AND a.doc_id < b.doc_id),
@@ -267,7 +277,7 @@ object Incremental {
        |          JOIN flags fa ON fa.doc_id = c.doc_a
        |          JOIN flags fb ON fb.doc_id = c.doc_b
        |          WHERE fa.is_new OR fb.is_new),
-       |surv AS (SELECT d.doc_id, d.text
+       |surv AS ${M}(SELECT d.doc_id, d.text
        |         FROM delta d
        |         JOIN coll ON coll.doc_id = d.doc_id AND coll.is_new
        |         WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.doc_id = d.doc_id))""".stripMargin
@@ -381,7 +391,7 @@ object Incremental {
     */
   val pipelineDay: QueryDef = q(
     "i08_pipeline_day",
-    s"""WITH $screenCtes,
+    s"""WITH ${screenCtes(mat = true)},
        |touched AS (SELECT doc_id FROM documents
        |            WHERE doc_id % 17 = 0 OR doc_id % 19 = 0),
        |fin AS (

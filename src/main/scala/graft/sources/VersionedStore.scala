@@ -214,7 +214,7 @@ object VersionedStore {
     * createFile (O_CREAT|O_EXCL — kernel-atomic); on HDFS and friends
     * create(false) is already namenode-atomic and stays the path.
     */
-  private def exclusiveCreate(f: FileSystem, claim: Path): Boolean = f match {
+  private[graft] def exclusiveCreate(f: FileSystem, claim: Path): Boolean = f match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
       try {

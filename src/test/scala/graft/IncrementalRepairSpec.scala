@@ -197,4 +197,62 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e2.getMessage.contains("AHEAD of corpus head"))
   }
+
+  test("publishDay is single-writer: a held cycle claim fails fast, a " +
+    "stale one sweeps, and an interleaved fold cannot corrupt stats") {
+    import spark.implicits._
+    val r = freshRoots("cycle")
+    val base = Seq(
+      (1L, "alpha document body with several plain tokens inside"),
+      (2L, "beta document body with other plain tokens inside")
+    ).toDF("doc_id", "text")
+    IncrementalPipeline.bootstrap(base, r.store, r.idx, r.stats)
+    appendLog(r.log, 0L, Seq(
+      (3L, 1, "I", "a genuinely fresh third document about nothing else")))
+
+    // an in-flight cycle holds the claim → concurrent cycle fails FAST
+    // and leaves every store untouched
+    val claim = new java.io.File(r.store, ".cycle-claim")
+    assert(claim.createNewFile())
+    val before = hashes(sources.VersionedStore.read(spark, r.store))
+    val e = intercept[IllegalStateException] { day(r) }
+    assert(e.getMessage.contains("cycle"))
+    assert(hashes(sources.VersionedStore.read(spark, r.store)) === before,
+      "a refused cycle must not touch the corpus")
+    assert(sources.VersionedStore.latestVersion(spark, r.store) === Some(1))
+
+    // the same marker aged past the grace is crash debris: swept, cycle
+    // proceeds (repair would heal whatever the crash left behind)
+    assert(claim.setLastModified(System.currentTimeMillis() - 1000000L))
+    val d1 = IncrementalPipeline.publishDay(spark, r.store, r.idx, r.stats,
+      r.log, cycleClaimGraceMs = 500000L)
+    assert(d1.corpusVersion === 2 && d1.nAccepted === 1L)
+    assert(!claim.exists(), "claim must release on success")
+
+    // two genuinely concurrent cycles over the same roots: at most one
+    // may fold (best-effort overlap — the winner's state must equal a
+    // clean sequential day regardless of scheduling)
+    appendLog(r.log, 1L, Seq(
+      (4L, 2, "I", "a fourth independent document body entirely new")))
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq("x", "y").map { t =>
+      new Thread(() => {
+        try { day(r); outcomes.add(s"ok-$t") }
+        catch { case _: IllegalStateException => outcomes.add(s"refused-$t") }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val oks = outcomes.toArray.map(_.toString).count(_.startsWith("ok"))
+    assert(oks >= 1, s"no cycle succeeded: $outcomes")
+    // whether the loser was refused mid-flight or ran after the winner,
+    // the end state must equal the deterministic replay: corpus holds
+    // docs 1-4 and the stats recount matches the maintained store
+    val fin = sources.VersionedStore.read(spark, r.store)
+    assert(ids(fin) === Set(1L, 2L, 3L, 4L))
+    val maintained = IncrementalPipeline.loadStats(spark, r.stats)
+    val recount = operators.Retrieval.bm25StatsOf(fin.select("doc_id", "text"))
+    assert(maintained === recount,
+      "maintained stats must equal the from-scratch recount after a race")
+    assert(!claim.exists())
+  }
 }
