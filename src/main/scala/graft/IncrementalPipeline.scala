@@ -77,6 +77,13 @@ import graft.streaming.ChangeStream
   * base against the (broadcastable) latest table, the stats fold
   * aggregates only removed/added docs, and the index append is
   * batch-sized blind writes.
+  *
+  * Concurrency contract: [[publishDay]] holds an exclusive `.cycle-claim`
+  * for its whole cycle (repair + screen + publish + folds). [[repair]]
+  * run STANDALONE mutates the same derived state — never run it
+  * concurrently with a live cycle (it is the same read-fold-publish shape
+  * the claim exists to serialize); on healthy state it is a no-op, so the
+  * safe pattern is to let the next publishDay run it.
   */
 object IncrementalPipeline {
 

@@ -1731,7 +1731,12 @@ object Dedup {
        |JOIN fps fb ON fb.simhash = f2
        |WHERE fa.doc_id < fb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // localCheckpoint: the audit action below and the main plan both
+    // consume fps — materializing the (doc_id, simhash) frame once
+    // (2 longs × |docs|) costs less than recomputing the explode+md5
+    // fingerprint pass, and this lane is budget-capped small by design
     val fps = simhashFps(Tables.parallel(Tables.documents(s, d)))
+      .localCheckpoint()
     // pair-budget pre-audit (see scaladoc): exact output size from group
     // sizes, refused loudly instead of detonating a saturated sketch.
     // The 1-row collect is the audit's point — bounded and driver-side.
