@@ -78,12 +78,13 @@ import graft.streaming.ChangeStream
   * aggregates only removed/added docs, and the index append is
   * batch-sized blind writes.
   *
-  * Concurrency contract: [[publishDay]] holds an exclusive `.cycle-claim`
-  * for its whole cycle (repair + screen + publish + folds). [[repair]]
-  * run STANDALONE mutates the same derived state — never run it
-  * concurrently with a live cycle (it is the same read-fold-publish shape
-  * the claim exists to serialize); on healthy state it is a no-op, so the
-  * safe pattern is to let the next publishDay run it.
+  * Concurrency contract, ENFORCED: [[publishDay]] holds an exclusive
+  * `.cycle-claim` for its whole cycle (repair + screen + publish +
+  * folds), and standalone [[repair]] takes the SAME claim — it is the
+  * same read-fold-publish shape the claim exists to serialize, so a
+  * repair racing a live cycle fails loudly in milliseconds instead of
+  * double-folding the serving stats. On healthy state repair is a no-op,
+  * so the usual pattern is to let the next publishDay run it.
   */
 object IncrementalPipeline {
 
@@ -131,29 +132,42 @@ object IncrementalPipeline {
   def publishDay(spark: SparkSession, storeRoot: String, idxRoot: String,
       statsRoot: String, logDir: String,
       jaccardThreshold: Double = 0.6,
-      cycleClaimGraceMs: Long = 6L * 3600 * 1000): DayState = {
+      cycleClaimGraceMs: Long = 6L * 3600 * 1000): DayState =
+    withCycleClaim(spark, storeRoot, cycleClaimGraceMs, "a publishDay")(
+      publishDayExclusive(spark, storeRoot, idxRoot, statsRoot, logDir,
+        jaccardThreshold))
+
+  /** Take the store's exclusive `.cycle-claim` (sweeping one aged past
+    * `graceMs` — a crashed holder's debris), run `body`, release. The
+    * claim uses the store's kernel-atomic create primitive, so two
+    * processes cannot both hold it. Everything that read-fold-publishes
+    * the derived stores (a publish cycle, a standalone repair) runs under
+    * this claim — IncrementalRepairSpec pins both refusals.
+    */
+  private def withCycleClaim[T](spark: SparkSession, storeRoot: String,
+      graceMs: Long, who: String)(body: => T): T = {
     val rp = new org.apache.hadoop.fs.Path(storeRoot)
     val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.mkdirs(rp)
     val claim = new org.apache.hadoop.fs.Path(rp, ".cycle-claim")
     if (f.exists(claim) && System.currentTimeMillis() -
-      f.getFileStatus(claim).getModificationTime >= cycleClaimGraceMs)
+      f.getFileStatus(claim).getModificationTime >= graceMs)
       f.delete(claim, false) // crashed cycle's debris, aged past grace
     if (!VersionedStore.exclusiveCreate(f, claim))
       throw new IllegalStateException(
-        s"another publishDay cycle holds $claim — concurrent cycles can " +
-          "double-fold the serving stats. If the holder crashed, the " +
-          s"marker sweeps itself after ${cycleClaimGraceMs} ms (or " +
-          "delete it once you are sure no cycle is in flight).")
-    try publishDayExclusive(spark, storeRoot, idxRoot, statsRoot, logDir,
-      jaccardThreshold)
+        s"another cycle holds $claim and $who folds the same derived " +
+          "state — concurrent read-fold-publish can double-fold the " +
+          "serving stats. If the holder crashed, the marker sweeps " +
+          s"itself after ${graceMs} ms (or delete it once you are sure " +
+          "no cycle is in flight).")
+    try body
     finally f.delete(claim, false)
   }
 
   private def publishDayExclusive(spark: SparkSession, storeRoot: String,
       idxRoot: String, statsRoot: String, logDir: String,
       jaccardThreshold: Double): DayState = {
-    repair(spark, storeRoot, idxRoot, statsRoot)
+    repairUnclaimed(spark, storeRoot, idxRoot, statsRoot)
     val base = VersionedStore.read(spark, storeRoot).select("doc_id", "text")
     // log-sized; several legs below re-derive it
     val latest = ChangeStream.logLatest(spark, logDir).localCheckpoint()
@@ -197,9 +211,22 @@ object IncrementalPipeline {
     * the corpus versions it must diff to still exist — keep
     * [[VersionedStore.expire]]'s horizon at least as long as the longest
     * outage this must heal across (it fails loudly otherwise).
+    *
+    * Standalone repair takes the store's exclusive `.cycle-claim` (same
+    * primitive, same grace sweep as [[publishDay]]): it mutates the same
+    * derived state a live cycle folds, so racing one is refused loudly
+    * rather than risking a double fold. [[publishDay]] runs the unclaimed
+    * body directly — its own claim already covers it.
     */
   def repair(spark: SparkSession, storeRoot: String, idxRoot: String,
-      statsRoot: String): Unit = {
+      statsRoot: String,
+      cycleClaimGraceMs: Long = 6L * 3600 * 1000): Unit =
+    withCycleClaim(spark, storeRoot, cycleClaimGraceMs,
+      "a standalone repair")(
+      repairUnclaimed(spark, storeRoot, idxRoot, statsRoot))
+
+  private def repairUnclaimed(spark: SparkSession, storeRoot: String,
+      idxRoot: String, statsRoot: String): Unit = {
     val vLatest = VersionedStore.latestVersion(spark, storeRoot)
       .getOrElse(return) // nothing published yet: nothing to heal
     val avail = VersionedStore.versions(spark, storeRoot).toSet

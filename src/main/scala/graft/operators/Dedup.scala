@@ -689,8 +689,22 @@ object Dedup {
     * the base build covers, so its crash repair
     * ([[graft.IncrementalPipeline.repair]]) knows where batch coverage
     * must begin. The loader ignores it.
+    *
+    * Crash coherence of the BUILD itself: `meta` is written LAST, so a
+    * build that dies mid-way leaves no readable `meta` and the artifact
+    * reads as absent (rebuild-fresh territory), never as a torn mix. For
+    * that to hold on an IN-PLACE rebuild over an existing artifact, any
+    * PRIOR `meta` must vanish FIRST — otherwise a death after the `texts`
+    * overwrite but before `bands` would leave the OLD meta readable over
+    * new-texts/old-bands and the torn mix would load as healthy (silently
+    * missing candidates forever). So this deletes `meta` before touching
+    * any relation; BandIndexEnospcSpec pins the window with an injected
+    * mid-write ENOSPC.
     */
   def writeBandIndex(index: DataFrame, path: String, covered: Int = -1): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val mfs = hadoopFs(index.sparkSession, metaPath)
+    if (mfs.exists(metaPath)) mfs.delete(metaPath, true)
     val base = index.select(col("doc_id"), col("text"))
     val reps = collapseExact(base)
       .select(col("rep_id").as("doc_id"), col("text"))

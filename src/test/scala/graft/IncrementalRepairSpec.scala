@@ -198,6 +198,43 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("AHEAD of corpus head"))
   }
 
+  test("standalone repair excludes a live cycle: it takes the same " +
+    ".cycle-claim, refuses fast while held, and no-ops once released") {
+    import spark.implicits._
+    val r = freshRoots("repx")
+    val base = Seq(
+      (1L, "alpha document body with several plain tokens inside"),
+      (2L, "beta document body with other plain tokens inside")
+    ).toDF("doc_id", "text")
+    IncrementalPipeline.bootstrap(base, r.store, r.idx, r.stats)
+
+    // a live cycle holds the claim → standalone repair is REFUSED, not
+    // interleaved (it read-fold-publishes the same derived state)
+    val claim = new java.io.File(r.store, ".cycle-claim")
+    assert(claim.createNewFile())
+    val e = intercept[IllegalStateException] {
+      IncrementalPipeline.repair(spark, r.store, r.idx, r.stats)
+    }
+    assert(e.getMessage.contains("cycle"))
+    assert(claim.exists(), "a refused repair must not release the holder's claim")
+
+    // released → repair runs (healthy state: a no-op) and releases after
+    assert(claim.delete())
+    IncrementalPipeline.repair(spark, r.store, r.idx, r.stats)
+    assert(!claim.exists(), "repair must release its claim on success")
+    assert(IncrementalPipeline.statsCovered(spark, r.stats) === Some(1))
+
+    // and on FAILURE: a guard tripping inside the body still releases
+    val r2 = freshRoots("repx2")
+    sources.VersionedStore.publish(base, r2.store)
+    operators.Dedup.writeBandIndex(base, r2.idx) // covered = -1: not ours
+    intercept[IllegalArgumentException] {
+      IncrementalPipeline.repair(spark, r2.store, r2.idx, r2.stats)
+    }
+    assert(!new java.io.File(r2.store, ".cycle-claim").exists(),
+      "a failed repair must release the claim")
+  }
+
   test("publishDay is single-writer: a held cycle claim fails fast, a " +
     "stale one sweeps, and an interleaved fold cannot corrupt stats") {
     import spark.implicits._

@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.io.IOException
+import java.net.URI
+
+import org.apache.hadoop.fs.{FSDataOutputStream, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Fault-injecting local filesystem for the ENOSPC crash-window proofs
+  * (BandIndexEnospcSpec): a `RawLocalFileSystem` registered under the
+  * `enospc:` scheme whose `create` calls throw a REAL
+  * "No space left on device" IOException whenever the companion's
+  * predicate matches the path. Everything else (list, rename, delete,
+  * mkdirs, reads) passes through, so Spark's parquet committer runs its
+  * genuine code path — tasks really fail mid-write, the job really
+  * aborts, and whatever directory state a true disk-full leaves behind
+  * is what the artifact protocols must tolerate.
+  *
+  * Only `create` faults: ENOSPC on data writes is the scenario under
+  * test; metadata ops failing is a different (and FS-specific) failure
+  * class. The predicate is process-global, which is exactly right for
+  * the harness's single-JVM `local[N]` mode — driver and executors share
+  * it. Tests MUST reset it in a finally block.
+  */
+class EnospcFs extends RawLocalFileSystem {
+  override def getUri: URI = EnospcFs.Name
+  override def getScheme: String = "enospc"
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    EnospcFs.maybeFail(f)
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    EnospcFs.maybeFail(f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+
+  override def createNonRecursive(f: Path, permission: FsPermission,
+      flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    EnospcFs.maybeFail(f)
+    super.createNonRecursive(f, permission, flags, bufferSize, replication,
+      blockSize, progress)
+  }
+}
+
+object EnospcFs {
+  val Name: URI = URI.create("enospc:///")
+
+  @volatile var failWhen: String => Boolean = _ => false
+
+  def maybeFail(f: Path): Unit =
+    if (failWhen(f.toString))
+      throw new IOException(s"No space left on device (injected): $f")
+
+  /** Run `body` with the fault armed, always disarming after. */
+  def armed[T](predicate: String => Boolean)(body: => T): T = {
+    failWhen = predicate
+    try body finally failWhen = _ => false
+  }
+}
