@@ -198,6 +198,76 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("AHEAD of corpus head"))
   }
 
+  test("an injected ENOSPC mid-cycle (index append dies after the corpus " +
+    "publish) releases the claim and the next day heals to the twin") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.enospc.impl", classOf[operators.EnospcFs].getName)
+    // both pipelines on the fault-injectable scheme so the only
+    // difference between them is the injected failure itself
+    def eroots(tag: String) = Roots(
+      "enospc:" + JF.createTempDirectory(JP.get("target"), s"eno-$tag-store")
+        .toAbsolutePath.toString,
+      "enospc:" + JF.createTempDirectory(JP.get("target"), s"eno-$tag-idx")
+        .toAbsolutePath.toString,
+      "enospc:" + JF.createTempDirectory(JP.get("target"), s"eno-$tag-stats")
+        .toAbsolutePath.toString,
+      "enospc:" + JF.createTempDirectory(JP.get("target"), s"eno-$tag-log")
+        .toAbsolutePath.toString)
+    val base = Seq(
+      (1L, "alpha document body with several plain tokens inside"),
+      (2L, "beta document body with other plain tokens inside")
+    ).toDF("doc_id", "text")
+    val freshA = "completely fresh document text with unique vocabulary " +
+      "tokens arriving on day one of the incremental ingest cycle"
+    val day1 = Seq((100001L, 1, "I", freshA))
+    val day2 = Seq(
+      (200001L, 1, "I", freshA + " trailing"), // near-dup of accepted 100001
+      (200002L, 1, "I", "day two genuinely new content nothing shared"))
+
+    val clean = eroots("clean")
+    val crash = eroots("crash")
+    Seq(clean, crash).foreach { r =>
+      IncrementalPipeline.bootstrap(base, r.store, r.idx, r.stats)
+      appendLog(r.log, 0L, day1)
+    }
+    day(clean)
+
+    // the crashed pipeline's day 1: its v00002 index batch write dies on
+    // a REAL injected disk-full, AFTER the corpus publish committed
+    val e = intercept[Throwable] {
+      operators.EnospcFs.armed(p =>
+        p.contains(crash.idx.stripPrefix("enospc:")) &&
+          p.contains("/batches/") && p.contains("/bands/")) {
+        day(crash)
+      }
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("No space left on device"))))
+    // the commit point passed, the maintenance did not — and the FAILED
+    // cycle must still have released its claim, or every later day is
+    // locked out until the grace sweep
+    assert(sources.VersionedStore.latestVersion(spark, crash.store) === Some(2))
+    assert(operators.Dedup.bandIndexBatches(spark, crash.idx).isEmpty)
+    assert(!new java.io.File(
+      crash.store.stripPrefix("enospc:"), ".cycle-claim").exists(),
+      "an ENOSPC-failed cycle must release its claim")
+
+    // space back: day 2 opens with repair and must converge to the twin
+    Seq(clean, crash).foreach(r => appendLog(r.log, 1L, day1 ++ day2))
+    day(clean); day(crash)
+    val cleanPub = sources.VersionedStore.read(spark, clean.store)
+    val crashPub = sources.VersionedStore.read(spark, crash.store)
+    assert(hashes(crashPub) === hashes(cleanPub),
+      "healed pipeline's corpus ≡ uncrashed twin")
+    assert(!ids(crashPub).contains(200001L),
+      "near-dup of the day-1 accepted doc must be screened by the " +
+        "batch the repair rebuilt")
+    assert(IncrementalPipeline.loadStats(spark, crash.stats) ===
+      operators.Retrieval.bm25StatsOf(crashPub.select("doc_id", "text")))
+  }
+
   test("standalone repair excludes a live cycle: it takes the same " +
     ".cycle-claim, refuses fast while held, and no-ops once released") {
     import spark.implicits._
