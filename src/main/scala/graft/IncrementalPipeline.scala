@@ -143,6 +143,19 @@ object IncrementalPipeline {
     * processes cannot both hold it. Everything that read-fold-publishes
     * the derived stores (a publish cycle, a standalone repair) runs under
     * this claim — IncrementalRepairSpec pins both refusals.
+    *
+    * GRACE CONTRACT (same discipline as [[VersionedStore.expire]]'s
+    * debris grace): `graceMs` must exceed the longest cycle that can
+    * legitimately run — the claim's mtime is stamped once at acquisition
+    * and never refreshed, so a body that outlives the grace looks like
+    * crash debris to the next caller and loses its exclusion. The 6 h
+    * default buys hours of headroom over any measured cycle; raise it
+    * before it becomes tight, don't add a heartbeat. The flip side: a
+    * hard-crashed cycle's debris refuses standalone [[repair]] until the
+    * grace elapses — an operator who KNOWS no cycle is live can pass
+    * `cycleClaimGraceMs = 0` to sweep immediately (with a live cycle
+    * that would enable the very double-fold the claim prevents, so the
+    * default stays conservative).
     */
   private def withCycleClaim[T](spark: SparkSession, storeRoot: String,
       graceMs: Long, who: String)(body: => T): T = {
@@ -150,9 +163,26 @@ object IncrementalPipeline {
     val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.mkdirs(rp)
     val claim = new org.apache.hadoop.fs.Path(rp, ".cycle-claim")
-    if (f.exists(claim) && System.currentTimeMillis() -
-      f.getFileStatus(claim).getModificationTime >= graceMs)
-      f.delete(claim, false) // crashed cycle's debris, aged past grace
+    // the claim may vanish between probe and stat (a finishing cycle's
+    // release) — that just means it is not stale
+    val stale =
+      try System.currentTimeMillis() -
+        f.getFileStatus(claim).getModificationTime >= graceMs
+      catch { case _: java.io.FileNotFoundException => false }
+    if (stale) {
+      // crashed cycle's debris, aged past grace. The sweep must be
+      // atomic-per-sweeper: two callers racing here could BOTH judge the
+      // old marker stale, and a plain delete lets the slower one remove
+      // the faster one's FRESH claim (two live cycles — the double-fold).
+      // Renaming the stale marker to a unique name first means exactly
+      // one sweeper wins; the loser falls through to exclusiveCreate and
+      // is refused by the winner's new claim.
+      val debris = new org.apache.hadoop.fs.Path(rp,
+        s".cycle-claim.swept-${java.util.UUID.randomUUID()}")
+      if (try f.rename(claim, debris)
+        catch { case _: java.io.IOException => false })
+        f.delete(debris, false)
+    }
     if (!VersionedStore.exclusiveCreate(f, claim))
       throw new IllegalStateException(
         s"another cycle holds $claim and $who folds the same derived " +
@@ -216,7 +246,11 @@ object IncrementalPipeline {
     * primitive, same grace sweep as [[publishDay]]): it mutates the same
     * derived state a live cycle folds, so racing one is refused loudly
     * rather than risking a double fold. [[publishDay]] runs the unclaimed
-    * body directly — its own claim already covers it.
+    * body directly — its own claim already covers it. Consequence: a
+    * hard-crashed cycle's claim debris refuses standalone repair until
+    * the grace elapses; pass `cycleClaimGraceMs = 0` to heal immediately
+    * when you KNOW no cycle is live (the next publishDay's built-in
+    * repair needs no such judgment — it waits out the grace naturally).
     */
   def repair(spark: SparkSession, storeRoot: String, idxRoot: String,
       statsRoot: String,
@@ -251,13 +285,8 @@ object IncrementalPipeline {
       try { Dedup.bandIndexCovered(spark, idxRoot) >= -1 }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!hasBase) {
-      // a fresh base at vLatest already covers everything any previously
-      // committed batch carried — sweep batches/ entirely, or
-      // loadBandIndex would union them in and duplicate those docs'
-      // candidate work forever
-      val batchRoot = new org.apache.hadoop.fs.Path(s"$idxRoot/batches")
-      val bfs = batchRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (bfs.exists(batchRoot)) bfs.delete(batchRoot, true)
+      // writeBandIndex itself sweeps any stale committed batches: the
+      // fresh base at vLatest covers everything they carried
       Dedup.writeBandIndex(docsAt(vLatest), idxRoot, covered = vLatest)
     } else {
       val baseCovered = Dedup.bandIndexCovered(spark, idxRoot)

@@ -699,12 +699,19 @@ object Dedup {
     * new-texts/old-bands and the torn mix would load as healthy (silently
     * missing candidates forever). So this deletes `meta` before touching
     * any relation; BandIndexEnospcSpec pins the window with an injected
-    * mid-write ENOSPC.
+    * mid-write ENOSPC. Committed BATCH directories from the artifact's
+    * previous life are swept too (after meta, so a death mid-sweep still
+    * reads as absent): the fresh base covers the corpus as of THIS
+    * build, and unioning stale batches in would both duplicate their
+    * docs' candidate work and keep screening by documents the corpus may
+    * no longer hold.
     */
   def writeBandIndex(index: DataFrame, path: String, covered: Int = -1): Unit = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
     val mfs = hadoopFs(index.sparkSession, metaPath)
     if (mfs.exists(metaPath)) mfs.delete(metaPath, true)
+    val batchRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
+    if (mfs.exists(batchRoot)) mfs.delete(batchRoot, true)
     val base = index.select(col("doc_id"), col("text"))
     val reps = collapseExact(base)
       .select(col("rep_id").as("doc_id"), col("text"))

@@ -242,9 +242,7 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
         day(crash)
       }
     }
-    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-      .exists(x => Option(x.getMessage).exists(
-        _.contains("No space left on device"))))
+    assert(operators.EnospcFs.causeChain(e).contains("No space left on device"))
     // the commit point passed, the maintenance did not — and the FAILED
     // cycle must still have released its claim, or every later day is
     // locked out until the grace sweep

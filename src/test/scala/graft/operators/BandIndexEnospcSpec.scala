@@ -58,9 +58,7 @@ class BandIndexEnospcSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def screen(dir: String, probe: DataFrame): Set[Long] =
     ids(Dedup.deduplicateAgainst(probe, Dedup.loadBandIndex(spark, dir), 0.6))
 
-  private def causeChain(t: Throwable): String =
-    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+  private def causeChain(t: Throwable): String = EnospcFs.causeChain(t)
 
   private val baseA = (1L, "alpha beta gamma delta epsilon zeta eta theta")
   private val baseB = (2L, "one two three four five six seven eight nine ten")

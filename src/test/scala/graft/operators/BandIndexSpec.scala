@@ -173,6 +173,41 @@ class BandIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.bandIndexBatches(spark, dir) === Seq("b-crash"))
   }
 
+  test("in-place base rebuild sweeps stale committed batches: the fresh " +
+    "base alone defines the index") {
+    import spark.implicits._
+    val dir = tmp()
+    val v1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    Dedup.writeBandIndex(v1, dir)
+    Dedup.appendBandIndex(
+      Seq((10L, "batch document accepted in the artifact's previous life"))
+        .toDF("doc_id", "text"), dir, "b-old")
+    val batchCopy = Seq(
+      (20L, "batch document accepted in the artifact's previous life"))
+      .toDF("doc_id", "text")
+    assert(ids(Dedup.deduplicateAgainst(
+      batchCopy, Dedup.loadBandIndex(spark, dir), 0.6)).isEmpty)
+
+    // the corpus moved on: docs 1 and 10 left, only doc 2 remains. An
+    // in-place rebuild must cover EXACTLY the new corpus — stale batches
+    // unioned in would keep screening by departed documents forever
+    Dedup.writeBandIndex(v1.filter(col("doc_id") === 2L), dir)
+    assert(Dedup.bandIndexBatches(spark, dir).isEmpty,
+      "stale committed batches must sweep on an in-place rebuild")
+    val idx = Dedup.loadBandIndex(spark, dir)
+    assert(ids(Dedup.deduplicateAgainst(batchCopy, idx, 0.6)) === Set(20L),
+      "a copy of the DEPARTED batch doc must survive the rebuilt index")
+    assert(ids(Dedup.deduplicateAgainst(
+      Seq((21L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), idx, 0.6)) === Set(21L))
+    assert(ids(Dedup.deduplicateAgainst(
+      Seq((22L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text"), idx, 0.6)).isEmpty)
+  }
+
   test("banding-config mismatch fails loudly at load") {
     val dir = tmp()
     Dedup.writeBandIndex(corpus.limit(10), dir)

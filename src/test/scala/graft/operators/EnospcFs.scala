@@ -66,4 +66,12 @@ object EnospcFs {
     failWhen = predicate
     try body finally failWhen = _ => false
   }
+
+  /** The full cause chain's messages, joined — Spark wraps a failed
+    * task's IOException several layers deep, and the specs must assert
+    * the INJECTED failure surfaced (not some unrelated abort).
+    */
+  def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
 }

@@ -55,9 +55,7 @@ class VersionedStoreEnospcSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def texts(df: DataFrame): Set[String] =
     df.select("text").collect().map(_.getString(0)).toSet
 
-  private def causeChain(t: Throwable): String =
-    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+  private def causeChain(t: Throwable): String = EnospcFs.causeChain(t)
 
   test("ENOSPC mid staged write: readers keep the old version, debris " +
     "blocks only its slot, retry lands the next one, expire sweeps") {
