@@ -198,6 +198,85 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("AHEAD of corpus head"))
   }
 
+  test("TWO REAL JVMs racing publishDay over a STALE claim: the " +
+    "rename-atomic sweep admits exactly one at a time, stats never " +
+    "double-fold") {
+    import spark.implicits._
+    val abs = (p: String) => new java.io.File(p).getAbsolutePath
+    val r0 = freshRoots("jvmrace")
+    val r = Roots(abs(r0.store), abs(r0.idx), abs(r0.stats), abs(r0.log))
+    val base = Seq(
+      (1L, "alpha document body with several plain tokens inside"),
+      (2L, "beta document body with other plain tokens inside")
+    ).toDF("doc_id", "text")
+    IncrementalPipeline.bootstrap(base, r.store, r.idx, r.stats)
+    appendLog(r.log, 0L, Seq(
+      (3L, 1, "I", "a genuinely fresh third document about nothing else")))
+
+    // the crashed previous cycle's debris: a claim aged past the grace
+    // the workers run with (500 s) — BOTH will judge it sweep-eligible,
+    // which is exactly the TOCTOU window a plain delete loses
+    val stale = new java.io.File(r.store, ".cycle-claim")
+    assert(stale.createNewFile())
+    assert(stale.setLastModified(System.currentTimeMillis() - 1000000L))
+
+    val barrier = JF.createTempDirectory(JP.get("target"), "cycbar")
+      .toAbsolutePath.toString
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val javaBin = new java.io.File(
+      System.getProperty("java.home"), "bin/java").getPath
+    def spawn(tag: String): (Process, java.io.File) = {
+      val out = java.io.File.createTempFile(s"cycworker-$tag", ".log",
+        new java.io.File("target"))
+      val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp",
+        System.getProperty("java.class.path"), "graft.CycleWorker",
+        r.store, r.idx, r.stats, r.log, barrier, tag, "500000")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(out)
+      (pb.start(), out)
+    }
+    val (pa, oa) = spawn("alpha")
+    val (pb, ob) = spawn("beta")
+    val deadline = System.nanoTime() + 180L * 1000000000L
+    while (!(new java.io.File(barrier, "ready-alpha").exists() &&
+      new java.io.File(barrier, "ready-beta").exists())) {
+      assert(System.nanoTime() < deadline, "workers never became ready")
+      assert(pa.isAlive || new java.io.File(barrier, "ready-alpha").exists(),
+        s"alpha died early:\n${scala.io.Source.fromFile(oa).mkString}")
+      assert(pb.isAlive || new java.io.File(barrier, "ready-beta").exists(),
+        s"beta died early:\n${scala.io.Source.fromFile(ob).mkString}")
+      Thread.sleep(50)
+    }
+    new java.io.File(barrier, "go").createNewFile()
+    assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "a worker hung past the deadline")
+    assert(pa.exitValue() === 0,
+      s"alpha failed:\n${scala.io.Source.fromFile(oa).mkString}")
+    assert(pb.exitValue() === 0,
+      s"beta failed:\n${scala.io.Source.fromFile(ob).mkString}")
+    val outcomes = Seq(oa, ob).flatMap(f =>
+      scala.io.Source.fromFile(f).getLines()
+        .filter(l => l.startsWith("DAY ") || l.startsWith("REFUSED ")))
+    assert(outcomes.size === 2, s"expected two outcomes, got $outcomes")
+    assert(outcomes.exists(_.startsWith("DAY")),
+      s"no cycle succeeded: $outcomes")
+
+    // THE contract: whatever the interleaving (one refused, or both ran
+    // serialized), the end state equals the deterministic replay and the
+    // stats were folded exactly once per snapshot diff
+    val fin = sources.VersionedStore.read(spark, r.store)
+    assert(ids(fin) === Set(1L, 2L, 3L))
+    assert(IncrementalPipeline.loadStats(spark, r.stats) ===
+      operators.Retrieval.bm25StatsOf(fin.select("doc_id", "text")),
+      "maintained stats must equal the from-scratch recount — a " +
+        "double-admitted sweep race double-folds them")
+    assert(!new java.io.File(r.store, ".cycle-claim").exists())
+  }
+
   test("an injected ENOSPC mid-cycle (index append dies after the corpus " +
     "publish) releases the claim and the next day heals to the twin") {
     import spark.implicits._
