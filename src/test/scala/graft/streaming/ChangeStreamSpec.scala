@@ -124,6 +124,67 @@ class ChangeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fold() == batch)
   }
 
+  test("ENOSPC mid changelog append: the query dies loudly, the torn " +
+    "batch stays invisible to the fold, the checkpointed restart " +
+    "replays it and converges to the batch reduction") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF, Paths => JP}
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.enospc.impl", classOf[graft.operators.EnospcFs].getName)
+    val rows = changeRows
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val src = JF.createTempDirectory(JP.get("target"), "cdc-esrc")
+    val logLocal = JF.createTempDirectory(JP.get("target"), "cdc-elog")
+      .toAbsolutePath
+    val logDir = "enospc:" + logLocal
+    val ckpt = tmp("cdc-eckpt") // plain local: only the ARTIFACT faults
+
+    def stage(part: Seq[ChangeStream.Change], name: String): Unit = {
+      val t = JF.createTempDirectory(JP.get("target"), "cdc-estage")
+      part.toDS().coalesce(1).write.mode("overwrite").parquet(t.toString)
+      val p = JF.list(t).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      JF.copy(JP.get(p), src.resolve(name))
+    }
+    def fold(): Set[(Long, String, String)] =
+      ChangeStream.logLatest(spark, logDir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    def reduce(part: Seq[ChangeStream.Change]): Set[(Long, String, String)] =
+      graft.operators.Incremental.latestPerKey(part.toDF())
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    stage(first, "a.parquet")
+    val q1 = ChangeStream.ingest(
+      ChangeStream.changes(spark, src.toString), logDir, ckpt)
+    q1.processAllAvailable() // batch 0 lands
+    assert(fold() == reduce(first))
+
+    // the next micro-batch's append dies on a REAL injected disk-full
+    stage(second, "b.parquet")
+    val e = intercept[Throwable] {
+      graft.operators.EnospcFs.armed(
+        _.contains(logLocal.getFileName.toString)) {
+        q1.processAllAvailable()
+      }
+    }
+    assert(graft.operators.EnospcFs.causeChain(e)
+      .contains("No space left on device"),
+      s"expected the injected ENOSPC, got: ${
+        graft.operators.EnospcFs.causeChain(e)}")
+    q1.stop()
+    // the torn append is INVISIBLE: the fold still equals batch-0 only
+    // (Spark's committer never promoted the failed job's part files)
+    assert(fold() == reduce(first),
+      "a failed append must not leak rows into the changelog")
+
+    // restart from the checkpoint: foreachBatch is at-least-once, the
+    // failed batch replays, and the fold converges to the full reduction
+    val q2 = ChangeStream.ingest(
+      ChangeStream.changes(spark, src.toString), logDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(fold() == reduce(rows))
+  }
+
   test("zero-delta publish: empty/absent changelog folds to the base unchanged") {
     val base = graft.operators.Incremental.snapshotV1(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("doc_id"),
