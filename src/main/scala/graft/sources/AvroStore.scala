@@ -102,8 +102,17 @@ object AvroStore {
     * [[read]] requires the marker and so refuses uncommitted output.
     * (The parquet stores get the same guarantee from Spark's committer;
     * this hand-rolled container writer has to provide its own.)
+    *
+    * Debris hygiene: a write that DIES mid-staging (task failure, disk
+    * full) strands its `.inprogress-*` directory; the next successful
+    * write sweeps stranded staging older than `debrisGraceMs` (same
+    * grace discipline as [[VersionedStore.expire]] — younger directories
+    * are presumed a concurrent in-flight write and left alone), alongside
+    * the `.replaced-*` sweep. AvroStoreEnospcSpec pins the windows with
+    * injected mid-write failures.
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String,
+      debrisGraceMs: Long = 3600000L): Unit = {
     val schema = df.schema
     val avroJson = avroSchema(schema, "GraftRow").toString
     val hadoopConfSer = new org.apache.spark.util.SerializableConfiguration(
@@ -165,6 +174,18 @@ object AvroStore {
     // two commit renames or by failed deletes (globStatus returns null,
     // not empty, for a nonexistent parent glob)
     Option(fs.globStatus(new Path(path + ".replaced-*"))).getOrElse(Array.empty)
+      .foreach { s =>
+        if (!fs.delete(s.getPath, true))
+          System.err.println(
+            s"AvroStore.write: WARNING could not sweep ${s.getPath}")
+      }
+    // ... and staging stranded by writes that DIED mid-flight (theirs
+    // never reaches this line; ours just renamed away). Age-gated: a
+    // younger .inprogress-* may be a concurrent writer still staging.
+    val now = System.currentTimeMillis()
+    Option(fs.globStatus(new Path(path + ".inprogress-*")))
+      .getOrElse(Array.empty)
+      .filter(s => now - s.getModificationTime >= debrisGraceMs)
       .foreach { s =>
         if (!fs.delete(s.getPath, true))
           System.err.println(
