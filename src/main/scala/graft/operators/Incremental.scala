@@ -339,12 +339,22 @@ object Incremental {
 
   /** The reusable band-index artifact for a store dir: build if absent
     * (detected via the meta relation [[Dedup.bandIndexCovered]] reads —
-    * meta is written last, so a torn build reads as absent and rebuilds
-    * over the same path with overwrite semantics). `covered` keys a
-    * separate artifact (i07 screens an unversioned one; i08's pipeline
-    * repair demands covered = 1 to match its corpus v1).
+    * meta is written last, so a torn build reads as absent). `covered`
+    * keys a separate artifact (i07 screens an unversioned one; i08's
+    * pipeline repair demands covered = 1 to match its corpus v1).
+    *
+    * CONCURRENT-BUILDER SAFE: the artifact key is deterministic, and the
+    * documented two-JVM sweep workflow (verify skill: split the query
+    * list across two Verify JVMs) can race two builders here — two
+    * in-place builds into the same root would collide in the committer's
+    * shared `_temporary/0` (the exact corruption the two-real-JVM publish
+    * race exposed in the versioned store). So each builder stages into a
+    * UNIQUE sibling and atomically renames it to the keyed root: rename
+    * onto an existing directory fails, the loser deletes its staging and
+    * uses the winner's artifact. Readers in other processes never see a
+    * half-built keyed root at all. ArtifactRaceSpec pins the race.
     */
-  private def bandIndexFor(s: SparkSession, sfDir: String,
+  private[graft] def bandIndexFor(s: SparkSession, sfDir: String,
       covered: Int = -1): String = {
     val src = new java.io.File(sfDir, "documents.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -354,14 +364,38 @@ object Incremental {
     val root = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
         System.getProperty("java.io.tmpdir")), s"graft-bandidx-$key")
-    val present =
+    def present: Boolean =
       try { Dedup.bandIndexCovered(s, root.toString); true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
-    if (!present)
+    if (!present) {
+      val staging = new java.io.File(root.getParentFile,
+        s"${root.getName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
       Dedup.writeBandIndex(
         Tables.parallel(Tables.documents(s, sfDir).select("doc_id", "text")),
-        root.toString, covered = covered)
+        staging.toString, covered = covered)
+      try java.nio.file.Files.move(staging.toPath, root.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          // a concurrent builder won the rename; ours is redundant
+          deleteTree(staging.toString)
+          require(present,
+            s"band-index artifact $root neither renameable nor readable")
+      }
+    }
     root.toString
+  }
+
+  private def deleteTree(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p0 = Paths.get(path)
+    if (Files.exists(p0)) {
+      val it = Files.walk(p0)
+      try it.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally it.close()
+    }
   }
 
   /** Hardlink clone of a band-index artifact tree. The artifact is
