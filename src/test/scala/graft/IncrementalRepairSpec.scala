@@ -198,6 +198,57 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("AHEAD of corpus head"))
   }
 
+  test("repair refuses an index AHEAD of the corpus head (rolled-back " +
+    "store), and an alias-named batch dir cannot suppress a repair") {
+    import spark.implicits._
+    // (a) index covered=5 over a corpus whose head is v1: future docs in
+    // the index would wrongly screen out re-inserted texts — refuse loudly
+    val r = freshRoots("ahead-idx")
+    val docs2 = Seq((1L, "some document text here for the tiny store"))
+      .toDF("doc_id", "text")
+    sources.VersionedStore.publish(docs2, r.store)
+    operators.Dedup.writeBandIndex(docs2, r.idx, covered = 5)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPipeline.repair(spark, r.store, r.idx, r.stats)
+    }
+    assert(e.getMessage.contains("AHEAD of corpus head"))
+
+    // (b) canonical batch names only: a committed batch dir named "v002"
+    // must NOT count as coverage for version 2 — if it did, a missing
+    // canonical v00002 batch would never be rebuilt
+    val r2 = freshRoots("alias")
+    val base = Seq(
+      (1L, "alpha document body with several plain tokens inside"),
+      (2L, "beta document body with other plain tokens inside")
+    ).toDF("doc_id", "text")
+    IncrementalPipeline.bootstrap(base, r2.store, r2.idx, r2.stats)
+    val freshC = "a genuinely fresh third document about nothing else"
+    appendLog(r2.log, 0L, Seq((3L, 1, "I", freshC)))
+    day(r2) // v2 published; committed batch v00002 carries doc 3
+    assert(operators.Dedup.bandIndexBatches(spark, r2.idx) === Seq("v00002"))
+
+    // crash simulation: the canonical batch vanishes; an alias-named
+    // committed dir for "the same version" appears (operator mistake,
+    // foreign tooling — any stray dir that a sloppy digit-parse would
+    // accept as version 2)
+    val bfs = new org.apache.hadoop.fs.Path(r2.idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bfs.delete(new org.apache.hadoop.fs.Path(s"${r2.idx}/batches/v00002"), true)
+    operators.Dedup.appendBandIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), r2.idx, "v002")
+    assert(operators.Dedup.bandIndexBatches(spark, r2.idx) === Seq("v002"))
+
+    IncrementalPipeline.repair(spark, r2.store, r2.idx, r2.stats)
+    assert(operators.Dedup.bandIndexBatches(spark, r2.idx)
+      .contains("v00002"),
+      "repair must rebuild the canonical batch despite the alias dir")
+    // and the rebuilt batch really screens: a near-dup of doc 3 drops
+    val kept = operators.Dedup.deduplicateAgainst(
+      Seq((99L, freshC + " trailing")).toDF("doc_id", "text"),
+      operators.Dedup.loadBandIndex(spark, r2.idx), 0.6)
+    assert(kept.count() === 0L)
+  }
+
   test("TWO REAL JVMs racing publishDay over a STALE claim: the " +
     "rename-atomic sweep admits exactly one at a time, stats never " +
     "double-fold") {
