@@ -396,6 +396,54 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
       operators.Retrieval.bm25StatsOf(crashPub.select("doc_id", "text")))
   }
 
+  test("a TRANSIENT read error probing the index base FAILS the repair " +
+    "instead of silently triggering a full base rebuild") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.enospc.impl", classOf[operators.EnospcFs].getName)
+    def eroot(tag: String) =
+      "enospc:" + JF.createTempDirectory(JP.get("target"), s"tro-$tag")
+        .toAbsolutePath.toString
+    val r = Roots(eroot("store"), eroot("idx"), eroot("stats"), eroot("log"))
+    val base = Seq(
+      (1L, "alpha document body with several plain tokens inside"),
+      (2L, "beta document body with other plain tokens inside")
+    ).toDF("doc_id", "text")
+    IncrementalPipeline.bootstrap(base, r.store, r.idx, r.stats)
+    appendLog(r.log, 0L, Seq(
+      (3L, 1, "I", "a genuinely fresh third document about nothing else")))
+    IncrementalPipeline.publishDay(spark, r.store, r.idx, r.stats, r.log)
+    assert(operators.Dedup.bandIndexBatches(spark, r.idx) === Seq("v00002"))
+
+    // a flaky disk: the hasBase probe's read of idx/meta throws a plain
+    // IOException — NOT the missing-artifact AnalysisException. Repair
+    // must rethrow (fail the cycle) rather than misread it as "no base"
+    // and launch a corpus-sized rebuild that sweeps the batches.
+    val idxName = new java.io.File(r.idx.stripPrefix("enospc:")).getName
+    val e = intercept[Throwable] {
+      operators.EnospcFs.armedRead(p =>
+        p.contains(idxName) && p.contains("/meta/")) {
+        IncrementalPipeline.repair(spark, r.store, r.idx, r.stats)
+      }
+    }
+    assert(!e.isInstanceOf[IllegalStateException],
+      s"expected the transient error to propagate, got claim refusal: $e")
+    assert(operators.EnospcFs.causeChain(e)
+      .contains("Transient read failure"),
+      s"expected the injected read fault, got: ${
+        operators.EnospcFs.causeChain(e)}")
+    // nothing was rebuilt: the committed batch survived and the claim
+    // released despite the failure
+    assert(operators.Dedup.bandIndexBatches(spark, r.idx) === Seq("v00002"),
+      "a transient read error must not trigger a base rebuild")
+    assert(!new java.io.File(
+      r.store.stripPrefix("enospc:"), ".cycle-claim").exists())
+
+    // the disk recovers: the same repair is a clean no-op
+    IncrementalPipeline.repair(spark, r.store, r.idx, r.stats)
+    assert(operators.Dedup.bandIndexBatches(spark, r.idx) === Seq("v00002"))
+  }
+
   test("standalone repair excludes a live cycle: it takes the same " +
     ".cycle-claim, refuses fast while held, and no-ops once released") {
     import spark.implicits._

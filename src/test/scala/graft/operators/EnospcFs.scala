@@ -50,6 +50,12 @@ class EnospcFs extends RawLocalFileSystem {
     super.createNonRecursive(f, permission, flags, bufferSize, replication,
       blockSize, progress)
   }
+
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    EnospcFs.maybeFailRead(f)
+    super.open(f, bufferSize)
+  }
 }
 
 object EnospcFs {
@@ -57,14 +63,30 @@ object EnospcFs {
 
   @volatile var failWhen: String => Boolean = _ => false
 
+  /** Separate fault lane for READS (`open`) — simulates a transient I/O
+    * error (flaky disk/NFS), the failure class that must FAIL an
+    * operation rather than be misread as "artifact absent".
+    */
+  @volatile var failReadWhen: String => Boolean = _ => false
+
   def maybeFail(f: Path): Unit =
     if (failWhen(f.toString))
       throw new IOException(s"No space left on device (injected): $f")
+
+  def maybeFailRead(f: Path): Unit =
+    if (failReadWhen(f.toString))
+      throw new IOException(s"Transient read failure (injected): $f")
 
   /** Run `body` with the fault armed, always disarming after. */
   def armed[T](predicate: String => Boolean)(body: => T): T = {
     failWhen = predicate
     try body finally failWhen = _ => false
+  }
+
+  /** Run `body` with the READ fault armed, always disarming after. */
+  def armedRead[T](predicate: String => Boolean)(body: => T): T = {
+    failReadWhen = predicate
+    try body finally failReadWhen = _ => false
   }
 
   /** The full cause chain's messages, joined — Spark wraps a failed
