@@ -156,13 +156,33 @@ object IncrementalPipeline {
     * `cycleClaimGraceMs = 0` to sweep immediately (with a live cycle
     * that would enable the very double-fold the claim prevents, so the
     * default stays conservative).
+    *
+    * Two guards contain the sweep's residual races: a sweeper that wins
+    * the stale-marker rename re-checks the moved file's age and RESTORES
+    * it (refusing itself) if it turns out to be a successor's fresh
+    * claim stolen in the stat-to-rename window, and every claim carries
+    * its holder's UUID stamp so release deletes only the holder's own
+    * marker — a grace-violating cycle warns loudly instead of killing
+    * its successor's claim. IncrementalRepairSpec pins both.
     */
-  private def withCycleClaim[T](spark: SparkSession, storeRoot: String,
+  /** Test seam (IncrementalRepairSpec): runs between the staleness stat
+    * and the sweep rename — the TOCTOU window the steal-guard below
+    * contains. Production never sets it.
+    */
+  private[graft] var cycleClaimSweepHook: () => Unit = () => ()
+
+  private[graft] def withCycleClaim[T](spark: SparkSession, storeRoot: String,
       graceMs: Long, who: String)(body: => T): T = {
     val rp = new org.apache.hadoop.fs.Path(storeRoot)
     val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.mkdirs(rp)
     val claim = new org.apache.hadoop.fs.Path(rp, ".cycle-claim")
+    def refuse(): Nothing = throw new IllegalStateException(
+      s"another cycle holds $claim and $who folds the same derived " +
+        "state — concurrent read-fold-publish can double-fold the " +
+        "serving stats. If the holder crashed, the marker sweeps " +
+        s"itself after ${graceMs} ms (or delete it once you are sure " +
+        "no cycle is in flight).")
     // the claim may vanish between probe and stat (a finishing cycle's
     // release) — that just means it is not stale
     val stale =
@@ -170,6 +190,7 @@ object IncrementalPipeline {
         f.getFileStatus(claim).getModificationTime >= graceMs
       catch { case _: java.io.FileNotFoundException => false }
     if (stale) {
+      cycleClaimSweepHook()
       // crashed cycle's debris, aged past grace. The sweep must be
       // atomic-per-sweeper: two callers racing here could BOTH judge the
       // old marker stale, and a plain delete lets the slower one remove
@@ -180,18 +201,55 @@ object IncrementalPipeline {
       val debris = new org.apache.hadoop.fs.Path(rp,
         s".cycle-claim.swept-${java.util.UUID.randomUUID()}")
       if (try f.rename(claim, debris)
-        catch { case _: java.io.IOException => false })
+        catch { case _: java.io.IOException => false }) {
+        // TOCTOU guard: the rename moved whatever sat at the claim path
+        // AT RENAME TIME, not the file the staleness stat judged — if
+        // the crashed-looking holder released in between and a NEW cycle
+        // claimed, we just stole that cycle's FRESH claim. Fresh debris
+        // (younger than the grace) is exactly that case: put it back and
+        // refuse ourselves rather than run two live cycles.
+        val debrisAge =
+          try System.currentTimeMillis() -
+            f.getFileStatus(debris).getModificationTime
+          catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        if (debrisAge < graceMs) {
+          val restored = try f.rename(debris, claim)
+            catch { case _: java.io.IOException => false }
+          if (!restored) {
+            // a THIRD caller claimed in this window; its claim stands and
+            // refuses everyone — drop the stolen marker (its holder's
+            // release will detect the ownership mismatch and warn loud)
+            System.err.println(s"withCycleClaim: WARNING stole a fresh " +
+              s"claim at $claim and could not restore it — a concurrent " +
+              "claimant raced the stale-sweep window")
+            try f.delete(debris, false)
+            catch { case _: java.io.IOException => () }
+          }
+          refuse()
+        }
         f.delete(debris, false)
+      }
     }
-    if (!VersionedStore.exclusiveCreate(f, claim))
-      throw new IllegalStateException(
-        s"another cycle holds $claim and $who folds the same derived " +
-          "state — concurrent read-fold-publish can double-fold the " +
-          "serving stats. If the holder crashed, the marker sweeps " +
-          s"itself after ${graceMs} ms (or delete it once you are sure " +
-          "no cycle is in flight).")
+    if (!VersionedStore.exclusiveCreate(f, claim)) refuse()
+    // ownership stamp, AFTER the atomic create (the create is the lock;
+    // the stamp identifies the holder so release can refuse to delete a
+    // SUCCESSOR's claim after a grace violation). Raw write — no
+    // checksum sidecar, so sweeps' renames stay one-step and reads see
+    // exactly these bytes.
+    val me = java.util.UUID.randomUUID().toString
+    VersionedStore.rawControlWrite(f, claim, me)
     try body
-    finally f.delete(claim, false)
+    finally {
+      // release ONLY what we own: a body that outlived the grace had its
+      // claim swept and replaced — deleting blindly would kill the
+      // successor's claim and let a third cycle start concurrently.
+      val owner = VersionedStore.rawControlRead(f, claim)
+      if (owner.contains(me)) f.delete(claim, false)
+      else System.err.println(s"withCycleClaim: WARNING not releasing " +
+        s"$claim — owner stamp ${owner.fold("<absent>")(_.take(8))} is " +
+        s"not ours (${me.take(8)}); this cycle outlived the ${graceMs} " +
+        "ms grace and its claim was legitimately swept")
+    }
   }
 
   private def publishDayExclusive(spark: SparkSession, storeRoot: String,

@@ -368,6 +368,14 @@ object Incremental {
       try { Dedup.bandIndexCovered(s, root.toString); true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!present) {
+      // reclaim staging stranded by builders that DIED mid-write (same
+      // age-gated discipline as AvroStore's .inprogress-* sweep: younger
+      // siblings may be a concurrent builder still staging)
+      val now = System.currentTimeMillis()
+      Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.getName.startsWith(s"${root.getName}.build-") &&
+          now - d.lastModified >= graft.sources.VersionedStore.DefaultDebrisGraceMs)
+        .foreach(d => deleteTree(d.toString))
       val staging = new java.io.File(root.getParentFile,
         s"${root.getName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
       Dedup.writeBandIndex(
@@ -378,10 +386,36 @@ object Incremental {
       catch {
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.FileSystemException =>
-          // a concurrent builder won the rename; ours is redundant
-          deleteTree(staging.toString)
-          require(present,
-            s"band-index artifact $root neither renameable nor readable")
+          if (present) deleteTree(staging.toString) // concurrent builder won
+          else {
+            // the keyed root EXISTS but has no readable meta — a torn
+            // artifact (pre-staging-era crash mid-build, or damaged by
+            // hand). No healthy reader can depend on it (every load goes
+            // through meta), so self-heal: move it aside ATOMICALLY (a
+            // concurrent present-probe must never see a half-deleted
+            // root), retry the publish rename once, then drop the torn
+            // debris. Without this the staging delete + require below
+            // made the torn state PERMANENT — every rebuild failed here
+            // until a human deleted the root.
+            val torn = new java.io.File(root.getParentFile,
+              s"${root.getName}.torn-${java.util.UUID.randomUUID().toString.take(8)}")
+            val healed =
+              try {
+                java.nio.file.Files.move(root.toPath, torn.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                java.nio.file.Files.move(staging.toPath, root.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                true
+              } catch { case _: java.io.IOException => false }
+              finally deleteTree(torn.toString)
+            if (!healed) {
+              // a concurrent builder/healer raced us between the two
+              // moves — use whatever it published, or fail loudly
+              deleteTree(staging.toString)
+              require(present,
+                s"band-index artifact $root neither renameable nor readable")
+            }
+          }
       }
     }
     root.toString

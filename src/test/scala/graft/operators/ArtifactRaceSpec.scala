@@ -19,11 +19,11 @@ class ArtifactRaceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = graft.EngineSession.local("4")
 
-  private var builtRoot: Option[String] = None
+  private val builtRoots = scala.collection.mutable.ListBuffer.empty[String]
 
   override def afterAll(): Unit = {
-    // the shared artifact lives under java.io.tmpdir — reclaim it
-    builtRoot.foreach { r =>
+    // the shared artifacts live under java.io.tmpdir — reclaim them
+    builtRoots.foreach { r =>
       val p0 = Paths.get(r)
       if (Files.exists(p0)) {
         val it = Files.walk(p0)
@@ -54,7 +54,7 @@ class ArtifactRaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val roots = results.toArray.map(_.toString).toSet
     assert(roots.size === 1, s"builders disagreed on the root: $roots")
     val root = roots.head
-    builtRoot = Some(root)
+    builtRoots += root
 
     // the published artifact is complete and functional: an exact copy
     // of a corpus doc screens out, fresh text survives
@@ -74,5 +74,75 @@ class ArtifactRaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val debris = rootFile.getParentFile.listFiles()
       .filter(_.getName.startsWith(rootFile.getName + ".build-"))
     assert(debris.isEmpty, s"staging debris: ${debris.map(_.getName).toSeq}")
+  }
+
+  test("a TORN keyed root (no readable meta) self-heals: the rebuild " +
+    "moves it aside and publishes fresh, instead of failing forever") {
+    import spark.implicits._
+    val sf = Files.createTempDirectory(Paths.get("target"), "arttorn")
+      .toAbsolutePath.toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).write.parquet(s"$sf/documents.parquet")
+    val root = Incremental.bandIndexFor(spark, sf)
+    builtRoots += root
+    // damage it the way a pre-staging-era crash (or a hand edit) would:
+    // root EXISTS but meta is gone — present-probe says absent, yet a
+    // plain rename onto the non-empty root fails. r13's code then threw
+    // on every subsequent build until a human deleted the root.
+    val meta = Paths.get(root, "meta")
+    val it = Files.walk(meta)
+    try it.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    finally it.close()
+    assert(!Files.exists(meta))
+
+    val healed = Incremental.bandIndexFor(spark, sf)
+    assert(healed === root, "the heal must land at the same keyed root")
+    // functional again: an exact corpus copy screens out, fresh survives
+    val sample = graft.Tables.documents(spark, sf)
+      .select("text").head().getString(0)
+    val probe = Seq(
+      (-1L, sample),
+      (-2L, "entirely fresh probe content that matches nothing at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup
+      .deduplicateAgainst(probe, Dedup.loadBandIndex(spark, root), 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(-2L))
+    // no torn-aside or staging debris left behind
+    val rootFile = new java.io.File(root)
+    val leftovers = rootFile.getParentFile.listFiles()
+      .filter(f => f.getName.startsWith(rootFile.getName + ".torn-") ||
+        f.getName.startsWith(rootFile.getName + ".build-"))
+    assert(leftovers.isEmpty, s"heal debris: ${leftovers.map(_.getName).toSeq}")
+  }
+
+  test("stranded staging from a builder that DIED mid-write is swept " +
+    "age-gated on the next build; young staging is left alone") {
+    import spark.implicits._
+    val sf = Files.createTempDirectory(Paths.get("target"), "artsweep")
+      .toAbsolutePath.toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).write.parquet(s"$sf/documents.parquet")
+    // learn the keyed root, then reset to the pre-build state
+    val root = Incremental.bandIndexFor(spark, sf)
+    builtRoots += root
+    val rootFile = new java.io.File(root)
+    val delRoot = Files.walk(rootFile.toPath)
+    try delRoot.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    finally delRoot.close()
+    // a crashed builder's staging, aged past the grace — and a YOUNG
+    // sibling that could be a live concurrent builder
+    val stale = new java.io.File(rootFile.getParentFile,
+      rootFile.getName + ".build-deadbeef")
+    val young = new java.io.File(rootFile.getParentFile,
+      rootFile.getName + ".build-young123")
+    assert(stale.mkdirs() && young.mkdirs())
+    assert(stale.setLastModified(System.currentTimeMillis() - 7200000L))
+    builtRoots += young.toString
+    assert(Incremental.bandIndexFor(spark, sf) === root)
+    assert(!stale.exists(), "aged staging debris must sweep on rebuild")
+    assert(young.exists(), "young staging may be a live builder — spared")
   }
 }

@@ -56,6 +56,11 @@ class EnospcFs extends RawLocalFileSystem {
     EnospcFs.maybeFailRead(f)
     super.open(f, bufferSize)
   }
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    EnospcFs.maybeFailRename(src, dst)
+    super.rename(src, dst)
+  }
 }
 
 object EnospcFs {
@@ -76,6 +81,24 @@ object EnospcFs {
   def maybeFailRead(f: Path): Unit =
     if (failReadWhen(f.toString))
       throw new IOException(s"Transient read failure (injected): $f")
+
+  /** Fault lane for RENAME — the commit point of every staged-publish
+    * protocol (pointer flip fallback arm, AvroStore's staging rename).
+    * A rename that dies must fail the publish loudly and leave the
+    * previous state readable, never a half-committed mix.
+    */
+  @volatile var failRenameWhen: (String, String) => Boolean = (_, _) => false
+
+  def maybeFailRename(src: Path, dst: Path): Unit =
+    if (failRenameWhen(src.toString, dst.toString))
+      throw new IOException(
+        s"Rename failure (injected): $src -> $dst")
+
+  /** Run `body` with the RENAME fault armed, always disarming after. */
+  def armedRename[T](predicate: (String, String) => Boolean)(body: => T): T = {
+    failRenameWhen = predicate
+    try body finally failRenameWhen = (_, _) => false
+  }
 
   /** Run `body` with the fault armed, always disarming after. */
   def armed[T](predicate: String => Boolean)(body: => T): T = {

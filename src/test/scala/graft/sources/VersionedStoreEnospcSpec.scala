@@ -24,10 +24,11 @@ import graft.operators.EnospcFs
   *    version stays readable via time-travel, and the next publish flips
   *    the pointer past it.
   *
-  * The `enospc:` scheme has no AbstractFileSystem binding, so the
-  * pointer flip exercises [[VersionedStore.writePointer]]'s FileSystem
-  * fallback arm — the narrower-guarantee path that only gets coverage
-  * here (file:// takes the FileContext arm).
+  * The `enospc:` scheme has no AbstractFileSystem binding (and is not
+  * the `file` scheme), so the pointer flip exercises
+  * [[VersionedStore.writePointer]]'s FileSystem fallback arm — the
+  * narrower-guarantee path that only gets coverage here (file:// takes
+  * the NIO kernel-atomic arm, DFS schemes the FileContext arm).
   */
 class VersionedStoreEnospcSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -40,6 +41,8 @@ class VersionedStoreEnospcSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
     EnospcFs.failWhen = _ => false
+    EnospcFs.failReadWhen = _ => false
+    EnospcFs.failRenameWhen = (_, _) => false
     spark.stop()
   }
 
@@ -110,6 +113,57 @@ class VersionedStoreEnospcSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("version two body"))
 
     // the next publish claims slot 3 and the flip succeeds
+    assert(VersionedStore.publish(docs((1L, "version three body")), root) === 3)
+    assert(VersionedStore.latestVersion(spark, root) === Some(3))
+    assert(texts(VersionedStore.read(spark, root)) ===
+      Set("version three body"))
+  }
+
+  test("transient READ fault on the pointer: latestVersion FAILS loudly, " +
+    "never reads as 'no published version'") {
+    // the raw-read change (r13 #1 fix) reroutes the pointer open through
+    // the non-checksummed view — this pins that a half-visible pointer
+    // (flaky disk, NFS hiccup) still surfaces as an ERROR on that path,
+    // not as None: misreading it as absent would tell a pipeline the
+    // store is empty and invite a from-scratch rebuild over live state.
+    val root = tmp()
+    assert(VersionedStore.publish(docs((1L, "version one body")), root) === 1)
+    val e = intercept[Throwable] {
+      EnospcFs.armedRead(p => p.endsWith("/LATEST")) {
+        VersionedStore.latestVersion(spark, root)
+      }
+    }
+    assert(causeChain(e).contains("Transient read failure (injected)"))
+    // fault cleared: the pointer reads fine — nothing was mutated
+    assert(VersionedStore.latestVersion(spark, root) === Some(1))
+    assert(texts(VersionedStore.read(spark, root)) === Set("version one body"))
+  }
+
+  test("RENAME fault at the pointer-flip commit point: publish fails " +
+    "loudly, readers keep the old version, the orphan stays " +
+    "time-travel readable, retry recovers") {
+    // the fallback arm's commit is fs.rename(tmp, LATEST) — the injected
+    // fault dies exactly there, AFTER the data committed and the old
+    // pointer was deleted (the documented narrow window of schemes with
+    // no atomic-overwrite rename)
+    val root = tmp()
+    assert(VersionedStore.publish(docs((1L, "version one body")), root) === 1)
+    val e = intercept[Throwable] {
+      EnospcFs.armedRename((src, dst) =>
+        src.contains(".LATEST.tmp") && dst.endsWith("/LATEST")) {
+        VersionedStore.publish(docs((1L, "version two body")), root)
+      }
+    }
+    assert(causeChain(e).contains("Rename failure (injected)"))
+    assert(causeChain(e).contains("pointer flip failed"))
+    // v2's data committed (orphan), v1 still the readable store via
+    // versions(); the pointer is GONE in this crash window (fallback-arm
+    // contract) so the next publish/rollback must restore it
+    assert(VersionedStore.versions(spark, root) === Seq(1, 2))
+    assert(texts(VersionedStore.read(spark, root, Some(1))) ===
+      Set("version one body"))
+    assert(texts(VersionedStore.read(spark, root, Some(2))) ===
+      Set("version two body"))
     assert(VersionedStore.publish(docs((1L, "version three body")), root) === 3)
     assert(VersionedStore.latestVersion(spark, root) === Some(3))
     assert(texts(VersionedStore.read(spark, root)) ===

