@@ -152,4 +152,30 @@ class BandIndexEnospcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(screen(dir, docs((42L, baseA._2))) === Set(42L),
       "the healed artifact reflects the NEW corpus only")
   }
+
+  test("a TRANSIENT read fault opening the artifact meta FAILS the load " +
+    "loudly — never classified as 'artifact absent'") {
+    // the read-side twin of the meta-first crash proof: rebuild-if-absent
+    // callers ([[graft.operators.Incremental.bandIndexFor]],
+    // IncrementalPipeline's hasBase probe) key 'absent' on
+    // AnalysisException ONLY. A flaky-disk IOException surfacing from
+    // the meta open must therefore propagate as an ERROR — misreading
+    // it as absent would trigger a full corpus rebuild over a healthy
+    // artifact (and, pre-r13, could have in-place-rebuilt over live
+    // readers).
+    val dir = tmp()
+    Dedup.writeBandIndex(docs(baseA), dir)
+    val e = intercept[Throwable] {
+      EnospcFs.armedRead(p => p.contains("/meta/") && p.contains(".parquet")) {
+        Dedup.bandIndexCovered(spark, dir)
+      }
+    }
+    assert(causeChain(e).contains("Transient read failure (injected)"),
+      s"expected the injected read fault to surface, got: ${causeChain(e)}")
+    assert(!e.isInstanceOf[AnalysisException],
+      "a read fault must not be classified as artifact-absent")
+    // fault cleared: the artifact was never touched and loads fine
+    assert(Dedup.bandIndexCovered(spark, dir) === -1)
+    assert(screen(dir, docs((50L, baseA._2))) === Set.empty)
+  }
 }

@@ -237,4 +237,29 @@ class BandIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("documents.parquet"),
       "the delta screen must not rescan the raw corpus")
   }
+
+  test("a file:-scheme-QUALIFIED artifact root round-trips: build, " +
+    "append, commit-marker visibility, screen ≡ bare-path artifact") {
+    // the Hadoop-FS honesty check (r13 verdict item 7) applied to the
+    // band-index protocol: every control path (meta delete, batch dirs,
+    // _COMMITTED marker create/probe) must survive explicit scheme
+    // qualification, not just bare local paths.
+    val qdir = "file:" + new java.io.File(tmp()).getAbsolutePath
+    Dedup.writeBandIndex(corpus, qdir)
+    val probe = delta
+    val bare = ids(Dedup.deduplicateAgainst(
+      probe, Dedup.loadBandIndex(spark, artifact), 0.6))
+    assert(ids(Dedup.deduplicateAgainst(
+      probe, Dedup.loadBandIndex(spark, qdir), 0.6)) === bare)
+    // maintenance on the qualified root: append a batch, marker commits,
+    // an exact copy of the appended doc now screens out
+    val extra = spark.range(1).select(lit(900001L).as("doc_id"),
+      lit("a qualified-root appended document with distinct words").as("text"))
+    Dedup.appendBandIndex(extra, qdir, "q1")
+    assert(Dedup.bandIndexBatches(spark, qdir) === Seq("q1"))
+    val copy = spark.range(1).select(lit(-900002L).as("doc_id"),
+      lit("a qualified-root appended document with distinct words").as("text"))
+    assert(ids(Dedup.deduplicateAgainst(
+      copy, Dedup.loadBandIndex(spark, qdir), 0.6)) === Set.empty)
+  }
 }

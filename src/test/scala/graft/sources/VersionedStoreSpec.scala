@@ -268,6 +268,44 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VersionedStore.read(spark, root).count() === 10)
   }
 
+  test("a file:-scheme-QUALIFIED root behaves identically to the " +
+    "implicit local scheme: publish, raced flips, rollback, expire") {
+    // keeps the Hadoop-FS abstraction honest: every path in the store
+    // protocol must survive explicit scheme qualification (the form a
+    // cluster deployment passes), not just bare local paths — the NIO
+    // pointer arm in particular must resolve the qualified URI.
+    val root = "file:" + new java.io.File(tmp()).getAbsolutePath
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    assert(VersionedStore.publish(docs.limit(10), root) === 1)
+    assert(VersionedStore.publish(docs.limit(20), root) === 2)
+    assert(VersionedStore.latestVersion(spark, root) === Some(2))
+    assert(VersionedStore.read(spark, root).count() === 20)
+    assert(VersionedStore.read(spark, root, Some(1)).count() === 10)
+    // raced flips on the qualified root
+    val results = scala.collection.mutable.ListBuffer.empty[Int]
+    val threads = Seq(30, 40).map { n =>
+      new Thread(() => {
+        try {
+          val v = VersionedStore.publish(docs.limit(n), root)
+          results.synchronized { results += v }
+        } catch { case _: Exception => () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.nonEmpty && results.toList.distinct.size === results.size)
+    val head = VersionedStore.latestVersion(spark, root).get
+    assert(VersionedStore.versions(spark, root).contains(head))
+    VersionedStore.rollback(spark, root, 1)
+    assert(VersionedStore.read(spark, root).count() === 10)
+    val local = new java.io.File(root.stripPrefix("file:"))
+    assert(!new java.io.File(local, ".LATEST.crc").exists(),
+      "qualified-root flips must leave no checksum sidecar")
+    // expire spares the pointer target on the qualified root too
+    VersionedStore.expire(spark, local.getPath, keepLast = 1,
+      debrisGraceMs = 0L)
+    assert(VersionedStore.read(spark, root).count() === 10)
+  }
+
   test("version numbers past 99999 parse (pointer + listing)") {
     val root = tmp()
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
