@@ -213,8 +213,10 @@ object IncrementalPipeline {
             f.getFileStatus(debris).getModificationTime
           catch { case _: java.io.FileNotFoundException => Long.MaxValue }
         if (debrisAge < graceMs) {
-          val restored = try f.rename(debris, claim)
-            catch { case _: java.io.IOException => false }
+          // restore WITHOUT overwrite: if the stolen claim's owner (or a
+          // third claimant) re-created the path meanwhile, clobbering it
+          // would orphan THAT claim — refuse and leave the path alone
+          val restored = VersionedStore.renameNoReplace(f, debris, claim)
           if (!restored) {
             // a THIRD caller claimed in this window; its claim stands and
             // refuses everyone — drop the stolen marker (its holder's
@@ -230,25 +232,49 @@ object IncrementalPipeline {
         f.delete(debris, false)
       }
     }
-    if (!VersionedStore.exclusiveCreate(f, claim)) refuse()
-    // ownership stamp, AFTER the atomic create (the create is the lock;
-    // the stamp identifies the holder so release can refuse to delete a
-    // SUCCESSOR's claim after a grace violation). Raw write — no
-    // checksum sidecar, so sweeps' renames stay one-step and reads see
-    // exactly these bytes.
+    // the claim is created WITH its ownership stamp in one atomic step
+    // (hard-link publish on file://): a claim visible to any sweeper
+    // always carries its holder's identity. Creating first and stamping
+    // second left an empty-marker window a 20x-looped two-thread race
+    // actually hit — a sweeper stole the empty marker, the owner's
+    // stamp re-created the path, the restore rename clobbered it, and
+    // the claim leaked unreleased until the grace.
     val me = java.util.UUID.randomUUID().toString
-    VersionedStore.rawControlWrite(f, claim, me)
+    if (!VersionedStore.exclusiveCreateStamped(f, claim, me)) refuse()
     try body
     finally {
       // release ONLY what we own: a body that outlived the grace had its
       // claim swept and replaced — deleting blindly would kill the
       // successor's claim and let a third cycle start concurrently.
-      val owner = VersionedStore.rawControlRead(f, claim)
-      if (owner.contains(me)) f.delete(claim, false)
-      else System.err.println(s"withCycleClaim: WARNING not releasing " +
-        s"$claim — owner stamp ${owner.fold("<absent>")(_.take(8))} is " +
-        s"not ours (${me.take(8)}); this cycle outlived the ${graceMs} " +
-        "ms grace and its claim was legitimately swept")
+      def claimIsMine: Boolean =
+        VersionedStore.rawControlRead(f, claim).contains(me)
+      val fastReleased = claimIsMine && f.delete(claim, false)
+      if (!fastReleased) {
+        // our claim is not (or no longer) at the claim path. One benign
+        // cause needs active cleanup: a sweeper mid-steal renamed OUR
+        // claim to swept-debris in the read-to-delete window above (the
+        // 20x loop caught its restore resurrecting a claim whose owner
+        // had already exited — a leak that blocked cycles until the
+        // grace). Reclaim any swept debris stamped with OUR id — that
+        // also starves the sweeper's restore — then re-check the claim
+        // path once for a restore that landed first.
+        Option(f.globStatus(
+          new org.apache.hadoop.fs.Path(rp, ".cycle-claim.swept-*")))
+          .getOrElse(Array.empty)
+          .foreach { s =>
+            if (VersionedStore.rawControlRead(f, s.getPath).contains(me))
+              f.delete(s.getPath, false)
+          }
+        if (claimIsMine) f.delete(claim, false)
+        else {
+          val owner = VersionedStore.rawControlRead(f, claim)
+          if (owner.isDefined)
+            System.err.println(s"withCycleClaim: WARNING not releasing " +
+              s"$claim — owner stamp ${owner.get.take(8)} is not ours " +
+              s"(${me.take(8)}); this cycle outlived the ${graceMs} ms " +
+              "grace and its claim was legitimately swept")
+        }
+      }
     }
   }
 

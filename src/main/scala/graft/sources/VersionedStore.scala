@@ -93,19 +93,10 @@ object VersionedStore {
     case other => other
   }
 
-  /** Overwrite a small CONTROL file's content through the raw view —
-    * no checksum sidecar is created, so later renames of the file by
-    * ChecksumFs-based filesystems are ONE step (nothing to skew) and
-    * raw reads always see exactly the written bytes. For self-validating
-    * control content only (claim-owner stamps); data stays checksummed.
+  /** Read a small CONTROL file raw (checksum off — control content is
+    * self-validating, and raw-written markers carry no sidecar anyway):
+    * None if it does not exist.
     */
-  private[graft] def rawControlWrite(f: FileSystem, p: Path,
-      content: String): Unit = {
-    val out = rawControlFs(f).create(p, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** Read a small CONTROL file raw — None if it does not exist. */
   private[graft] def rawControlRead(f: FileSystem, p: Path): Option[String] = {
     val raw = rawControlFs(f)
     try {
@@ -324,6 +315,72 @@ object VersionedStore {
           // demonstrably exists, else surface the real failure
           if (f.exists(claim)) false else throw e
       }
+  }
+
+  /** Atomically create-if-absent a claim marker CARRYING `content` —
+    * true iff WE created it. Unlike [[exclusiveCreate]] + a follow-up
+    * content write, the marker is never visible empty: on file:// the
+    * content is staged into a unique sibling and hard-LINKED into place
+    * (link(2) is kernel-atomic and fails with EEXIST on an occupied
+    * path), so any observer that can see the marker can read its
+    * owner's stamp. The gap matters under sweep protocols that rename
+    * markers: a 20x-looped two-thread race over
+    * [[graft.IncrementalPipeline]]'s cycle claim caught a sweeper
+    * stealing the empty pre-stamp marker, colliding with the owner's
+    * stamp re-create, and leaking the claim unreleased.
+    */
+  private[graft] def exclusiveCreateStamped(f: FileSystem, claim: Path,
+      content: String): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val dst = java.nio.file.Paths.get(
+        f.makeQualified(claim).toUri.getPath)
+      val tmp = dst.resolveSibling(
+        s".${dst.getFileName}.stamp-${java.util.UUID.randomUUID()}")
+      try {
+        java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+        try { java.nio.file.Files.createLink(dst, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally {
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: java.io.IOException => () }
+      }
+    case _ =>
+      // DFS arm: create(overwrite = false) is namenode-atomic; the
+      // marker is briefly visible empty until close — narrower than the
+      // link arm, but DFS renames do not overwrite files, so the local
+      // arm's clobber interleaving cannot occur there
+      try {
+        val out = f.create(claim, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          if (f.exists(claim)) false else throw e
+      }
+  }
+
+  /** Rename that REFUSES an occupied destination (never clobbers) —
+    * the restore primitive for sweep steal-guards: putting a stolen
+    * marker back must not overwrite a marker re-created in the
+    * meantime. POSIX rename(2) (and Hadoop's RawLocalFileSystem.rename
+    * on top of it) silently overwrites, so file:// goes through NIO
+    * `Files.move` WITHOUT `REPLACE_EXISTING`; DFS renames already
+    * refuse occupied file destinations.
+    */
+  private[graft] def renameNoReplace(f: FileSystem, src: Path,
+      dst: Path): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(f.makeQualified(src).toUri.getPath),
+          java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false }
+    case _ =>
+      try f.rename(src, dst) catch { case _: java.io.IOException => false }
   }
 
   /** Read a version: the pointer's by default, or a pinned `version` for

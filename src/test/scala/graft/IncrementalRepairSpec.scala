@@ -539,6 +539,43 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!claim.exists())
   }
 
+  test("stale-claim sweep race LOOPED x20: two racing acquirers over a " +
+    "stale marker — never two bodies concurrently, claim always released") {
+    // volume for the sweep protocol's rename-atomicity: the two-real-JVM
+    // race below proves the cross-process window once per spawn; this
+    // loops the same acquisition race 20x in-process and asserts the
+    // DOUBLE-FOLD invariant directly (at no instant do two bodies run),
+    // which holds regardless of which thread wins which sub-race.
+    (1 to 20).foreach { i =>
+      val root = tmp(s"sweeprace$i")
+      val claim = new java.io.File(root, ".cycle-claim")
+      assert(claim.createNewFile())
+      assert(claim.setLastModified(System.currentTimeMillis() - 1000000L))
+      val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxInBody = new java.util.concurrent.atomic.AtomicInteger(0)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 2).map(_ => new Thread(() => {
+        gate.await()
+        try IncrementalPipeline.withCycleClaim(spark, root, 500000L,
+          "a looped race") {
+          val c = inBody.incrementAndGet()
+          try {
+            maxInBody.updateAndGet(m => math.max(m, c))
+            wins.incrementAndGet()
+            Thread.sleep(50)
+          } finally inBody.decrementAndGet()
+        }
+        catch { case _: IllegalStateException => () } // refusal: fine
+      }))
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(maxInBody.get === 1,
+        s"iter $i: two cycle bodies ran CONCURRENTLY — the double-fold")
+      assert(wins.get >= 1, s"iter $i: nobody acquired a sweepable claim")
+      assert(!claim.exists(), s"iter $i: claim not released")
+    }
+  }
+
   test("stale-sweep TOCTOU: a fresh claim stolen in the stat-to-rename " +
     "window is RESTORED and the sweeper refuses itself") {
     // the r13-ADVICE race, made deterministic via the test seam: caller
