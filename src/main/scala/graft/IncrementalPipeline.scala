@@ -183,6 +183,20 @@ object IncrementalPipeline {
         "serving stats. If the holder crashed, the marker sweeps " +
         s"itself after ${graceMs} ms (or delete it once you are sure " +
         "no cycle is in flight).")
+    // reclaim aged sibling debris nothing else owns: a sweeper that
+    // crashed between its rename and age-check strands `.swept-*`, a
+    // stamper killed mid-link strands `.stamp-*`. Age-gated by the SAME
+    // grace as the claim itself — a fresh `.swept-*` may be a live
+    // sweeper's in-flight steal whose restore must not be starved.
+    try {
+      val now0 = System.currentTimeMillis()
+      Seq(".cycle-claim.swept-*", "..cycle-claim.stamp-*").foreach { pat =>
+        Option(f.globStatus(new org.apache.hadoop.fs.Path(rp, pat)))
+          .getOrElse(Array.empty)
+          .filter(s => now0 - s.getModificationTime >= graceMs)
+          .foreach(s => f.delete(s.getPath, false))
+      }
+    } catch { case _: java.io.IOException => () }
     // the claim may vanish between probe and stat (a finishing cycle's
     // release) — that just means it is not stale
     val stale =

@@ -539,6 +539,24 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!claim.exists())
   }
 
+  test("aged claim-protocol debris (.swept-* / .stamp-*) sweeps at the " +
+    "next acquisition; FRESH swept debris is spared (live steal)") {
+    val root = tmp("claimdebris")
+    new java.io.File(root).mkdirs()
+    val aged1 = new java.io.File(root, ".cycle-claim.swept-deadcafe")
+    val aged2 = new java.io.File(root, "..cycle-claim.stamp-deadcafe")
+    val fresh = new java.io.File(root, ".cycle-claim.swept-fresh123")
+    Seq(aged1, aged2, fresh).foreach(x => assert(x.createNewFile()))
+    val old = System.currentTimeMillis() - 1000000L
+    assert(aged1.setLastModified(old) && aged2.setLastModified(old))
+    IncrementalPipeline.withCycleClaim(spark, root, 500000L, "a test")(())
+    assert(!aged1.exists() && !aged2.exists(),
+      "aged sweeper/stamper debris must be reclaimed")
+    assert(fresh.exists(),
+      "fresh swept debris may be a live steal mid-restore — spared")
+    assert(!new java.io.File(root, ".cycle-claim").exists())
+  }
+
   test("stale-claim sweep race LOOPED x20: two racing acquirers over a " +
     "stale marker — never two bodies concurrently, claim always released") {
     // volume for the sweep protocol's rename-atomicity: the two-real-JVM
