@@ -190,13 +190,28 @@ object IncrementalPipeline {
     // sweeper's in-flight steal whose restore must not be starved.
     try {
       val now0 = System.currentTimeMillis()
-      Seq(".cycle-claim.swept-*", "..cycle-claim.stamp-*").foreach { pat =>
+      Seq(".cycle-claim.swept-*", "..cycle-claim.stamp-*",
+        ".cycle-claim.rel-*").foreach { pat =>
         Option(f.globStatus(new org.apache.hadoop.fs.Path(rp, pat)))
           .getOrElse(Array.empty)
           .filter(s => now0 - s.getModificationTime >= graceMs)
           .foreach(s => f.delete(s.getPath, false))
       }
     } catch { case _: java.io.IOException => () }
+    // a FRESH .swept-* sibling means a sweeper is MID-STEAL of a live
+    // claim (rename preserves mtime, so sweeping a genuinely stale claim
+    // produces OLD debris, deleted moments later; only a stolen fresh
+    // claim yields fresh debris). The claim path may be momentarily
+    // vacant while the stolen claim's owner still runs its body —
+    // claiming into that vacuum would run two bodies concurrently, so
+    // refuse instead (retry after the steal resolves, milliseconds).
+    // This narrows the three-party window to this probe's own
+    // glob-to-create gap; the grace contract bounds what remains.
+    def freshStealInFlight: Boolean =
+      try Option(f.globStatus(new org.apache.hadoop.fs.Path(rp,
+        ".cycle-claim.swept-*"))).getOrElse(Array.empty)
+        .exists(s => System.currentTimeMillis() - s.getModificationTime < graceMs)
+      catch { case _: java.io.IOException => false }
     // the claim may vanish between probe and stat (a finishing cycle's
     // release) — that just means it is not stale
     val stale =
@@ -254,40 +269,66 @@ object IncrementalPipeline {
     // stamp re-created the path, the restore rename clobbered it, and
     // the claim leaked unreleased until the grace.
     val me = java.util.UUID.randomUUID().toString
-    if (!VersionedStore.exclusiveCreateStamped(f, claim, me)) refuse()
+    if (freshStealInFlight || !VersionedStore.exclusiveCreateStamped(f, claim, me))
+      refuse()
     try body
     finally {
-      // release ONLY what we own: a body that outlived the grace had its
-      // claim swept and replaced — deleting blindly would kill the
-      // successor's claim and let a third cycle start concurrently.
-      def claimIsMine: Boolean =
-        VersionedStore.rawControlRead(f, claim).contains(me)
-      val fastReleased = claimIsMine && f.delete(claim, false)
-      if (!fastReleased) {
-        // our claim is not (or no longer) at the claim path. One benign
-        // cause needs active cleanup: a sweeper mid-steal renamed OUR
-        // claim to swept-debris in the read-to-delete window above (the
-        // 20x loop caught its restore resurrecting a claim whose owner
-        // had already exited — a leak that blocked cycles until the
-        // grace). Reclaim any swept debris stamped with OUR id — that
-        // also starves the sweeper's restore — then re-check the claim
-        // path once for a restore that landed first.
-        Option(f.globStatus(
+      // release ONLY what we own — by ATOMIC TAKE, not read-then-delete:
+      // rename the claim out to a unique name and inspect the moved
+      // file. Reading in place and then deleting had a window where a
+      // sweeper (rightly, after a grace violation) replaced our claim
+      // between the read and the delete, and the delete killed the LIVE
+      // successor. The rename takes exactly one file; a foreign stamp
+      // is put back with the atomic no-clobber link restore.
+      // Returns true when the claim path was occupied and dealt with.
+      def takeAndRelease(): Boolean = {
+        val rel = new org.apache.hadoop.fs.Path(rp,
+          s".cycle-claim.rel-${java.util.UUID.randomUUID()}")
+        val taken = try f.rename(claim, rel)
+          catch { case _: java.io.IOException => false }
+        if (!taken) false
+        else if (VersionedStore.rawControlRead(f, rel).contains(me)) {
+          f.delete(rel, false); true
+        } else {
+          // we took a live SUCCESSOR's claim (ours was swept after a
+          // grace violation): restore it atomically; a failed restore
+          // means a third claimant raced into the brief vacancy — leave
+          // the moved stamp for the aged sweep and warn loud either way
+          if (VersionedStore.renameNoReplace(f, rel, claim))
+            System.err.println(s"withCycleClaim: WARNING $claim was not " +
+              s"ours (${me.take(8)}) at release — this cycle outlived " +
+              s"the ${graceMs} ms grace; restored the successor's claim")
+          else
+            System.err.println(s"withCycleClaim: WARNING took a foreign " +
+              s"claim at $claim during release and a third claimant " +
+              s"raced into the vacancy — successor's stamp left at $rel " +
+              "for the aged sweep; concurrent cycles are possible until " +
+              "the grace elapses")
+          true
+        }
+      }
+      if (!takeAndRelease()) {
+        // claim path vacant: a sweeper may be MID-STEAL of our claim
+        // (the 20x loop caught its restore resurrecting a claim whose
+        // owner had exited — a leak until the grace). Reclaim swept
+        // debris stamped with OUR id — starving the restore — then
+        // re-take once for a restore that landed first.
+        var starved = false
+        try Option(f.globStatus(
           new org.apache.hadoop.fs.Path(rp, ".cycle-claim.swept-*")))
           .getOrElse(Array.empty)
           .foreach { s =>
-            if (VersionedStore.rawControlRead(f, s.getPath).contains(me))
-              f.delete(s.getPath, false)
+            if (VersionedStore.rawControlRead(f, s.getPath).contains(me)) {
+              f.delete(s.getPath, false); starved = true
+            }
           }
-        if (claimIsMine) f.delete(claim, false)
-        else {
-          val owner = VersionedStore.rawControlRead(f, claim)
-          if (owner.isDefined)
-            System.err.println(s"withCycleClaim: WARNING not releasing " +
-              s"$claim — owner stamp ${owner.get.take(8)} is not ours " +
-              s"(${me.take(8)}); this cycle outlived the ${graceMs} ms " +
-              "grace and its claim was legitimately swept")
-        }
+        catch { case _: java.io.IOException => () }
+        if (!takeAndRelease() && !starved)
+          // nothing of ours anywhere: the claim was swept as stale AND
+          // its debris aged out — only a grace violation gets here
+          System.err.println(s"withCycleClaim: WARNING $claim already " +
+            s"gone at release (${me.take(8)}) — this cycle outlived the " +
+            s"${graceMs} ms grace and its claim was swept")
       }
     }
   }

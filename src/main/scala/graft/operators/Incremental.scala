@@ -373,7 +373,8 @@ object Incremental {
       // siblings may be a concurrent builder still staging)
       val now = System.currentTimeMillis()
       Option(root.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.getName.startsWith(s"${root.getName}.build-") &&
+        .filter(d => (d.getName.startsWith(s"${root.getName}.build-") ||
+          d.getName.startsWith(s"${root.getName}.torn-")) &&
           now - d.lastModified >= graft.sources.VersionedStore.DefaultDebrisGraceMs)
         .foreach(d => deleteTree(d.toString))
       val staging = new java.io.File(root.getParentFile,
@@ -399,7 +400,12 @@ object Incremental {
             // until a human deleted the root.
             val torn = new java.io.File(root.getParentFile,
               s"${root.getName}.torn-${java.util.UUID.randomUUID().toString.take(8)}")
-            val healed =
+            // re-probe IMMEDIATELY before destroying anything: a
+            // concurrent healer may have completed between the outer
+            // probe and here, and moving aside its fresh HEALTHY root
+            // would break readers already scanning it. The residual
+            // probe-to-move gap is microseconds against a whole heal.
+            val healed = !present && {
               try {
                 java.nio.file.Files.move(root.toPath, torn.toPath,
                   java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -407,7 +413,23 @@ object Incremental {
                   java.nio.file.StandardCopyOption.ATOMIC_MOVE)
                 true
               } catch { case _: java.io.IOException => false }
-              finally deleteTree(torn.toString)
+              finally {
+                // destroy the moved-aside tree only if it really is torn
+                // (meta unreadable — same probe as `present`, aimed at
+                // the aside path): if the race above DID yank a healthy
+                // artifact, keep its data and warn; the aged .torn-*
+                // sweep reclaims it once no reader can hold it
+                val tornHealthy = torn.exists() &&
+                  (try { Dedup.bandIndexCovered(s, torn.toString); true }
+                  catch { case _: org.apache.spark.sql.AnalysisException => false })
+                if (tornHealthy)
+                  System.err.println(s"bandIndexFor: WARNING moved aside " +
+                    s"a HEALTHY artifact during torn-root heal ($torn) — " +
+                    "a concurrent heal raced the probe; keeping its data " +
+                    "for the aged sweep")
+                else deleteTree(torn.toString)
+              }
+            }
             if (!healed) {
               // a concurrent builder/healer raced us between the two
               // moves — use whatever it published, or fail loudly

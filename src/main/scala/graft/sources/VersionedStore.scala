@@ -116,16 +116,7 @@ object VersionedStore {
     */
   def latestVersion(spark: SparkSession, root: String): Option[Int] = {
     val p = new Path(root, Pointer)
-    val f = rawControlFs(fs(spark, p))
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        parse(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
-      } finally in.close()
-    }
+    rawControlRead(fs(spark, p), p).flatMap(s => parse(s.trim))
   }
 
   private def writePointer(spark: SparkSession, root: String, n: Int): Unit = {
@@ -221,10 +212,13 @@ object VersionedStore {
     // skewed for OTHER tooling that opens the pointer checksummed.
     // Sweeping after (not just before) means two racing flips converge
     // with no sidecar at all instead of racing the sweep itself.
-    try {
+    // Gated on ChecksumFs backing: only ChecksumFileSystem ever creates
+    // these names, so on DFS/object schemes the flip hot path pays no
+    // extra exists/LIST round-trips.
+    val raw = rawControlFs(f)
+    if (raw ne f) try {
       // raw view: ChecksumFileSystem HIDES .crc files from listStatus/
       // globStatus, so the sweep would see nothing through `f` itself
-      val raw = rawControlFs(f)
       val crc = new Path(rp, s".$Pointer.crc")
       if (raw.exists(crc)) raw.delete(crc, false)
       Option(raw.globStatus(new Path(rp, s"..$Pointer.tmp*.crc")))
@@ -361,22 +355,28 @@ object VersionedStore {
       }
   }
 
-  /** Rename that REFUSES an occupied destination (never clobbers) —
-    * the restore primitive for sweep steal-guards: putting a stolen
-    * marker back must not overwrite a marker re-created in the
-    * meantime. POSIX rename(2) (and Hadoop's RawLocalFileSystem.rename
-    * on top of it) silently overwrites, so file:// goes through NIO
-    * `Files.move` WITHOUT `REPLACE_EXISTING`; DFS renames already
-    * refuse occupied file destinations.
+  /** Move a small marker FILE refusing an occupied destination (never
+    * clobbers) — the restore primitive for sweep steal-guards: putting a
+    * stolen marker back must not overwrite a marker re-created in the
+    * meantime. On file:// neither rename route is safe: POSIX rename(2)
+    * (Hadoop's RawLocalFileSystem.rename) silently overwrites, and NIO
+    * `Files.move` without `REPLACE_EXISTING` is an exists-CHECK followed
+    * by that same rename(2) — a TOCTOU, not a guarantee. link(2) is the
+    * real primitive: hard-link the source onto the destination
+    * (kernel-atomic, fails EEXIST on an occupied path), then unlink the
+    * source name. Files only — directories cannot be hard-linked. DFS
+    * renames refuse occupied file destinations natively.
     */
   private[graft] def renameNoReplace(f: FileSystem, src: Path,
       dst: Path): Boolean = f match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val s = java.nio.file.Paths.get(f.makeQualified(src).toUri.getPath)
+      val d = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
       try {
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(f.makeQualified(src).toUri.getPath),
-          java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath))
+        java.nio.file.Files.createLink(d, s)
+        try java.nio.file.Files.deleteIfExists(s)
+        catch { case _: java.io.IOException => () }
         true
       } catch { case _: java.io.IOException => false }
     case _ =>
@@ -458,9 +458,10 @@ object VersionedStore {
     (doomed ++ staleClaims).foreach(p => f.delete(p, true))
     // pointer-tmp checksum sidecars stranded by checksummed flips of an
     // older layout: INVISIBLE in `listing` (ChecksumFileSystem hides
-    // .crc names from listStatus), so they need their own raw-view glob
-    try {
-      val raw = rawControlFs(f)
+    // .crc names from listStatus), so they need their own raw-view glob.
+    // ChecksumFs-backed schemes only — nothing else creates these names.
+    val raw = rawControlFs(f)
+    if (raw ne f) try {
       Option(raw.globStatus(new Path(rp, s"..$Pointer.tmp*.crc")))
         .getOrElse(Array.empty)
         .filter(s => now - s.getModificationTime >= debrisGraceMs)

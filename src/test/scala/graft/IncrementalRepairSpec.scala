@@ -539,21 +539,35 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!claim.exists())
   }
 
-  test("aged claim-protocol debris (.swept-* / .stamp-*) sweeps at the " +
-    "next acquisition; FRESH swept debris is spared (live steal)") {
+  test("aged claim-protocol debris (.swept-*/.stamp-*/.rel-*) sweeps at " +
+    "the next acquisition; FRESH swept debris REFUSES it (live steal — " +
+    "the claim path may be a momentary vacuum)") {
     val root = tmp("claimdebris")
     new java.io.File(root).mkdirs()
     val aged1 = new java.io.File(root, ".cycle-claim.swept-deadcafe")
     val aged2 = new java.io.File(root, "..cycle-claim.stamp-deadcafe")
+    val aged3 = new java.io.File(root, ".cycle-claim.rel-deadcafe")
     val fresh = new java.io.File(root, ".cycle-claim.swept-fresh123")
-    Seq(aged1, aged2, fresh).foreach(x => assert(x.createNewFile()))
+    Seq(aged1, aged2, aged3, fresh).foreach(x => assert(x.createNewFile()))
     val old = System.currentTimeMillis() - 1000000L
-    assert(aged1.setLastModified(old) && aged2.setLastModified(old))
-    IncrementalPipeline.withCycleClaim(spark, root, 500000L, "a test")(())
-    assert(!aged1.exists() && !aged2.exists(),
-      "aged sweeper/stamper debris must be reclaimed")
+    Seq(aged1, aged2, aged3).foreach(x => assert(x.setLastModified(old)))
+    // a FRESH .swept-* is a mid-steal marker: the stolen claim's owner
+    // may still be running with the claim path vacant — acquiring into
+    // that vacuum would run two cycles, so this acquisition must REFUSE
+    // (while still reclaiming the aged debris it walked past)
+    val e = intercept[IllegalStateException] {
+      IncrementalPipeline.withCycleClaim(spark, root, 500000L, "a test") {
+        fail("must refuse while a fresh steal is in flight")
+      }
+    }
+    assert(e.getMessage.contains("cycle"))
+    assert(!aged1.exists() && !aged2.exists() && !aged3.exists(),
+      "aged sweeper/stamper/release debris must be reclaimed")
     assert(fresh.exists(),
-      "fresh swept debris may be a live steal mid-restore — spared")
+      "fresh swept debris is the live steal's restore source — spared")
+    // steal resolved (restore consumed the debris): acquisition proceeds
+    assert(fresh.delete())
+    IncrementalPipeline.withCycleClaim(spark, root, 500000L, "a test")(())
     assert(!new java.io.File(root, ".cycle-claim").exists())
   }
 
