@@ -539,6 +539,42 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!claim.exists())
   }
 
+  test("a full pipeline day over file:-scheme-QUALIFIED roots ≡ the " +
+    "same day over bare paths (claims, publish, index append, stats)") {
+    // end-to-end Hadoop-FS honesty for the COMPOSED protocol stack: the
+    // qualified form is what a cluster deployment passes, and it must
+    // drive the NIO claim/pointer arms (makeQualified -> toUri.getPath)
+    // identically — bootstrap, cycle claim, versioned publish + flip,
+    // band-index batch append, stats fold, all on qualified roots.
+    import spark.implicits._
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 150).select("doc_id", "text").localCheckpoint()
+    val changes = Seq(
+      (300001L, 1, "I", "a qualified-scheme day brings one fresh document"),
+      (3L, 2, "U", "doc three rewritten during the qualified-scheme day"),
+      (5L, 2, "D", ""))
+    def runDay(qualify: Boolean): (Set[(Long, String)], Long, Int) = {
+      val r = freshRoots(if (qualify) "qual" else "bare")
+      def q(p: String): String =
+        if (qualify) "file:" + new java.io.File(p).getAbsolutePath else p
+      IncrementalPipeline.bootstrap(base, q(r.store), q(r.idx), q(r.stats))
+      appendLog(r.log, 0L, changes)
+      val d = IncrementalPipeline.publishDay(spark, q(r.store), q(r.idx),
+        q(r.stats), r.log)
+      val h = hashes(sources.VersionedStore.read(spark, q(r.store)))
+      // the qualified store must be hygienic: claim released, no debris
+      val names = new java.io.File(r.store).listFiles().map(_.getName).toSet
+      assert(!names.exists(_.startsWith(".cycle-claim")),
+        s"claim debris on ${if (qualify) "qualified" else "bare"} root: $names")
+      assert(!names.contains(".LATEST.crc"))
+      (h, d.nAccepted, d.corpusVersion)
+    }
+    val (hQ, accQ, vQ) = runDay(qualify = true)
+    val (hB, accB, vB) = runDay(qualify = false)
+    assert(hQ === hB, "qualified-root day must equal the bare-path day")
+    assert(accQ === accB && vQ === vB)
+  }
+
   test("aged claim-protocol debris (.swept-*/.stamp-*/.rel-*) sweeps at " +
     "the next acquisition; FRESH swept debris REFUSES it (live steal — " +
     "the claim path may be a momentary vacuum)") {
