@@ -306,6 +306,39 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VersionedStore.read(spark, root).count() === 10)
   }
 
+  test("claim primitives: exclusiveCreateStamped is atomic-with-content " +
+    "and debris-free; renameNoReplace never clobbers an occupied path") {
+    val root = tmp()
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(rp, ".probe-claim")
+    // create on a free path: wins, content readable, no .stamp-* tmp left
+    assert(VersionedStore.exclusiveCreateStamped(f, claim, "owner-a"))
+    assert(VersionedStore.rawControlRead(f, claim).contains("owner-a"))
+    // create on an occupied path: refused, occupant untouched
+    assert(!VersionedStore.exclusiveCreateStamped(f, claim, "owner-b"))
+    assert(VersionedStore.rawControlRead(f, claim).contains("owner-a"))
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.contains(".stamp-"))
+    assert(leftovers.isEmpty, s"stamp staging debris: ${leftovers.toSeq}")
+
+    // renameNoReplace onto an OCCUPIED destination: refused, both files
+    // intact (the JDK's Files.move-without-REPLACE is check-then-rename
+    // and can clobber under a race; the link(2) arm cannot, ever)
+    val src = new org.apache.hadoop.fs.Path(rp, ".probe-src")
+    assert(VersionedStore.exclusiveCreateStamped(f, src, "src-stamp"))
+    assert(!VersionedStore.renameNoReplace(f, src, claim))
+    assert(VersionedStore.rawControlRead(f, claim).contains("owner-a"),
+      "occupied destination must be untouched")
+    assert(VersionedStore.rawControlRead(f, src).contains("src-stamp"),
+      "failed restore must leave the source in place")
+    // onto a FREE destination: moves, source name gone, content intact
+    val free = new org.apache.hadoop.fs.Path(rp, ".probe-free")
+    assert(VersionedStore.renameNoReplace(f, src, free))
+    assert(VersionedStore.rawControlRead(f, free).contains("src-stamp"))
+    assert(VersionedStore.rawControlRead(f, src).isEmpty)
+  }
+
   test("version numbers past 99999 parse (pointer + listing)") {
     val root = tmp()
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
