@@ -264,13 +264,12 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     appendLog(r.log, 0L, Seq(
       (3L, 1, "I", "a genuinely fresh third document about nothing else")))
 
-    // the crashed previous cycle's debris: a claim aged past the grace
-    // the workers run with (500 s) — BOTH will judge it sweep-eligible,
-    // which is exactly the TOCTOU window a plain delete loses
-    val stale = new java.io.File(r.store, ".cycle-claim")
-    assert(stale.createNewFile())
-    assert(stale.setLastModified(System.currentTimeMillis() - 1000000L))
-
+    // LOCKSTEP rounds (r13 verdict item 3): one JVM pair buys nRounds
+    // aligned sweep-race windows — alpha re-plants an AGED claim before
+    // each round's barrier, so BOTH workers judge it sweep-eligible
+    // every round, which is exactly the TOCTOU window a plain delete
+    // loses
+    val nRounds = 5
     val barrier = JF.createTempDirectory(JP.get("target"), "cycbar")
       .toAbsolutePath.toString
     val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -278,19 +277,20 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
     val javaBin = new java.io.File(
       System.getProperty("java.home"), "bin/java").getPath
-    def spawn(tag: String): (Process, java.io.File) = {
+    def spawn(tag: String, plant: String): (Process, java.io.File) = {
       val out = java.io.File.createTempFile(s"cycworker-$tag", ".log",
         new java.io.File("target"))
       val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp",
         System.getProperty("java.class.path"), "graft.CycleWorker",
-        r.store, r.idx, r.stats, r.log, barrier, tag, "500000")
+        r.store, r.idx, r.stats, r.log, barrier, tag, "500000",
+        nRounds.toString, plant)
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       pb.redirectOutput(out)
       (pb.start(), out)
     }
-    val (pa, oa) = spawn("alpha")
-    val (pb, ob) = spawn("beta")
+    val (pa, oa) = spawn("alpha", "plant")
+    val (pb, ob) = spawn("beta", "noplant")
     val deadline = System.nanoTime() + 180L * 1000000000L
     while (!(new java.io.File(barrier, "ready-alpha").exists() &&
       new java.io.File(barrier, "ready-beta").exists())) {
@@ -302,8 +302,8 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
       Thread.sleep(50)
     }
     new java.io.File(barrier, "go").createNewFile()
-    assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
-      pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+    assert(pa.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      pb.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
       "a worker hung past the deadline")
     assert(pa.exitValue() === 0,
       s"alpha failed:\n${scala.io.Source.fromFile(oa).mkString}")
@@ -312,9 +312,11 @@ class IncrementalRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     val outcomes = Seq(oa, ob).flatMap(f =>
       scala.io.Source.fromFile(f).getLines()
         .filter(l => l.startsWith("DAY ") || l.startsWith("REFUSED ")))
-    assert(outcomes.size === 2, s"expected two outcomes, got $outcomes")
-    assert(outcomes.exists(_.startsWith("DAY")),
-      s"no cycle succeeded: $outcomes")
+    assert(outcomes.size === 2 * nRounds,
+      s"expected ${2 * nRounds} outcomes, got $outcomes")
+    val days = outcomes.count(_.startsWith("DAY"))
+    assert(days >= nRounds,
+      s"every round must admit at least one cycle: $outcomes")
 
     // THE contract: whatever the interleaving (one refused, or both ran
     // serialized), the end state equals the deterministic replay and the
