@@ -171,6 +171,21 @@ object IncrementalPipeline {
     */
   private[graft] var cycleClaimSweepHook: () => Unit = () => ()
 
+  /** Test seam (ClaimScheduleSpec): runs between the fresh-steal probe
+    * and the claim create — the probe's own glob-to-create gap, the
+    * first of the two documented residual windows. Production never
+    * sets it.
+    */
+  private[graft] var cycleClaimPreClaimHook: () => Unit = () => ()
+
+  /** Test seam (ClaimScheduleSpec): runs inside release's atomic TAKE,
+    * after the claim was renamed out (path momentarily VACANT) and
+    * before the ownership inspection/restore — the second documented
+    * residual window (third claimant entering the vacancy). Production
+    * never sets it.
+    */
+  private[graft] var cycleClaimReleaseHook: () => Unit = () => ()
+
   private[graft] def withCycleClaim[T](spark: SparkSession, storeRoot: String,
       graceMs: Long, who: String)(body: => T): T = {
     val rp = new org.apache.hadoop.fs.Path(storeRoot)
@@ -269,8 +284,9 @@ object IncrementalPipeline {
     // stamp re-created the path, the restore rename clobbered it, and
     // the claim leaked unreleased until the grace.
     val me = java.util.UUID.randomUUID().toString
-    if (freshStealInFlight || !VersionedStore.exclusiveCreateStamped(f, claim, me))
-      refuse()
+    if (freshStealInFlight) refuse()
+    cycleClaimPreClaimHook()
+    if (!VersionedStore.exclusiveCreateStamped(f, claim, me)) refuse()
     try body
     finally {
       // release ONLY what we own — by ATOMIC TAKE, not read-then-delete:
@@ -286,6 +302,7 @@ object IncrementalPipeline {
           s".cycle-claim.rel-${java.util.UUID.randomUUID()}")
         val taken = try f.rename(claim, rel)
           catch { case _: java.io.IOException => false }
+        if (taken) cycleClaimReleaseHook()
         if (!taken) false
         else if (VersionedStore.rawControlRead(f, rel).contains(me)) {
           f.delete(rel, false); true

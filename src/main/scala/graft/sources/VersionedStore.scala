@@ -34,6 +34,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     minus the keep horizon, so pinned readers on recent versions and
   *     the rollback window stay intact.
   */
+/** Fault seam for the NIO claim/pointer primitives (r14 verdict item 1):
+  * the r14 hardening moved the load-bearing control-file operations onto
+  * `java.nio.file.Files` directly — kernel-atomic, but OUT of reach of
+  * the Hadoop-layer fault harness (EnospcFs intercepts FileSystem calls
+  * only). Every NIO call a claim/pointer protocol depends on goes
+  * through here; `hook` runs BEFORE the real operation and a test that
+  * makes it throw simulates ENOSPC/EIO/UOE at exactly that step.
+  * Production never sets the hook. Same pattern as
+  * [[graft.IncrementalPipeline.cycleClaimSweepHook]].
+  */
+private[graft] object NioControl {
+  import java.nio.file.{Files, Path => NPath}
+
+  /** (op, path) => Unit; throw to inject a fault at that step. Ops:
+    * "write" (stamp/pointer staging), "createFile" (bare claim),
+    * "createLink" (stamped-claim publish, no-clobber restore),
+    * "move" (pointer ATOMIC_MOVE).
+    */
+  @volatile private[graft] var hook: (String, NPath) => Unit = (_, _) => ()
+
+  /** Run `body` with the fault armed, always disarming after. */
+  private[graft] def armed[T](h: (String, NPath) => Unit)(body: => T): T = {
+    hook = h
+    try body finally hook = (_, _) => ()
+  }
+
+  def write(p: NPath, bytes: Array[Byte]): NPath =
+    { hook("write", p); Files.write(p, bytes) }
+  def createFile(p: NPath): NPath =
+    { hook("createFile", p); Files.createFile(p) }
+  def createLink(link: NPath, existing: NPath): NPath =
+    { hook("createLink", link); Files.createLink(link, existing) }
+  def move(src: NPath, dst: NPath,
+      opts: java.nio.file.CopyOption*): NPath =
+    { hook("move", src); Files.move(src, dst, opts: _*) }
+}
+
 object VersionedStore {
 
   private val Pointer = "LATEST"
@@ -145,8 +182,20 @@ object VersionedStore {
       // overwrites in place, creates no sidecar at all.
       val dir = java.nio.file.Paths.get(f.makeQualified(rp).toUri.getPath)
       val tmpNio = dir.resolve(tmp.getName)
-      java.nio.file.Files.write(tmpNio, vdir(n).getBytes("UTF-8"))
-      try java.nio.file.Files.move(tmpNio, dir.resolve(Pointer),
+      // staging write and flip each sweep their own tmp on failure: a
+      // partial `.LATEST.tmp-*` from a true ENOSPC must not wait for the
+      // aged expire() sweep when the failing writer is still alive to
+      // clean it (expire remains the backstop for hard crashes)
+      try NioControl.write(tmpNio, vdir(n).getBytes("UTF-8"))
+      catch {
+        case e: java.io.IOException =>
+          try java.nio.file.Files.deleteIfExists(tmpNio)
+          catch { case _: java.io.IOException => }
+          throw new IllegalStateException(
+            s"pointer staging failed for $root -> ${vdir(n)} — the " +
+              "store pointer is untouched", e)
+      }
+      try NioControl.move(tmpNio, dir.resolve(Pointer),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
         case e: java.io.IOException =>
@@ -293,7 +342,7 @@ object VersionedStore {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
       try {
-        java.nio.file.Files.createFile(
+        NioControl.createFile(
           java.nio.file.Paths.get(f.makeQualified(claim).toUri.getPath))
         true
       } catch {
@@ -332,9 +381,34 @@ object VersionedStore {
       val tmp = dst.resolveSibling(
         s".${dst.getFileName}.stamp-${java.util.UUID.randomUUID()}")
       try {
-        java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-        try { java.nio.file.Files.createLink(dst, tmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        NioControl.write(tmp, content.getBytes("UTF-8"))
+        try { NioControl.createLink(dst, tmp); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // a local mount without hard links (FAT, some NFS/FUSE-backed
+            // mounts): fall back to the DFS arm's narrower guarantee —
+            // atomic O_EXCL create, then stamp (marker briefly visible
+            // empty). Never silently false: that would refuse every
+            // acquisition forever on such a mount (livelock), when the
+            // create-then-stamp contract is still serviceable there.
+            try {
+              NioControl.createFile(dst)
+              try NioControl.write(dst, content.getBytes("UTF-8"))
+              catch {
+                case e: java.io.IOException =>
+                  // do not leak OUR empty marker on a failed stamp —
+                  // it would refuse every later claimant until the
+                  // aged sweep
+                  try java.nio.file.Files.deleteIfExists(dst)
+                  catch { case _: java.io.IOException => () }
+                  throw e
+              }
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+        }
       } finally {
         try java.nio.file.Files.deleteIfExists(tmp)
         catch { case _: java.io.IOException => () }
@@ -374,11 +448,19 @@ object VersionedStore {
       val s = java.nio.file.Paths.get(f.makeQualified(src).toUri.getPath)
       val d = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
       try {
-        java.nio.file.Files.createLink(d, s)
+        NioControl.createLink(d, s)
         try java.nio.file.Files.deleteIfExists(s)
         catch { case _: java.io.IOException => () }
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        // UnsupportedOperationException: no hard links on this mount — a
+        // refused restore is the SAFE side (the moved marker stays for
+        // the aged sweep and every caller warns loudly on false); letting
+        // it escape from withCycleClaim's release masked the body's real
+        // exception and leaked the .rel-* marker
+        case _: java.io.IOException | _: UnsupportedOperationException =>
+          false
+      }
     case _ =>
       try f.rename(src, dst) catch { case _: java.io.IOException => false }
   }
