@@ -45,7 +45,10 @@ object CycleWorker {
       def meet(prefix: String, i: Int): Unit = {
         new java.io.File(bd, s"$prefix-$i-$tag").createNewFile()
         val rd = System.nanoTime() + 120L * 1000000000L
-        while (bd.list().count(_.startsWith(s"$prefix-$i-")) < 2) {
+        // File.list() returns null on a transient IO error — an NPE here
+        // would fail the race suite spuriously mid-barrier
+        while (Option(bd.list()).getOrElse(Array.empty[String])
+          .count(_.startsWith(s"$prefix-$i-")) < 2) {
           if (System.nanoTime() > rd)
             sys.error(s"worker $tag: $prefix-$i barrier never filled")
           Thread.sleep(2)

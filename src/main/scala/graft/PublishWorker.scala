@@ -49,7 +49,10 @@ object PublishWorker {
       (0 until nStr.toInt).foreach { i =>
         new java.io.File(bd, s"round-$i-$tag").createNewFile()
         val rd = System.nanoTime() + 120L * 1000000000L
-        while (bd.list().count(_.startsWith(s"round-$i-")) < nWorkers) {
+        // File.list() returns null on a transient IO error — an NPE here
+        // would fail the race suite spuriously mid-barrier
+        while (Option(bd.list()).getOrElse(Array.empty[String])
+          .count(_.startsWith(s"round-$i-")) < nWorkers) {
           if (System.nanoTime() > rd)
             sys.error(s"worker $tag: round-$i barrier never filled")
           Thread.sleep(2)

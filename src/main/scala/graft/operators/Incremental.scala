@@ -409,9 +409,23 @@ object Incremental {
               try {
                 java.nio.file.Files.move(root.toPath, torn.toPath,
                   java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                java.nio.file.Files.move(staging.toPath, root.toPath,
-                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                true
+                try {
+                  java.nio.file.Files.move(staging.toPath, root.toPath,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  true
+                } catch {
+                  case _: java.io.IOException =>
+                    // the torn root is now OUT OF THE WAY (the publish
+                    // path is vacant), so a transient failure on the
+                    // publish leg gets one retry before this heal gives
+                    // up and discards a COMPLETE rebuild — without it a
+                    // single EINTR-class hiccup here deleted both the
+                    // torn tree and the fresh staging and left the keyed
+                    // root ABSENT
+                    java.nio.file.Files.move(staging.toPath, root.toPath,
+                      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                    true
+                }
               } catch { case _: java.io.IOException => false }
               finally {
                 // destroy the moved-aside tree only if it really is torn
