@@ -61,18 +61,47 @@ object Bench {
     def jitTimeMs(): Long =
       java.lang.management.ManagementFactory.getCompilationMXBean
         .getTotalCompilationTime
-    def pass(): Map[String, Double] = queries.map { case (name, fn) =>
-      if (gcBetween) System.gc()
-      val g0 = if (gcStatsOn) gcTimeMs() else 0L
-      val j0 = if (gcStatsOn) jitTimeMs() else 0L
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      if (gcStatsOn) {
-        gcMs(name) = gcMs(name) + (gcTimeMs() - g0)
-        jitMs(name) = jitMs(name) + (jitTimeMs() - j0)
-      }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
+    // Fix the per-pass iteration order once: the segment canaries below
+    // attribute a reading to "the queries timed since the last reading",
+    // which only means something if both passes walk the same order.
+    val qseq = queries.toSeq
+    // INTERLEAVED load canaries (r14 verdict item 5): the bracketing
+    // start/end canaries track box direction but not magnitude — the r14
+    // judge and driver shared a canary (0.916/0.917) yet read 12% apart
+    // on identical code, because load arriving MID-run is invisible to a
+    // min-of-two bracket. A short CPU canary every `segLen` queries
+    // timestamps the box along the run; each query's wall is then also
+    // reported normalized by its segment's ratio (wall / ratio ≈ what a
+    // quiet reference box would read), so round-over-round movers
+    // separate from box drift without eyeballing two scalars. The probe
+    // is short (the JVM is deeply warm mid-bench — the full 15-warmup
+    // knee climb is only needed for the FIRST reading): ~0.4 s × ~7
+    // segments × 2 passes ≈ 6 s on a ~120 s bench. Raw walls and the
+    // headline stay untouched.
+    val segLen = 32
+    val segCanaries = scala.collection.mutable.ArrayBuffer[Double]()
+    def pass(): Map[String, (Double, Double)] = {
+      var segRatio = 1.0
+      qseq.zipWithIndex.map { case ((name, fn), i) =>
+        if (i % segLen == 0) {
+          val c = LoadCanary.measure(spark, warmups = 1, timed = 3)
+          segCanaries += c
+          segRatio = c / LoadCanary.referenceSec
+        }
+        if (gcBetween) System.gc()
+        val g0 = if (gcStatsOn) gcTimeMs() else 0L
+        val j0 = if (gcStatsOn) jitTimeMs() else 0L
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        if (gcStatsOn) {
+          gcMs(name) = gcMs(name) + (gcTimeMs() - g0)
+          jitMs(name) = jitMs(name) + (jitTimeMs() - j0)
+        }
+        val wall =
+          if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
+        name -> (wall, segRatio)
+      }.toMap
     }
     // In-run LOAD CANARY (graft.LoadCanary): measured immediately before
     // and after the timed passes; the emitted ratio against the recorded
@@ -94,8 +123,18 @@ object Bench {
     // canary could not see (it read 0.95) — a polluted box must be visible
     // in the one field the grading reads
     val canaryRatio = math.max(cpuRatio, bwRatio)
-    val results = p1.map { case (k, v) =>
-      val m = math.min(v, p2(k))
+    val results = p1.map { case (k, (v, _)) =>
+      val m = math.min(v, p2(k)._1)
+      k -> (if (m.isInfinity) -1.0 else m)
+    }
+    // canary-normalized walls: per pass, wall / segment-ratio; then the
+    // min across passes (same estimator as the raw headline, in
+    // reference-box units). A ratio can read < 1 on a box faster than
+    // the recorded reference — that is signal, not an error, so no
+    // clamping.
+    val normResults = p1.map { case (k, (v1, r1)) =>
+      val (v2, r2) = p2(k)
+      val m = math.min(v1 / r1, v2 / r2)
       k -> (if (m.isInfinity) -1.0 else m)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -124,6 +163,11 @@ object Bench {
     // tail can truncate mid-object, a file write cannot.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val normQs = normResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val segJson = segCanaries.map(c => f3(c / LoadCanary.referenceSec))
+      .mkString("[", ",", "]")
+    val normTotal = normResults.values.filter(_ >= 0).sum
     val gcJson =
       if (gcStatsOn)
         gcMs.map { case (k, v) => "\"" + k + "\":" + v }
@@ -132,7 +176,7 @@ object Bench {
             .mkString(""","jit_ms":{""", ",", "}")
       else ""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_ratio":$canaryRatio,"canary_cpu_ratio":$cpuRatio,"canary_bw_ratio":$bwRatio,"canary_bw_sec":$bwCanary,"canary_bw_ref_sec":${LoadCanary.bandwidthReferenceSec},"canary_ref_sec":${LoadCanary.referenceSec},"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"queries":$fullQs$gcJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_ratio":$canaryRatio,"canary_cpu_ratio":$cpuRatio,"canary_bw_ratio":$bwRatio,"canary_bw_sec":$bwCanary,"canary_bw_ref_sec":${LoadCanary.bandwidthReferenceSec},"canary_ref_sec":${LoadCanary.referenceSec},"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"norm_total":$normTotal,"canary_segments":$segJson,"queries":$fullQs,"queries_norm":$normQs$gcJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
