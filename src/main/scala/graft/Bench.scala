@@ -137,7 +137,13 @@ object Bench {
       val m = math.min(v1 / r1, v2 / r2)
       k -> (if (m.isInfinity) -1.0 else m)
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // both totals cover the SAME query set: failed queries (-1 sentinel
+    // in the per-query maps) are excluded from the raw headline and the
+    // normalized total alike, and surfaced as an explicit count — a raw
+    // total carrying -1 contributions against a norm total silently
+    // omitting them would read as canary signal instead of a failure
+    val failedQueries = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
     // Locale.ROOT: the f-interpolator honours the JVM default locale, which
     // could print "0,123" and corrupt the JSON.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -145,7 +151,8 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","canary_sec":${f3(canary)},"canary_ratio":${f3(canaryRatio)},"canary_cpu_ratio":${f3(cpuRatio)},"canary_bw_ratio":${f3(bwRatio)},"queries":$qs$omit,"sf":"$sfDir"}"""
+      val fail = if (failedQueries > 0) s""","queries_failed":$failedQueries""" else ""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","canary_sec":${f3(canary)},"canary_ratio":${f3(canaryRatio)},"canary_cpu_ratio":${f3(cpuRatio)},"canary_bw_ratio":${f3(bwRatio)},"queries":$qs$omit$fail,"sf":"$sfDir"}"""
     }
     // The harness captures only the last ~2000 chars of stdout and parses the
     // JSON out of that tail; sbt's own "[success] Total time..." trailer also
@@ -176,7 +183,7 @@ object Bench {
             .mkString(""","jit_ms":{""", ",", "}")
       else ""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_ratio":$canaryRatio,"canary_cpu_ratio":$cpuRatio,"canary_bw_ratio":$bwRatio,"canary_bw_sec":$bwCanary,"canary_bw_ref_sec":${LoadCanary.bandwidthReferenceSec},"canary_ref_sec":${LoadCanary.referenceSec},"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"norm_total":$normTotal,"canary_segments":$segJson,"queries":$fullQs,"queries_norm":$normQs$gcJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_ratio":$canaryRatio,"canary_cpu_ratio":$cpuRatio,"canary_bw_ratio":$bwRatio,"canary_bw_sec":$bwCanary,"canary_bw_ref_sec":${LoadCanary.bandwidthReferenceSec},"canary_ref_sec":${LoadCanary.referenceSec},"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"norm_total":$normTotal,"queries_failed":$failedQueries,"canary_segments":$segJson,"queries":$fullQs,"queries_norm":$normQs$gcJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }

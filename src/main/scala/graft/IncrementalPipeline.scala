@@ -262,14 +262,34 @@ object IncrementalPipeline {
           // would orphan THAT claim — refuse and leave the path alone
           val restored = VersionedStore.renameNoReplace(f, debris, claim)
           if (!restored) {
-            // a THIRD caller claimed in this window; its claim stands and
-            // refuses everyone — drop the stolen marker (its holder's
-            // release will detect the ownership mismatch and warn loud)
-            System.err.println(s"withCycleClaim: WARNING stole a fresh " +
-              s"claim at $claim and could not restore it — a concurrent " +
-              "claimant raced the stale-sweep window")
-            try f.delete(debris, false)
-            catch { case _: java.io.IOException => () }
+            // a refused restore has two causes, and only one permits
+            // dropping the stolen marker: if the claim path is OCCUPIED,
+            // a third caller claimed into the window — its claim stands
+            // and refuses everyone, so the stolen stamp is droppable
+            // (its holder's release detects the ownership mismatch and
+            // warns loud). If the path is VACANT (the restore primitive
+            // itself failed — a linkless mount, a transient IO error),
+            // the debris IS the live owner's only claim: deleting it
+            // would admit the next acquirer concurrently with the
+            // owner's running body (the double-fold). Leave it — fresh
+            // .swept-* refuses acquirers via the mid-steal probe, the
+            // owner's release reclaims it by stamp, and the aged sweep
+            // is the backstop. Observing occupied stale is the SAFE
+            // direction: we only delete when a standing claim refuses
+            // everyone anyway.
+            val occupied = try f.exists(claim)
+              catch { case _: java.io.IOException => false }
+            if (occupied) {
+              System.err.println(s"withCycleClaim: WARNING stole a fresh " +
+                s"claim at $claim and could not restore it — a concurrent " +
+                "claimant raced the stale-sweep window")
+              try f.delete(debris, false)
+              catch { case _: java.io.IOException => () }
+            } else
+              System.err.println(s"withCycleClaim: WARNING stole a fresh " +
+                s"claim at $claim and the no-clobber restore failed with " +
+                s"the path vacant — leaving $debris for its owner's " +
+                "release (acquisitions refuse while it is fresh)")
           }
           refuse()
         }
@@ -315,12 +335,35 @@ object IncrementalPipeline {
             System.err.println(s"withCycleClaim: WARNING $claim was not " +
               s"ours (${me.take(8)}) at release — this cycle outlived " +
               s"the ${graceMs} ms grace; restored the successor's claim")
-          else
-            System.err.println(s"withCycleClaim: WARNING took a foreign " +
-              s"claim at $claim during release and a third claimant " +
-              s"raced into the vacancy — successor's stamp left at $rel " +
-              "for the aged sweep; concurrent cycles are possible until " +
-              "the grace elapses")
+          else {
+            // same two-cause split as the sweep arm's steal-guard: an
+            // OCCUPIED path means a third claimant stands (it refuses
+            // everyone — park the successor's stamp in .rel-* for the
+            // aged sweep); a VACANT path means the restore primitive
+            // itself failed (linkless mount, transient IO), and leaving
+            // only a .rel-* would let the next acquirer run concurrently
+            // with the successor's live body — re-park it as FRESH
+            // .swept-* debris, which the mid-steal probe refuses and the
+            // successor's own release reclaims by stamp.
+            val occupied = try f.exists(claim)
+              catch { case _: java.io.IOException => false }
+            if (!occupied) {
+              val swept = new org.apache.hadoop.fs.Path(rp,
+                s".cycle-claim.swept-${java.util.UUID.randomUUID()}")
+              val parked = try f.rename(rel, swept)
+                catch { case _: java.io.IOException => false }
+              System.err.println(s"withCycleClaim: WARNING took a " +
+                s"foreign claim at $claim during release and the " +
+                s"no-clobber restore failed with the path vacant — " +
+                s"successor's stamp parked at ${if (parked) swept else rel} " +
+                "(acquisitions refuse while it is fresh)")
+            } else
+              System.err.println(s"withCycleClaim: WARNING took a foreign " +
+                s"claim at $claim during release and a third claimant " +
+                s"raced into the vacancy — successor's stamp left at $rel " +
+                "for the aged sweep; concurrent cycles are possible until " +
+                "the grace elapses")
+          }
           true
         }
       }

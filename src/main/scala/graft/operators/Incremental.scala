@@ -405,12 +405,15 @@ object Incremental {
             // probe and here, and moving aside its fresh HEALTHY root
             // would break readers already scanning it. The residual
             // probe-to-move gap is microseconds against a whole heal.
+            // routed through the NioControl fault seam (same hook the
+            // claim/pointer primitives use) so each leg's crash contract
+            // is testable: BandIndexEnospcSpec faults the publish legs
             val healed = !present && {
               try {
-                java.nio.file.Files.move(root.toPath, torn.toPath,
+                graft.sources.NioControl.move(root.toPath, torn.toPath,
                   java.nio.file.StandardCopyOption.ATOMIC_MOVE)
                 try {
-                  java.nio.file.Files.move(staging.toPath, root.toPath,
+                  graft.sources.NioControl.move(staging.toPath, root.toPath,
                     java.nio.file.StandardCopyOption.ATOMIC_MOVE)
                   true
                 } catch {
@@ -422,9 +425,24 @@ object Incremental {
                     // single EINTR-class hiccup here deleted both the
                     // torn tree and the fresh staging and left the keyed
                     // root ABSENT
-                    java.nio.file.Files.move(staging.toPath, root.toPath,
-                      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                    true
+                    try {
+                      graft.sources.NioControl.move(staging.toPath,
+                        root.toPath,
+                        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                      true
+                    } catch {
+                      case e2: java.io.IOException =>
+                        // persistent failure: put the torn tree BACK at
+                        // the root before giving up, so the pre-heal
+                        // state (torn but present, heal retried by the
+                        // next builder) is preserved instead of leaving
+                        // the keyed root absent with both trees deleted
+                        try graft.sources.NioControl.move(torn.toPath,
+                          root.toPath,
+                          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                        catch { case _: java.io.IOException => () }
+                        throw e2
+                    }
                 }
               } catch { case _: java.io.IOException => false }
               finally {

@@ -62,6 +62,20 @@ private[graft] object NioControl {
 
   def write(p: NPath, bytes: Array[Byte]): NPath =
     { hook("write", p); Files.write(p, bytes) }
+  /** Stamp an EXISTING file only (WRITE|TRUNCATE_EXISTING, no CREATE):
+    * the linkless-mount claim fallback stamps the marker it just
+    * created, and a default CREATE-ing write would silently re-create
+    * the marker if a sweeper renamed it away in between — resurrecting
+    * a claim the sweeper believes it took. Same "write" fault op as
+    * [[write]].
+    */
+  def stampExisting(p: NPath, bytes: Array[Byte]): Unit = {
+    hook("write", p)
+    val out = Files.newOutputStream(p,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try out.write(bytes) finally out.close()
+  }
   def createFile(p: NPath): NPath =
     { hook("createFile", p); Files.createFile(p) }
   def createLink(link: NPath, existing: NPath): NPath =
@@ -394,8 +408,15 @@ object VersionedStore {
             // create-then-stamp contract is still serviceable there.
             try {
               NioControl.createFile(dst)
-              try NioControl.write(dst, content.getBytes("UTF-8"))
+              try { NioControl.stampExisting(dst, content.getBytes("UTF-8")); true }
               catch {
+                case _: java.nio.file.NoSuchFileException =>
+                  // our fresh empty marker was renamed away (a sweeper
+                  // won a stat-to-rename race against the PREVIOUS
+                  // marker's staleness) — the acquisition is contested;
+                  // refuse rather than re-create a claim the sweeper
+                  // believes it took (stampExisting never CREATEs)
+                  false
                 case e: java.io.IOException =>
                   // do not leak OUR empty marker on a failed stamp —
                   // it would refuse every later claimant until the
@@ -404,7 +425,6 @@ object VersionedStore {
                   catch { case _: java.io.IOException => () }
                   throw e
               }
-              true
             } catch {
               case _: java.nio.file.FileAlreadyExistsException => false
             }

@@ -331,4 +331,134 @@ class ClaimScheduleSpec extends AnyFunSuite with BeforeAndAfterAll {
       resetHooks()
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Schedule G — the sweep arm's steal-guard when the RESTORE PRIMITIVE
+  // itself fails with the claim path vacant (a linkless mount, not a
+  // third claimant): the stolen marker is the live owner's ONLY claim,
+  // so dropping it — the third-claimant disposition — would admit the
+  // next acquirer concurrently with the owner's running body. The
+  // contract: leave the fresh .swept-* in place (it refuses acquirers
+  // via the mid-steal probe), warn loudly, converge via the aged sweep.
+  // ---------------------------------------------------------------------
+  test("schedule G (steal-guard restore fails, path vacant): the stolen " +
+    "fresh claim is LEFT as .swept-* — never deleted — and refuses " +
+    "acquirers until reclaimed") {
+    val root = tmp("schedG")
+    val claimLocal = JP.get(root, ".cycle-claim")
+    // a crashed holder's claim, aged past the grace
+    JF.write(claimLocal, "crashed-stamp".getBytes("UTF-8"))
+    assert(new java.io.File(root, ".cycle-claim")
+      .setLastModified(System.currentTimeMillis() - 10000000L))
+    // between the staleness stat and the sweep rename, the crashed-looking
+    // holder's successor O claims FRESH — the stat-to-rename TOCTOU
+    IncrementalPipeline.cycleClaimSweepHook = () => {
+      JF.delete(claimLocal)
+      JF.write(claimLocal, "live-owner-O".getBytes("UTF-8"))
+      IncrementalPipeline.cycleClaimSweepHook = () => () // once
+    }
+    try {
+      val (_, err) = capturingErr {
+        intercept[IllegalStateException] {
+          // the restore primitive is dead on this mount: no hard links
+          graft.sources.NioControl.armed((op, _) =>
+            if (op == "createLink") throw new UnsupportedOperationException(
+              "no hard links (injected-sched)")) {
+            IncrementalPipeline.withCycleClaim(spark, root, 500000L, "S") {
+              fail("the sweeper must refuse itself after a failed restore")
+            }
+          }
+        }
+      }
+      assert(err.contains("vacant"),
+        s"the vacant-path restore failure must warn loudly, got: $err")
+      // O's claim survives as exactly one fresh .swept-* marker
+      val swept = names(root).filter(_.startsWith(".cycle-claim.swept-"))
+      assert(swept.size === 1,
+        s"the stolen live claim must be LEFT as .swept-*: ${names(root)}")
+      assert(new String(JF.readAllBytes(JP.get(root, swept.head)),
+        "UTF-8") === "live-owner-O",
+        "the parked marker must still carry the live owner's stamp")
+      assert(!JF.exists(claimLocal))
+      // while the debris is fresh, every acquisition refuses — O's body
+      // may still be running
+      intercept[IllegalStateException] {
+        IncrementalPipeline.withCycleClaim(spark, root, 500000L, "next") {
+          fail("must refuse while the parked live claim is fresh")
+        }
+      }
+      assert(names(root).filter(_.startsWith(".cycle-claim.swept-")) ===
+        swept, "the refusing acquirer must not consume the parked claim")
+      // convergence: once aged past the grace (O long gone), the next
+      // acquisition reclaims the debris and proceeds
+      assert(new java.io.File(root, swept.head)
+        .setLastModified(System.currentTimeMillis() - 10000000L))
+      var ran = false
+      IncrementalPipeline.withCycleClaim(spark, root, 500000L, "next") {
+        ran = true
+      }
+      assert(ran)
+      assert(!names(root).exists(_.contains(".cycle-claim")),
+        s"markers must converge after the aged sweep: ${names(root)}")
+    } finally resetHooks()
+  }
+
+  // ---------------------------------------------------------------------
+  // Schedule H — release's restore fails with the claim path vacant
+  // (linkless mount, no third claimant): parking the successor's live
+  // stamp only in .rel-* would let the next acquirer run concurrently
+  // with the successor's body (the mid-steal probe ignores .rel-*). The
+  // contract: re-park it as FRESH .swept-* debris, which refuses
+  // acquirers and which the successor's own release reclaims by stamp
+  // (schedule C machinery).
+  // ---------------------------------------------------------------------
+  test("schedule H (release restore fails, path vacant): the successor's " +
+    "stamp re-parks as fresh .swept-* and refuses acquirers") {
+    val root = tmp("schedH")
+    val claimLocal = JP.get(root, ".cycle-claim")
+    try {
+      val (out, err) = capturingErr {
+        graft.sources.NioControl.armed((op, _) =>
+          if (op == "createLink") throw new UnsupportedOperationException(
+            "no hard links (injected-sched)")) {
+          IncrementalPipeline.withCycleClaim(spark, root, 500000L,
+            "holder X") {
+            // the grace violation: a sweeper replaced X's claim with
+            // successor S's while X's body ran
+            JF.delete(claimLocal)
+            JF.write(claimLocal, "successor-S-stamp".getBytes("UTF-8"))
+            42
+          }
+        }
+      }
+      assert(out === 42)
+      assert(err.contains("parked"),
+        s"the vacant-path release failure must warn loudly, got: $err")
+      // S's stamp re-parked as exactly one fresh .swept-*, no .rel-*
+      val swept = names(root).filter(_.startsWith(".cycle-claim.swept-"))
+      assert(swept.size === 1,
+        s"S's stamp must re-park as .swept-*: ${names(root)}")
+      assert(new String(JF.readAllBytes(JP.get(root, swept.head)),
+        "UTF-8") === "successor-S-stamp")
+      assert(!names(root).exists(_.startsWith(".cycle-claim.rel-")),
+        s"no .rel-* parking on the vacant path: ${names(root)}")
+      assert(!JF.exists(claimLocal))
+      // fresh debris refuses acquirers — S's body may still be running
+      intercept[IllegalStateException] {
+        IncrementalPipeline.withCycleClaim(spark, root, 500000L, "next") {
+          fail("must refuse while S's re-parked claim is fresh")
+        }
+      }
+      // convergence via the aged sweep
+      assert(new java.io.File(root, swept.head)
+        .setLastModified(System.currentTimeMillis() - 10000000L))
+      var ran = false
+      IncrementalPipeline.withCycleClaim(spark, root, 500000L, "next") {
+        ran = true
+      }
+      assert(ran)
+      assert(!names(root).exists(_.contains(".cycle-claim")),
+        s"markers must converge after the aged sweep: ${names(root)}")
+    } finally resetHooks()
+  }
 }

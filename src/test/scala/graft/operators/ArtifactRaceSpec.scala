@@ -145,4 +145,58 @@ class ArtifactRaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!stale.exists(), "aged staging debris must sweep on rebuild")
     assert(young.exists(), "young staging may be a live builder — spared")
   }
+
+  test("PERSISTENT publish failure during the torn-root heal restores " +
+    "the torn tree to the root — the keyed root is never left absent " +
+    "with both trees discarded") {
+    import spark.implicits._
+    val sf = Files.createTempDirectory(Paths.get("target"), "artheal")
+      .toAbsolutePath.toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).write.parquet(s"$sf/documents.parquet")
+    val root = Incremental.bandIndexFor(spark, sf)
+    builtRoots += root
+    // tear it: root exists, meta gone (present-probe says absent)
+    val meta = Paths.get(root, "meta")
+    val it = Files.walk(meta)
+    try it.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    finally it.close()
+    // every publish leg (initial attempt + the in-heal retry) fails —
+    // a persistent device error, not the EINTR-class transient the
+    // single retry absorbs
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.NioControl.armed((op, p) =>
+        if (op == "move" && p.toString.contains(".build-"))
+          throw new java.io.IOException(
+            "Input/output error (injected-heal)")) {
+        Incremental.bandIndexFor(spark, sf)
+      }
+    }
+    assert(e.getMessage.contains("neither renameable nor readable"))
+    // the PRE-HEAL state is preserved: the torn tree is back at the
+    // keyed root (present, heal retried by the next builder) — not an
+    // absent root with the torn tree and a complete rebuild both deleted
+    assert(Files.exists(Paths.get(root)),
+      "the keyed root must survive a persistent heal failure")
+    assert(!Files.exists(meta), "still torn — the heal never published")
+    val rootFile = new java.io.File(root)
+    val debris = rootFile.getParentFile.listFiles()
+      .filter(f => f.getName.startsWith(rootFile.getName + ".torn-") ||
+        f.getName.startsWith(rootFile.getName + ".build-"))
+    assert(debris.isEmpty,
+      s"no stranded trees on the failure path: ${debris.map(_.getName).toSeq}")
+    // fault cleared: the next builder heals at the same keyed root
+    assert(Incremental.bandIndexFor(spark, sf) === root)
+    val sample = graft.Tables.documents(spark, sf)
+      .select("text").head().getString(0)
+    val probe = Seq(
+      (-1L, sample),
+      (-2L, "entirely fresh probe content that matches nothing at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup
+      .deduplicateAgainst(probe, Dedup.loadBandIndex(spark, root), 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(-2L))
+  }
 }

@@ -270,4 +270,40 @@ class NioFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(Paths.get(root, ".cycle-claim.rel-x")),
       "the marker must stay for the aged sweep on a linkless mount")
   }
+
+  test("linkless fallback: a marker STOLEN between the O_EXCL create " +
+    "and the stamp is not resurrected — the stamp never CREATEs, the " +
+    "acquisition refuses") {
+    val root = tmp("nioc4")
+    new java.io.File(root).mkdirs()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(root, ".cycle-claim")
+    val stolen = Paths.get(root, ".cycle-claim.swept-steal")
+    // a sweeper's rename lands in the create-to-stamp gap: simulated at
+    // the stamp's own hook point, after createFile has published the
+    // empty marker (tmp staging writes carry a .stamp- name and pass)
+    val hook: (String, NPath) => Unit = (o, p) => {
+      if (o == "createLink") throw new UnsupportedOperationException(
+        "no hard links (injected-nio)")
+      if (o == "write" && p.getFileName.toString == ".cycle-claim")
+        Files.move(p, stolen)
+    }
+    NioControl.armed(hook) {
+      assert(!VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp"),
+        "a contested acquisition must refuse, not resurrect the marker")
+    }
+    assert(!Files.exists(Paths.get(root, ".cycle-claim")),
+      "the stamp must never re-create a marker a sweeper took")
+    assert(Files.exists(stolen) && Files.size(stolen) === 0L,
+      "the sweeper's view stands: it holds the (empty) stolen marker")
+    // steal resolved: the same claimant acquires cleanly on the same mount
+    Files.delete(stolen)
+    NioControl.armed((o, _) => if (o == "createLink")
+      throw new UnsupportedOperationException("no links (injected-nio)")) {
+      assert(VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp"))
+    }
+    assert(new String(Files.readAllBytes(Paths.get(root, ".cycle-claim")),
+      "UTF-8") === "me-stamp")
+  }
 }
