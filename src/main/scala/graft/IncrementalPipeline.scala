@@ -350,13 +350,24 @@ object IncrementalPipeline {
             if (!occupied) {
               val swept = new org.apache.hadoop.fs.Path(rp,
                 s".cycle-claim.swept-${java.util.UUID.randomUUID()}")
-              val parked = try f.rename(rel, swept)
+              def park(): Boolean = try f.rename(rel, swept)
                 catch { case _: java.io.IOException => false }
-              System.err.println(s"withCycleClaim: WARNING took a " +
-                s"foreign claim at $claim during release and the " +
-                s"no-clobber restore failed with the path vacant — " +
-                s"successor's stamp parked at ${if (parked) swept else rel} " +
-                "(acquisitions refuse while it is fresh)")
+              val parked = park() || park() // one retry on a transient
+              if (parked)
+                System.err.println(s"withCycleClaim: WARNING took a " +
+                  s"foreign claim at $claim during release and the " +
+                  s"no-clobber restore failed with the path vacant — " +
+                  s"successor's stamp parked at $swept (acquisitions " +
+                  "refuse while it is fresh)")
+              else
+                // the stamp stays at .rel-*, which the mid-steal probe
+                // does NOT glob — say so instead of claiming a refusal
+                // that will not happen
+                System.err.println(s"withCycleClaim: WARNING took a " +
+                  s"foreign claim at $claim during release, the restore " +
+                  s"AND the re-park both failed — successor's stamp left " +
+                  s"at $rel for the aged sweep; concurrent cycles are " +
+                  "possible until the grace elapses")
             } else
               System.err.println(s"withCycleClaim: WARNING took a foreign " +
                 s"claim at $claim during release and a third claimant " +

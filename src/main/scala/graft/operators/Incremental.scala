@@ -382,7 +382,7 @@ object Incremental {
       Dedup.writeBandIndex(
         Tables.parallel(Tables.documents(s, sfDir).select("doc_id", "text")),
         staging.toString, covered = covered)
-      try java.nio.file.Files.move(staging.toPath, root.toPath,
+      try graft.sources.NioControl.move(staging.toPath, root.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -405,9 +405,12 @@ object Incremental {
             // probe and here, and moving aside its fresh HEALTHY root
             // would break readers already scanning it. The residual
             // probe-to-move gap is microseconds against a whole heal.
-            // routed through the NioControl fault seam (same hook the
-            // claim/pointer primitives use) so each leg's crash contract
-            // is testable: BandIndexEnospcSpec faults the publish legs
+            // every move (the initial publish above and each heal leg
+            // here) routes through the NioControl fault seam — the same
+            // hook the claim/pointer primitives use — so each leg's
+            // crash contract is testable: ArtifactRaceSpec faults the
+            // publish legs and the torn-restore leg
+            var tornRestoreFailed = false
             val healed = !present && {
               try {
                 graft.sources.NioControl.move(root.toPath, torn.toPath,
@@ -440,7 +443,17 @@ object Incremental {
                         try graft.sources.NioControl.move(torn.toPath,
                           root.toPath,
                           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                        catch { case _: java.io.IOException => () }
+                        catch {
+                          case _: java.io.IOException =>
+                            // even the restore failed: the torn tree is
+                            // the only surviving state — the finally
+                            // below must NOT delete it
+                            tornRestoreFailed = true
+                            System.err.println(s"bandIndexFor: WARNING " +
+                              s"the heal's publish AND the torn-tree " +
+                              s"restore both failed — leaving $torn " +
+                              "for the aged sweep")
+                        }
                         throw e2
                     }
                 }
@@ -459,7 +472,7 @@ object Incremental {
                     s"a HEALTHY artifact during torn-root heal ($torn) — " +
                     "a concurrent heal raced the probe; keeping its data " +
                     "for the aged sweep")
-                else deleteTree(torn.toString)
+                else if (!tornRestoreFailed) deleteTree(torn.toString)
               }
             }
             if (!healed) {

@@ -62,19 +62,23 @@ private[graft] object NioControl {
 
   def write(p: NPath, bytes: Array[Byte]): NPath =
     { hook("write", p); Files.write(p, bytes) }
-  /** Stamp an EXISTING file only (WRITE|TRUNCATE_EXISTING, no CREATE):
-    * the linkless-mount claim fallback stamps the marker it just
-    * created, and a default CREATE-ing write would silently re-create
-    * the marker if a sweeper renamed it away in between — resurrecting
-    * a claim the sweeper believes it took. Same "write" fault op as
-    * [[write]].
+  /** Create-if-absent a marker CARRYING `bytes` in ONE O_EXCL open
+    * (CREATE_NEW|WRITE): there is no separate create/stamp syscall pair
+    * for a sweeper's rename to interleave between — a create-then-stamp
+    * sequence could re-CREATE a marker a sweeper renamed away (with a
+    * default CREATE-ing write), or TRUNCATE a marker another claimant
+    * re-created in the gap (with a no-CREATE write). Here a mid-write
+    * rename just carries the fd's inode into the sweeper's debris, so
+    * the caller's read-back verify refuses without damaging anyone.
+    * Fires the "createFile" hook at the open and the "write" hook
+    * before the stamp bytes, so both existing fault lanes reach it.
     */
-  def stampExisting(p: NPath, bytes: Array[Byte]): Unit = {
-    hook("write", p)
+  def createStamped(p: NPath, bytes: Array[Byte]): Unit = {
+    hook("createFile", p)
     val out = Files.newOutputStream(p,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-    try out.write(bytes) finally out.close()
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { hook("write", p); out.write(bytes) } finally out.close()
   }
   def createFile(p: NPath): NPath =
     { hook("createFile", p); Files.createFile(p) }
@@ -406,27 +410,30 @@ object VersionedStore {
             // empty). Never silently false: that would refuse every
             // acquisition forever on such a mount (livelock), when the
             // create-then-stamp contract is still serviceable there.
-            try {
-              NioControl.createFile(dst)
-              try { NioControl.stampExisting(dst, content.getBytes("UTF-8")); true }
+            val wrote =
+              try { NioControl.createStamped(dst, content.getBytes("UTF-8")); true }
               catch {
-                case _: java.nio.file.NoSuchFileException =>
-                  // our fresh empty marker was renamed away (a sweeper
-                  // won a stat-to-rename race against the PREVIOUS
-                  // marker's staleness) — the acquisition is contested;
-                  // refuse rather than re-create a claim the sweeper
-                  // believes it took (stampExisting never CREATEs)
-                  false
+                case _: java.nio.file.FileAlreadyExistsException => false
                 case e: java.io.IOException =>
-                  // do not leak OUR empty marker on a failed stamp —
-                  // it would refuse every later claimant until the
-                  // aged sweep
+                  // do not leak OUR half-stamped marker on a failed
+                  // write — it would refuse every later claimant until
+                  // the aged sweep
                   try java.nio.file.Files.deleteIfExists(dst)
                   catch { case _: java.io.IOException => () }
                   throw e
               }
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException => false
+            // read-back verify: a sweeper's rename landing mid-write
+            // carries our stamp into ITS debris (the fd follows the
+            // inode), and a later claimant may have re-created the
+            // path — only re-reading our own content from the claim
+            // path proves we hold it. Never true on a contested path,
+            // never damages another claimant's marker: a lost race
+            // surfaces as a refusal (grace-bounded liveness), not a
+            // silent orphan.
+            wrote && {
+              try new String(java.nio.file.Files.readAllBytes(dst),
+                "UTF-8") == content
+              catch { case _: java.nio.file.NoSuchFileException => false }
             }
         }
       } finally {
@@ -437,11 +444,15 @@ object VersionedStore {
       // DFS arm: create(overwrite = false) is namenode-atomic; the
       // marker is briefly visible empty until close — narrower than the
       // link arm, but DFS renames do not overwrite files, so the local
-      // arm's clobber interleaving cannot occur there
+      // arm's clobber interleaving cannot occur there. Same read-back
+      // verify as the linkless arm: a sweep rename landing mid-write
+      // strands our stamp elsewhere, and only re-reading our content
+      // from the claim path proves we hold it (a transient read error
+      // propagates loudly — crash-equivalent, grace-bounded).
       try {
         val out = f.create(claim, false)
         try out.write(content.getBytes("UTF-8")) finally out.close()
-        true
+        rawControlRead(f, claim).contains(content)
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case e: java.io.IOException =>

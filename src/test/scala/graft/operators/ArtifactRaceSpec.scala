@@ -162,12 +162,16 @@ class ArtifactRaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     try it.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.delete(p))
     finally it.close()
-    // every publish leg (initial attempt + the in-heal retry) fails —
-    // a persistent device error, not the EINTR-class transient the
-    // single retry absorbs
+    // every IN-HEAL publish leg (first attempt + the retry) fails — a
+    // persistent device error, not the EINTR-class transient the single
+    // retry absorbs. The INITIAL publish move (also seam-routed) must
+    // pass through so the real rename hits the torn root and enters the
+    // heal: skip the first .build- move.
+    val buildMoves = new java.util.concurrent.atomic.AtomicInteger(0)
     val e = intercept[IllegalArgumentException] {
       graft.sources.NioControl.armed((op, p) =>
-        if (op == "move" && p.toString.contains(".build-"))
+        if (op == "move" && p.toString.contains(".build-") &&
+          buildMoves.incrementAndGet() > 1)
           throw new java.io.IOException(
             "Input/output error (injected-heal)")) {
         Incremental.bandIndexFor(spark, sf)
@@ -187,6 +191,61 @@ class ArtifactRaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(debris.isEmpty,
       s"no stranded trees on the failure path: ${debris.map(_.getName).toSeq}")
     // fault cleared: the next builder heals at the same keyed root
+    assert(Incremental.bandIndexFor(spark, sf) === root)
+    val sample = graft.Tables.documents(spark, sf)
+      .select("text").head().getString(0)
+    val probe = Seq(
+      (-1L, sample),
+      (-2L, "entirely fresh probe content that matches nothing at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup
+      .deduplicateAgainst(probe, Dedup.loadBandIndex(spark, root), 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(-2L))
+  }
+
+  test("heal publish AND torn-restore BOTH fail: the torn tree is " +
+    "preserved as a .torn-* sibling (never deleted as if healed) and " +
+    "the next builder recovers") {
+    import spark.implicits._
+    val sf = Files.createTempDirectory(Paths.get("target"), "artheal2")
+      .toAbsolutePath.toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).write.parquet(s"$sf/documents.parquet")
+    val root = Incremental.bandIndexFor(spark, sf)
+    builtRoots += root
+    val meta = Paths.get(root, "meta")
+    val it = Files.walk(meta)
+    try it.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    finally it.close()
+    // the whole device is failing renames: in-heal publish legs AND the
+    // torn-tree restore (initial publish passes through to hit the torn
+    // root for real)
+    val buildMoves = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.NioControl.armed((op, p) =>
+        if (op == "move" &&
+          ((p.toString.contains(".build-") &&
+            buildMoves.incrementAndGet() > 1) ||
+            p.toString.contains(".torn-")))
+          throw new java.io.IOException(
+            "Input/output error (injected-heal2)")) {
+        Incremental.bandIndexFor(spark, sf)
+      }
+    }
+    assert(e.getMessage.contains("neither renameable nor readable"))
+    // the torn tree could not be restored (root absent), but it must
+    // SURVIVE as a .torn-* sibling — the only remaining state
+    val rootFile = new java.io.File(root)
+    val tornSibs = rootFile.getParentFile.listFiles()
+      .filter(_.getName.startsWith(rootFile.getName + ".torn-"))
+    tornSibs.foreach(t => builtRoots += t.toString)
+    assert(tornSibs.nonEmpty,
+      "the torn tree must be preserved when even the restore fails")
+    assert(!Files.exists(Paths.get(root)))
+    // fault cleared: the path is vacant, so the next build publishes
+    // directly (no heal needed) and the artifact is healthy
     assert(Incremental.bandIndexFor(spark, sf) === root)
     val sample = graft.Tables.documents(spark, sf)
       .select("text").head().getString(0)

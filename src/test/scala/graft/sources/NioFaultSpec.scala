@@ -294,11 +294,41 @@ class NioFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a contested acquisition must refuse, not resurrect the marker")
     }
     assert(!Files.exists(Paths.get(root, ".cycle-claim")),
-      "the stamp must never re-create a marker a sweeper took")
-    assert(Files.exists(stolen) && Files.size(stolen) === 0L,
-      "the sweeper's view stands: it holds the (empty) stolen marker")
-    // steal resolved: the same claimant acquires cleanly on the same mount
+      "the read-back verify must never re-create a marker a sweeper took")
+    // the fd follows the inode: our stamp landed in the SWEEPER's
+    // debris, not at the claim path — the sweeper's view stands
+    assert(Files.exists(stolen) &&
+      new String(Files.readAllBytes(stolen), "UTF-8") === "me-stamp",
+      "a mid-write steal carries the stamp into the sweeper's debris")
+
+    // one interleaving deeper: a LATER claimant B re-creates the path
+    // after the steal and before our stamp lands — the verify must
+    // refuse WITHOUT damaging B's marker (a truncating stamp here would
+    // silently orphan B: both bodies would run)
     Files.delete(stolen)
+    val stolen2 = Paths.get(root, ".cycle-claim.swept-steal2")
+    val hook2: (String, NPath) => Unit = (o, p) => {
+      if (o == "createLink") throw new UnsupportedOperationException(
+        "no hard links (injected-nio)")
+      if (o == "write" && p.getFileName.toString == ".cycle-claim" &&
+        !Files.exists(stolen2)) {
+        Files.move(p, stolen2)
+        Files.write(p, "claimant-B-stamp".getBytes("UTF-8"))
+      }
+    }
+    NioControl.armed(hook2) {
+      assert(!VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp-2"),
+        "the verify must refuse a path another claimant re-created")
+    }
+    assert(new String(Files.readAllBytes(Paths.get(root, ".cycle-claim")),
+      "UTF-8") === "claimant-B-stamp",
+      "the later claimant's marker must be UNDAMAGED — never truncated")
+    assert(new String(Files.readAllBytes(stolen2), "UTF-8") === "me-stamp-2",
+      "our stamp went to the stolen inode, not over B's marker")
+    Files.delete(stolen2)
+    Files.delete(Paths.get(root, ".cycle-claim"))
+
+    // steal resolved: the same claimant acquires cleanly on the same mount
     NioControl.armed((o, _) => if (o == "createLink")
       throw new UnsupportedOperationException("no links (injected-nio)")) {
       assert(VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp"))
