@@ -477,8 +477,18 @@ object Incremental {
             }
             if (!healed) {
               // a concurrent builder/healer raced us between the two
-              // moves — use whatever it published, or fail loudly
-              deleteTree(staging.toString)
+              // moves — use whatever it published, or fail loudly. The
+              // staging delete is guarded: on a device failing renames
+              // it may fail too, and its IOException must not mask the
+              // require's diagnostic (unswept staging is reclaimed by
+              // the aged .build-* sweep above)
+              try deleteTree(staging.toString)
+              catch {
+                case e: java.io.IOException =>
+                  System.err.println(s"bandIndexFor: WARNING could not " +
+                    s"delete staging $staging after a failed heal ($e) " +
+                    "— left for the aged sweep")
+              }
               require(present,
                 s"band-index artifact $root neither renameable nor readable")
             }

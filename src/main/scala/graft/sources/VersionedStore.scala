@@ -157,9 +157,15 @@ object VersionedStore {
     try {
       val in = raw.open(p)
       try {
+        // drain fully (bounded): a single read() may legally return a
+        // SHORT read on DFS streams, and the stamped-claim read-back
+        // verify compares whole contents — a truncated read would make
+        // a WON claim read as lost
+        val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+        var n = in.read(buf)
+        while (n > 0 && out.size <= 4096) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toString("UTF-8"))
       } finally in.close()
     } catch { case _: java.io.FileNotFoundException => None }
   }
@@ -417,9 +423,20 @@ object VersionedStore {
                 case e: java.io.IOException =>
                   // do not leak OUR half-stamped marker on a failed
                   // write — it would refuse every later claimant until
-                  // the aged sweep
-                  try java.nio.file.Files.deleteIfExists(dst)
-                  catch { case _: java.io.IOException => () }
+                  // the aged sweep. Sweep only what is provably ours: a
+                  // failed write leaves the marker EMPTY or holding a
+                  // strict PREFIX of our stamp; a marker another
+                  // claimant re-created inside the write window
+                  // (sweeper steal + re-create) holds a DIFFERENT full
+                  // stamp — deleting that would orphan a live claim.
+                  try {
+                    val cur =
+                      try Some(new String(
+                        java.nio.file.Files.readAllBytes(dst), "UTF-8"))
+                      catch { case _: java.nio.file.NoSuchFileException => None }
+                    if (cur.exists(content.startsWith))
+                      java.nio.file.Files.deleteIfExists(dst)
+                  } catch { case _: java.io.IOException => () }
                   throw e
               }
             // read-back verify: a sweeper's rename landing mid-write
@@ -429,7 +446,11 @@ object VersionedStore {
             // path proves we hold it. Never true on a contested path,
             // never damages another claimant's marker: a lost race
             // surfaces as a refusal (grace-bounded liveness), not a
-            // silent orphan.
+            // silent orphan. A non-FNF read fault here PROPAGATES with
+            // the stamped marker in place (crash-equivalent, reclaimed
+            // by the aged sweep): when reads are failing, ownership
+            // cannot be verified, so neither returning true nor
+            // deleting is safe.
             wrote && {
               try new String(java.nio.file.Files.readAllBytes(dst),
                 "UTF-8") == content
@@ -449,14 +470,21 @@ object VersionedStore {
       // strands our stamp elsewhere, and only re-reading our content
       // from the claim path proves we hold it (a transient read error
       // propagates loudly — crash-equivalent, grace-bounded).
-      try {
-        val out = f.create(claim, false)
-        try out.write(content.getBytes("UTF-8")) finally out.close()
-        rawControlRead(f, claim).contains(content)
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException =>
-          if (f.exists(claim)) false else throw e
+      {
+        val created = try {
+          val out = f.create(claim, false)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException =>
+            if (f.exists(claim)) false else throw e
+        }
+        // the verify runs OUTSIDE the create's catch so a transient
+        // read fault is not misread as a lost race: it propagates
+        // loudly (rawControlRead swallows only FileNotFound — a marker
+        // gone at read time IS a steal, refused correctly)
+        created && rawControlRead(f, claim).contains(content)
       }
   }
 

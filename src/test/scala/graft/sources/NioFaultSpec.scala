@@ -336,4 +336,68 @@ class NioFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(Files.readAllBytes(Paths.get(root, ".cycle-claim")),
       "UTF-8") === "me-stamp")
   }
+
+  test("linkless fallback: a write FAULT landing after a steal + " +
+    "re-create must not sweep the later claimant's marker — the " +
+    "failure cleanup is prefix-scoped to our own debris") {
+    val root = tmp("nioc5")
+    new java.io.File(root).mkdirs()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(root, ".cycle-claim")
+    val stolen = Paths.get(root, ".cycle-claim.swept-steal3")
+    // the compound schedule: our CREATE_NEW lands, a sweeper steals the
+    // marker, claimant B re-creates and stamps it, and THEN our stamp
+    // write dies — the cleanup sees B's full stamp at the claim path
+    // and must leave it (deleting would orphan B's live claim)
+    val hook: (String, NPath) => Unit = (o, p) => {
+      if (o == "createLink") throw new UnsupportedOperationException(
+        "no hard links (injected-nio)")
+      if (o == "write" && p.getFileName.toString == ".cycle-claim") {
+        Files.move(p, stolen)
+        Files.write(p, "claimant-B-stamp".getBytes("UTF-8"))
+        throw new IOException("No space left on device (injected-nio)")
+      }
+    }
+    val e = intercept[IOException] {
+      NioControl.armed(hook) {
+        VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp")
+      }
+    }
+    assert(e.getMessage.contains("injected-nio"))
+    assert(new String(Files.readAllBytes(Paths.get(root, ".cycle-claim")),
+      "UTF-8") === "claimant-B-stamp",
+      "the failure cleanup must never delete another claimant's marker")
+    // our stolen (empty — the write never ran) inode is the sweeper's
+    Files.delete(stolen)
+    Files.delete(Paths.get(root, ".cycle-claim"))
+    // and the plain failed-write case (no steal) still sweeps OUR
+    // empty marker: empty is a prefix of the stamp
+    val e2 = intercept[IOException] {
+      NioControl.armed((o, p) => {
+        if (o == "createLink") throw new UnsupportedOperationException(
+          "no hard links (injected-nio)")
+        if (o == "write" && p.getFileName.toString == ".cycle-claim")
+          throw new IOException("No space left on device (injected-nio)")
+      }) {
+        VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp")
+      }
+    }
+    assert(e2.getMessage.contains("injected-nio"))
+    assert(!names(root).exists(_.contains(".cycle-claim")),
+      s"our own empty marker must be swept on a plain write fault: ${names(root)}")
+  }
+
+  test("rawControlRead drains the full content (short reads, > 256 " +
+    "bytes) — a read-back verify must never see a truncated stamp") {
+    val root = tmp("nior3")
+    new java.io.File(root).mkdirs()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, ".long-marker")
+    val long = ("x" * 300) + "-tail"
+    Files.write(Paths.get(root, ".long-marker"), long.getBytes("UTF-8"))
+    assert(VersionedStore.rawControlRead(f, p).contains(long),
+      "content past one 256-byte read must round-trip")
+  }
 }
