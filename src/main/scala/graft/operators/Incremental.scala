@@ -472,7 +472,18 @@ object Incremental {
                     s"a HEALTHY artifact during torn-root heal ($torn) — " +
                     "a concurrent heal raced the probe; keeping its data " +
                     "for the aged sweep")
-                else if (!tornRestoreFailed) deleteTree(torn.toString)
+                else if (!tornRestoreFailed)
+                  // guarded: an exception from a finally would REPLACE
+                  // the heal's own outcome/diagnostic (and Files.walk
+                  // surfaces read faults as UncheckedIOException, which
+                  // a bare IOException catch would miss)
+                  try deleteTree(torn.toString)
+                  catch {
+                    case scala.util.control.NonFatal(e) =>
+                      System.err.println(s"bandIndexFor: WARNING could " +
+                        s"not delete the torn tree $torn ($e) — left " +
+                        "for the aged sweep")
+                  }
               }
             }
             if (!healed) {
@@ -482,9 +493,11 @@ object Incremental {
               // it may fail too, and its IOException must not mask the
               // require's diagnostic (unswept staging is reclaimed by
               // the aged .build-* sweep above)
+              // NonFatal, not just IOException: Files.walk surfaces
+              // read faults as UncheckedIOException
               try deleteTree(staging.toString)
               catch {
-                case e: java.io.IOException =>
+                case scala.util.control.NonFatal(e) =>
                   System.err.println(s"bandIndexFor: WARNING could not " +
                     s"delete staging $staging after a failed heal ($e) " +
                     "— left for the aged sweep")

@@ -165,6 +165,12 @@ object VersionedStore {
         val buf = new Array[Byte](256)
         var n = in.read(buf)
         while (n > 0 && out.size <= 4096) { out.write(buf, 0, n); n = in.read(buf) }
+        if (n > 0)
+          // bounded LOUDLY, never truncated silently: a truncated
+          // control read would make a stamped-claim read-back verify
+          // read a WON claim as lost
+          throw new java.io.IOException(
+            s"control file $p exceeds the 4 KiB marker bound")
         Some(out.toString("UTF-8"))
       } finally in.close()
     } catch { case _: java.io.FileNotFoundException => None }
@@ -425,17 +431,43 @@ object VersionedStore {
                   // write — it would refuse every later claimant until
                   // the aged sweep. Sweep only what is provably ours: a
                   // failed write leaves the marker EMPTY or holding a
-                  // strict PREFIX of our stamp; a marker another
-                  // claimant re-created inside the write window
-                  // (sweeper steal + re-create) holds a DIFFERENT full
-                  // stamp — deleting that would orphan a live claim.
+                  // strict byte-PREFIX of our stamp (bytes, not decoded
+                  // text — a fault splitting a multi-byte character
+                  // must still read as ours); a marker another claimant
+                  // re-created inside the write window holds a
+                  // DIFFERENT full stamp. A marker that looks foreign
+                  // is never touched; one that looks ours is removed by
+                  // ATOMIC TAKE + re-inspect, never read-then-delete —
+                  // a substitution landing between the read and the
+                  // unlink is caught at the re-inspect and restored
+                  // no-clobber (or, if even the restore fails on this
+                  // linkless mount, parked as `<claim>.swept-*`, the
+                  // fresh-debris convention the claim protocol refuses
+                  // on and reclaims by stamp — loud, bounded, never a
+                  // silent orphan).
                   try {
-                    val cur =
-                      try Some(new String(
-                        java.nio.file.Files.readAllBytes(dst), "UTF-8"))
-                      catch { case _: java.nio.file.NoSuchFileException => None }
-                    if (cur.exists(content.startsWith))
-                      java.nio.file.Files.deleteIfExists(dst)
+                    val want = content.getBytes("UTF-8")
+                    def prefixOfOurs(cur: Array[Byte]): Boolean =
+                      cur.length <= want.length && java.util.Arrays.equals(
+                        cur, java.util.Arrays.copyOf(want, cur.length))
+                    val looksOurs =
+                      try prefixOfOurs(java.nio.file.Files.readAllBytes(dst))
+                      catch { case _: java.nio.file.NoSuchFileException => false }
+                    if (looksOurs) {
+                      val taken = dst.resolveSibling(
+                        s"${dst.getFileName}.swept-${java.util.UUID.randomUUID()}")
+                      java.nio.file.Files.move(dst, taken)
+                      if (prefixOfOurs(java.nio.file.Files.readAllBytes(taken)))
+                        java.nio.file.Files.deleteIfExists(taken)
+                      else if (!renameNoReplace(f,
+                        new Path(claim.getParent, taken.getFileName.toString),
+                        claim))
+                        System.err.println(s"exclusiveCreateStamped: " +
+                          s"WARNING a failed stamp's cleanup took a " +
+                          s"marker re-created at $claim and could not " +
+                          s"restore it — parked at $taken for its " +
+                          "owner's protocol")
+                    }
                   } catch { case _: java.io.IOException => () }
                   throw e
               }
@@ -478,7 +510,43 @@ object VersionedStore {
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
           case e: java.io.IOException =>
-            if (f.exists(claim)) false else throw e
+            // same debris discipline as the linkless arm: our own
+            // half-stamped marker must not refuse claimants until the
+            // aged sweep. A marker holding a foreign full stamp means
+            // the create lost the race on an implementation that
+            // reports occupancy as a plain IOException — refuse,
+            // untouched. One that reads as a PREFIX of our stamp is
+            // removed by atomic take + re-inspect (DFS renames refuse
+            // occupied destinations natively, so a substitution landing
+            // in between is restored reliably). Unreadable-or-vanished
+            // propagates loudly: when reads fail, ownership cannot be
+            // classified (crash-equivalent, grace-bounded).
+            rawControlRead(f, claim) match {
+              case Some(s) if !content.startsWith(s) => false
+              case Some(_) =>
+                val taken = new Path(claim.getParent,
+                  s"${claim.getName}.swept-${java.util.UUID.randomUUID()}")
+                val got = try f.rename(claim, taken)
+                  catch { case _: java.io.IOException => false }
+                if (got) {
+                  val again = try rawControlRead(f, taken)
+                    catch { case _: java.io.IOException => None }
+                  if (again.exists(content.startsWith))
+                    try f.delete(taken, false)
+                    catch { case _: java.io.IOException => () }
+                  else if (renameNoReplace(f, taken, claim))
+                    throw e // a substituted foreign marker, restored
+                  else {
+                    System.err.println(s"exclusiveCreateStamped: " +
+                      s"WARNING a failed stamp's cleanup took a marker " +
+                      s"re-created at $claim and could not restore it " +
+                      s"— parked at $taken for its owner's protocol")
+                    throw e
+                  }
+                }
+                throw e
+              case None => throw e
+            }
         }
         // the verify runs OUTSIDE the create's catch so a transient
         // read fault is not misread as a lost race: it propagates

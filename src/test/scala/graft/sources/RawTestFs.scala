@@ -52,6 +52,28 @@ class RawTestFs extends FilterFileSystem {
       super.rename(src, dst)
     }
   }
+
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    val out = super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress)
+    if (RawTestFs.failStampWrite(f.toString))
+      // the file IS created (the DFS-arm scenario: create succeeds,
+      // the stamp bytes then fail) — the returned stream dies on write
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.OutputStream {
+          override def write(b: Int): Unit = throw new java.io.IOException(
+            "No space left on device (injected-rawtest)")
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            throw new java.io.IOException(
+              "No space left on device (injected-rawtest)")
+          override def close(): Unit = out.close()
+        }, null)
+    else out
+  }
 }
 
 object RawTestFs {
@@ -67,6 +89,12 @@ object RawTestFs {
     * FileContext arm, not the FileSystem fallback.
     */
   val fcRenames = new AtomicInteger(0)
+
+  /** Write-fault knob for the DFS-arm stamp: paths matching the
+    * predicate get a stream whose create SUCCEEDS but whose writes
+    * fail — the half-stamped-marker scenario the arm's cleanup sweeps.
+    */
+  @volatile var failStampWrite: String => Boolean = _ => false
 }
 
 /** The `AbstractFileSystem` binding that makes `FileContext` resolve the

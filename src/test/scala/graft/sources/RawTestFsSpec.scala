@@ -199,4 +199,29 @@ class RawTestFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!names(local).exists(_.contains(".rel-")),
       s"release tmp leaked: ${names(local)}")
   }
+
+  test("DFS-arm stamp write fault: the half-stamped marker is swept " +
+    "(atomic take, prefix-checked), the error surfaces, and the next " +
+    "acquisition succeeds") {
+    val (root, local) = tmp("rtfault")
+    val f = fsOf(root)
+    f.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val claim = new org.apache.hadoop.fs.Path(root, ".cycle-claim")
+    RawTestFs.failStampWrite = _.endsWith(".cycle-claim")
+    try {
+      val e = intercept[java.io.IOException] {
+        VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp")
+      }
+      assert(e.getMessage.contains("injected-rawtest"))
+      assert(!names(local).exists(_.contains(".cycle-claim")),
+        s"half-stamped marker must be swept, not leaked: ${names(local)}")
+    } finally RawTestFs.failStampWrite = _ => false
+    // fault cleared: a clean acquisition lands with its stamp readable
+    assert(VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp"))
+    assert(new String(Files.readAllBytes(Paths.get(local, ".cycle-claim")),
+      "UTF-8") === "me-stamp")
+    // occupied path still refuses quietly
+    assert(!VersionedStore.exclusiveCreateStamped(f, claim, "other"))
+    assert(f.delete(claim, false))
+  }
 }
