@@ -642,7 +642,7 @@ object Sampling {
           |     WHEN r0*r0 > n_lang THEN r0-1 ELSE r0 END""".stripMargin))
       .drop("r0")
     val totals = perLang.agg(sum(col("w_sqrt")).as("total_w"))
-      .crossJoin(docs.agg(expr("count(*) div 2").as("b")))
+      .crossJoin(broadcast(docs.agg(expr("count(*) div 2").as("b"))))
     val sh = perLang.crossJoin(broadcast(totals))
       .withColumn("share_micro", expr("w_sqrt * 1000000 div total_w"))
       .withColumn("thresh", expr(

@@ -87,6 +87,17 @@ private[graft] object NioControl {
   def move(src: NPath, dst: NPath,
       opts: java.nio.file.CopyOption*): NPath =
     { hook("move", src); Files.move(src, dst, opts: _*) }
+  // Explicit-op variants for the failed-stamp cleanup and read-back
+  // verify: DISTINCT op names ("sweepRead"/"sweepMove"/"sweepDelete"/
+  // "verifyRead") so a test arming a "write"/"move" fault does not also
+  // detonate inside the cleanup of the very failure it injected, while
+  // compound-fault lanes can still target each cleanup step directly.
+  def readBytes(op: String, p: NPath): Array[Byte] =
+    { hook(op, p); Files.readAllBytes(p) }
+  def moveAs(op: String, src: NPath, dst: NPath): NPath =
+    { hook(op, src); Files.move(src, dst) }
+  def delete(op: String, p: NPath): Boolean =
+    { hook(op, p); Files.deleteIfExists(p) }
 }
 
 object VersionedStore {
@@ -164,13 +175,18 @@ object VersionedStore {
         val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](256)
         var n = in.read(buf)
-        while (n > 0 && out.size <= 4096) { out.write(buf, 0, n); n = in.read(buf) }
-        if (n > 0)
+        while (n > 0) {
+          out.write(buf, 0, n)
           // bounded LOUDLY, never truncated silently: a truncated
           // control read would make a stamped-claim read-back verify
-          // read a WON claim as lost
-          throw new java.io.IOException(
-            s"control file $p exceeds the 4 KiB marker bound")
+          // read a WON claim as lost. Checked AFTER each write so a
+          // final short tail landing at 4097..4352 bytes fails the
+          // same way a longer file does, not round-trips silently.
+          if (out.size > 4096)
+            throw new java.io.IOException(
+              s"control file $p exceeds the 4 KiB marker bound")
+          n = in.read(buf)
+        }
         Some(out.toString("UTF-8"))
       } finally in.close()
     } catch { case _: java.io.FileNotFoundException => None }
@@ -447,18 +463,30 @@ object VersionedStore {
                   // silent orphan).
                   try {
                     val want = content.getBytes("UTF-8")
+                    // NON-EMPTY strict prefix only: an EMPTY marker is
+                    // AMBIGUOUS, not provably ours — empty is a byte-
+                    // prefix of every stamp, and a foreign claimant
+                    // sits empty inside its own create-to-stamp window
+                    // on this (linkless, create-then-stamp) mount.
+                    // Sweeping it would atomic-take-and-delete a
+                    // legitimately won acquisition (the victim's
+                    // read-back verify turns that into a spurious
+                    // refusal). The narrower cost — OUR own empty
+                    // debris leaking to the aged sweep — is the
+                    // bounded, safe side.
                     def prefixOfOurs(cur: Array[Byte]): Boolean =
-                      cur.length <= want.length && java.util.Arrays.equals(
-                        cur, java.util.Arrays.copyOf(want, cur.length))
+                      cur.length > 0 && cur.length <= want.length &&
+                        java.util.Arrays.equals(
+                          cur, java.util.Arrays.copyOf(want, cur.length))
                     val looksOurs =
-                      try prefixOfOurs(java.nio.file.Files.readAllBytes(dst))
+                      try prefixOfOurs(NioControl.readBytes("sweepRead", dst))
                       catch { case _: java.nio.file.NoSuchFileException => false }
                     if (looksOurs) {
                       val taken = dst.resolveSibling(
                         s"${dst.getFileName}.swept-${java.util.UUID.randomUUID()}")
-                      java.nio.file.Files.move(dst, taken)
-                      if (prefixOfOurs(java.nio.file.Files.readAllBytes(taken)))
-                        java.nio.file.Files.deleteIfExists(taken)
+                      NioControl.moveAs("sweepMove", dst, taken)
+                      if (prefixOfOurs(NioControl.readBytes("sweepRead", taken)))
+                        NioControl.delete("sweepDelete", taken)
                       else if (!renameNoReplace(f,
                         new Path(claim.getParent, taken.getFileName.toString),
                         claim))
@@ -484,7 +512,7 @@ object VersionedStore {
             // cannot be verified, so neither returning true nor
             // deleting is safe.
             wrote && {
-              try new String(java.nio.file.Files.readAllBytes(dst),
+              try new String(NioControl.readBytes("verifyRead", dst),
                 "UTF-8") == content
               catch { case _: java.nio.file.NoSuchFileException => false }
             }
@@ -521,7 +549,21 @@ object VersionedStore {
             // in between is restored reliably). Unreadable-or-vanished
             // propagates loudly: when reads fail, ownership cannot be
             // classified (crash-equivalent, grace-bounded).
-            rawControlRead(f, claim) match {
+            // classification read GUARDED: a transient fault here must
+            // not replace-and-discard the original create failure `e` —
+            // the root-cause diagnostic rides along as suppressed
+            val cur =
+              try rawControlRead(f, claim)
+              catch {
+                case scala.util.control.NonFatal(t) =>
+                  t.addSuppressed(e); throw t
+              }
+            cur match {
+              // EMPTY is ambiguous, not provably ours (see the linkless
+              // arm): a foreign claimant sits empty inside its own
+              // create-to-close window on DFS too. Leave it for the
+              // aged sweep rather than destroy a won acquisition.
+              case Some(s) if s.isEmpty => throw e
               case Some(s) if !content.startsWith(s) => false
               case Some(_) =>
                 val taken = new Path(claim.getParent,
@@ -531,7 +573,7 @@ object VersionedStore {
                 if (got) {
                   val again = try rawControlRead(f, taken)
                     catch { case _: java.io.IOException => None }
-                  if (again.exists(content.startsWith))
+                  if (again.exists(s => s.nonEmpty && content.startsWith(s)))
                     try f.delete(taken, false)
                     catch { case _: java.io.IOException => () }
                   else if (renameNoReplace(f, taken, claim))

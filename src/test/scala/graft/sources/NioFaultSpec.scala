@@ -170,7 +170,8 @@ class NioFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("linkless mount (UnsupportedOperationException): the stamped " +
     "claim falls back to create-then-stamp and still round-trips; a " +
-    "failed fallback stamp does not leak an empty marker") {
+    "failed fallback stamp leaves only ambiguous EMPTY debris that " +
+    "the aged sweep reclaims") {
     val root = tmp("nioc3")
     new java.io.File(root).mkdirs()
     val f = new org.apache.hadoop.fs.Path(root)
@@ -204,9 +205,13 @@ class NioFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
       "UTF-8") === "owner")
     Files.delete(Paths.get(root, ".cycle-claim"))
 
-    // fallback stamp write dies AFTER the create: the empty marker must
-    // be swept, not leaked (it would refuse every later claimant until
-    // the aged sweep)
+    // fallback stamp write dies AFTER the create, leaving the marker
+    // EMPTY: empty is AMBIGUOUS debris (a foreign claimant sits empty
+    // inside its own create-to-stamp window on this mount, and empty is
+    // a byte-prefix of EVERY stamp), so the cleanup must LEAVE it for
+    // the aged sweep rather than risk atomic-take-and-deleting a
+    // legitimately won foreign acquisition (r15 ADVICE). The leak is
+    // grace-bounded, not a livelock: the aged sweep reclaims it.
     val both: (String, NPath) => Unit = (o, p) => {
       if (o == "createLink") throw new UnsupportedOperationException(
         "hard links not supported (injected-nio)")
@@ -219,8 +224,20 @@ class NioFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(e.getMessage.contains("injected-nio"))
+    assert(Files.exists(Paths.get(root, ".cycle-claim")) &&
+      Files.size(Paths.get(root, ".cycle-claim")) == 0L,
+      s"ambiguous EMPTY debris must be left for the aged sweep, " +
+        s"not swept inline: ${names(root)}")
+    // ...and the aged sweep DOES reclaim it: a later claimant with the
+    // grace elapsed acquires through the leaked empty marker
+    NioControl.armed(uoe) {
+      var ran = false
+      graft.IncrementalPipeline.withCycleClaim(spark, root, 0L,
+        "a reclaim test") { ran = true }
+      assert(ran, "the aged sweep must reclaim leaked empty debris")
+    }
     assert(!names(root).exists(_.contains(".cycle-claim")),
-      s"empty marker leaked by the failed fallback stamp: ${names(root)}")
+      s"claim not released after the aged-sweep reclaim: ${names(root)}")
   }
 
   // --------------------------------------------------------- no-clobber move
@@ -371,8 +388,11 @@ class NioFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     // our stolen (empty — the write never ran) inode is the sweeper's
     Files.delete(stolen)
     Files.delete(Paths.get(root, ".cycle-claim"))
-    // and the plain failed-write case (no steal) still sweeps OUR
-    // empty marker: empty is a prefix of the stamp
+    // the plain failed-write case (no steal) leaves OUR empty marker in
+    // place: empty is AMBIGUOUS (indistinguishable from a foreign
+    // claimant's create-to-stamp window), so the cleanup refuses to
+    // touch it and the aged sweep reclaims it (r15 ADVICE — the
+    // bounded leak is the safe side)
     val e2 = intercept[IOException] {
       NioControl.armed((o, p) => {
         if (o == "createLink") throw new UnsupportedOperationException(
@@ -384,8 +404,53 @@ class NioFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(e2.getMessage.contains("injected-nio"))
-    assert(!names(root).exists(_.contains(".cycle-claim")),
-      s"our own empty marker must be swept on a plain write fault: ${names(root)}")
+    assert(Files.exists(Paths.get(root, ".cycle-claim")) &&
+      Files.size(Paths.get(root, ".cycle-claim")) == 0L,
+      s"ambiguous empty debris must be left for the aged sweep: ${names(root)}")
+    Files.delete(Paths.get(root, ".cycle-claim"))
+  }
+
+  test("linkless fallback: a FOREIGN claimant's pre-stamp EMPTY marker " +
+    "survives our failure cleanup — empty is ambiguous, never " +
+    "'provably ours' (r15 ADVICE: sweeping it destroyed a won " +
+    "acquisition)") {
+    val root = tmp("nioc6")
+    new java.io.File(root).mkdirs()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(root, ".cycle-claim")
+    val stolen = Paths.get(root, ".cycle-claim.swept-steal4")
+    // schedule: our CREATE_NEW lands; a sweeper steals the marker;
+    // claimant B re-creates it and is INSIDE its create-to-stamp window
+    // (marker exists, EMPTY) when our stamp write dies. The old cleanup
+    // read empty as a prefix of our stamp, atomic-took and deleted it —
+    // B's read-back verify then refused a claim B had legitimately won.
+    // The cleanup must leave the empty marker untouched.
+    val hook: (String, NPath) => Unit = (o, p) => {
+      if (o == "createLink") throw new UnsupportedOperationException(
+        "no hard links (injected-nio)")
+      if (o == "write" && p.getFileName.toString == ".cycle-claim") {
+        Files.move(p, stolen)
+        Files.createFile(p) // B's O_EXCL create; B has not stamped yet
+        throw new IOException("No space left on device (injected-nio)")
+      }
+    }
+    val e = intercept[IOException] {
+      NioControl.armed(hook) {
+        VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp")
+      }
+    }
+    assert(e.getMessage.contains("injected-nio"))
+    assert(Files.exists(Paths.get(root, ".cycle-claim")) &&
+      Files.size(Paths.get(root, ".cycle-claim")) == 0L,
+      "claimant B's pre-stamp empty marker must survive our cleanup")
+    // B finishes its stamp and read-back verifies: the acquisition holds
+    Files.write(Paths.get(root, ".cycle-claim"),
+      "claimant-B-stamp".getBytes("UTF-8"))
+    assert(VersionedStore.rawControlRead(f, claim)
+      .contains("claimant-B-stamp"))
+    Files.delete(stolen)
+    Files.delete(Paths.get(root, ".cycle-claim"))
   }
 
   test("rawControlRead drains the full content (short reads, > 256 " +
@@ -399,5 +464,106 @@ class NioFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.write(Paths.get(root, ".long-marker"), long.getBytes("UTF-8"))
     assert(VersionedStore.rawControlRead(f, p).contains(long),
       "content past one 256-byte read must round-trip")
+  }
+
+  test("rawControlRead 4 KiB bound is exact: 4096 bytes round-trips, " +
+    "4097..4352 fails LOUDLY (r15 ADVICE — the drain loop's pre-write " +
+    "check let a short final tail round-trip silently)") {
+    val root = tmp("nior4")
+    new java.io.File(root).mkdirs()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val atBound = "y" * 4096
+    Files.write(Paths.get(root, ".at-bound"), atBound.getBytes("UTF-8"))
+    assert(VersionedStore.rawControlRead(f,
+      new org.apache.hadoop.fs.Path(root, ".at-bound")).contains(atBound))
+    // the exact lengths the off-by-one admitted: one extra buffered read
+    // past the bound (4097..4352 with a 256-byte buffer)
+    for (n <- Seq(4097, 4200, 4352, 5000)) {
+      Files.write(Paths.get(root, ".over-bound"),
+        ("z" * n).getBytes("UTF-8"))
+      val e = intercept[IOException] {
+        VersionedStore.rawControlRead(f,
+          new org.apache.hadoop.fs.Path(root, ".over-bound"))
+      }
+      assert(e.getMessage.contains("exceeds the 4 KiB marker bound"),
+        s"a $n-byte control file must fail the bound loudly")
+    }
+  }
+
+  test("compound fault inside the linkless failure cleanup: the " +
+    "atomic-take MOVE dies (sweepMove seam) — the original stamp " +
+    "failure still surfaces and the partial marker stays for the " +
+    "aged sweep, never half-deleted") {
+    val root = tmp("nioc7")
+    new java.io.File(root).mkdirs()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(root, ".cycle-claim")
+    // stamp write leaves a non-empty strict prefix ("me-") then dies;
+    // the cleanup classifies it as ours and goes to atomic-take — where
+    // the second fault lands
+    val hook: (String, NPath) => Unit = (o, p) => {
+      if (o == "createLink") throw new UnsupportedOperationException(
+        "no hard links (injected-nio)")
+      if (o == "write" && p.getFileName.toString == ".cycle-claim") {
+        val ch = java.nio.file.Files.newByteChannel(p,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap("me-".getBytes("UTF-8")))
+        finally ch.close()
+        throw new IOException("No space left on device (injected-nio)")
+      }
+      if (o == "sweepMove") throw new IOException(
+        "Input/output error (injected-nio-sweep)")
+    }
+    val e = intercept[IOException] {
+      NioControl.armed(hook) {
+        VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp")
+      }
+    }
+    // the ORIGINAL write failure surfaces (the cleanup's own fault is
+    // contained), and the marker is intact for the aged sweep
+    assert(e.getMessage.contains("No space left on device (injected-nio)"))
+    assert(new String(Files.readAllBytes(Paths.get(root, ".cycle-claim")),
+      "UTF-8") === "me-")
+    Files.delete(Paths.get(root, ".cycle-claim"))
+  }
+
+  test("compound fault inside the linkless failure cleanup: the " +
+    "post-take DELETE dies (sweepDelete seam) — the taken marker " +
+    "parks as .swept-* debris for the aged sweep, the claim path is " +
+    "clear, and the original failure surfaces") {
+    val root = tmp("nioc8")
+    new java.io.File(root).mkdirs()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(root, ".cycle-claim")
+    val hook: (String, NPath) => Unit = (o, p) => {
+      if (o == "createLink") throw new UnsupportedOperationException(
+        "no hard links (injected-nio)")
+      if (o == "write" && p.getFileName.toString == ".cycle-claim") {
+        val ch = java.nio.file.Files.newByteChannel(p,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap("me-".getBytes("UTF-8")))
+        finally ch.close()
+        throw new IOException("No space left on device (injected-nio)")
+      }
+      if (o == "sweepDelete") throw new IOException(
+        "Input/output error (injected-nio-del)")
+    }
+    val e = intercept[IOException] {
+      NioControl.armed(hook) {
+        VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp")
+      }
+    }
+    assert(e.getMessage.contains("No space left on device (injected-nio)"))
+    assert(!Files.exists(Paths.get(root, ".cycle-claim")),
+      "the atomic take must have cleared the claim path")
+    val parked = names(root).filter(_.contains(".swept-"))
+    assert(parked.size === 1,
+      s"the taken marker must park as .swept-* debris: ${names(root)}")
+    assert(new String(Files.readAllBytes(
+      Paths.get(root, parked.head)), "UTF-8") === "me-")
+    Files.delete(Paths.get(root, parked.head))
   }
 }

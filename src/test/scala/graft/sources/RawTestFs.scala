@@ -45,6 +45,14 @@ class RawTestFs extends FilterFileSystem {
   override def getUri: URI = RawTestFs.Name
   override def getScheme: String = "rawtest"
 
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    if (RawTestFs.failOpen(f.toString))
+      throw new java.io.IOException(
+        "Input/output error on open (injected-rawtest-open)")
+    super.open(f, bufferSize)
+  }
+
   override def rename(src: Path, dst: Path): Boolean = {
     if (exists(dst) && getFileStatus(dst).isFile) false
     else {
@@ -62,14 +70,25 @@ class RawTestFs extends FilterFileSystem {
       replication, blockSize, progress)
     if (RawTestFs.failStampWrite(f.toString))
       // the file IS created (the DFS-arm scenario: create succeeds,
-      // the stamp bytes then fail) — the returned stream dies on write
+      // the stamp bytes then fail) — the returned stream dies on write,
+      // after letting `stampWritePartial` bytes through (0 = dies on
+      // the first byte, leaving the marker EMPTY; >0 leaves a strict
+      // non-empty prefix — the two distinct debris classes the arm's
+      // failure cleanup classifies differently)
       new org.apache.hadoop.fs.FSDataOutputStream(
         new java.io.OutputStream {
-          override def write(b: Int): Unit = throw new java.io.IOException(
-            "No space left on device (injected-rawtest)")
-          override def write(b: Array[Byte], off: Int, len: Int): Unit =
-            throw new java.io.IOException(
+          private var allowed = RawTestFs.stampWritePartial
+          override def write(b: Int): Unit = {
+            if (allowed <= 0) throw new java.io.IOException(
               "No space left on device (injected-rawtest)")
+            allowed -= 1; out.write(b)
+          }
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+            val n = math.min(len, allowed)
+            if (n > 0) { out.write(b, off, n); allowed -= n; out.flush() }
+            if (n < len) throw new java.io.IOException(
+              "No space left on device (injected-rawtest)")
+          }
           override def close(): Unit = out.close()
         }, null)
     else out
@@ -95,6 +114,20 @@ object RawTestFs {
     * fail — the half-stamped-marker scenario the arm's cleanup sweeps.
     */
   @volatile var failStampWrite: String => Boolean = _ => false
+
+  /** Read-fault knob: paths matching the predicate fail to `open` with
+    * a plain IOException — drives the DFS-arm failure cleanup's
+    * classification read into its guarded propagate-with-suppressed
+    * path (r15 ADVICE: the original create failure must ride along).
+    */
+  @volatile var failOpen: String => Boolean = _ => false
+
+  /** How many stamp bytes a [[failStampWrite]]-matched stream lets
+    * through before dying: 0 leaves the marker EMPTY (ambiguous — the
+    * cleanup must leave it for the aged sweep), >0 leaves a strict
+    * non-empty prefix (provably ours — the cleanup atomic-takes it).
+    */
+  @volatile var stampWritePartial: Int = 0
 }
 
 /** The `AbstractFileSystem` binding that makes `FileContext` resolve the

@@ -200,7 +200,8 @@ class RawTestFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"release tmp leaked: ${names(local)}")
   }
 
-  test("DFS-arm stamp write fault: the half-stamped marker is swept " +
+  test("DFS-arm stamp write fault, PARTIAL stamp: the half-stamped " +
+    "marker (non-empty strict prefix, provably ours) is swept " +
     "(atomic take, prefix-checked), the error surfaces, and the next " +
     "acquisition succeeds") {
     val (root, local) = tmp("rtfault")
@@ -208,6 +209,7 @@ class RawTestFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     f.mkdirs(new org.apache.hadoop.fs.Path(root))
     val claim = new org.apache.hadoop.fs.Path(root, ".cycle-claim")
     RawTestFs.failStampWrite = _.endsWith(".cycle-claim")
+    RawTestFs.stampWritePartial = 3 // marker dies holding "me-"
     try {
       val e = intercept[java.io.IOException] {
         VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp")
@@ -215,13 +217,78 @@ class RawTestFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e.getMessage.contains("injected-rawtest"))
       assert(!names(local).exists(_.contains(".cycle-claim")),
         s"half-stamped marker must be swept, not leaked: ${names(local)}")
-    } finally RawTestFs.failStampWrite = _ => false
+    } finally {
+      RawTestFs.failStampWrite = _ => false
+      RawTestFs.stampWritePartial = 0
+    }
     // fault cleared: a clean acquisition lands with its stamp readable
     assert(VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp"))
     assert(new String(Files.readAllBytes(Paths.get(local, ".cycle-claim")),
       "UTF-8") === "me-stamp")
     // occupied path still refuses quietly
     assert(!VersionedStore.exclusiveCreateStamped(f, claim, "other"))
+    assert(f.delete(claim, false))
+  }
+
+  test("DFS-arm stamp write fault, EMPTY marker: ambiguous debris is " +
+    "LEFT for the aged sweep (r15 ADVICE — a foreign claimant sits " +
+    "empty inside its create-to-close window; sweeping it would " +
+    "destroy a won acquisition), and the original create failure is " +
+    "what surfaces") {
+    val (root, local) = tmp("rtfault2")
+    val f = fsOf(root)
+    f.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val claim = new org.apache.hadoop.fs.Path(root, ".cycle-claim")
+    RawTestFs.failStampWrite = _.endsWith(".cycle-claim")
+    RawTestFs.stampWritePartial = 0 // dies before the first byte
+    try {
+      val e = intercept[java.io.IOException] {
+        VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp")
+      }
+      assert(e.getMessage.contains("injected-rawtest"))
+      assert(Files.exists(Paths.get(local, ".cycle-claim")) &&
+        Files.size(Paths.get(local, ".cycle-claim")) == 0L,
+        s"ambiguous EMPTY debris must be left for the aged sweep, " +
+          s"not swept inline: ${names(local)}")
+    } finally RawTestFs.failStampWrite = _ => false
+    // the leaked empty marker refuses claimants (grace-bounded, loud at
+    // the protocol layer) until swept; simulate the aged sweep and show
+    // the path is serviceable again
+    assert(!VersionedStore.exclusiveCreateStamped(f, claim, "other"))
+    assert(f.delete(claim, false))
+    assert(VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp"))
+    assert(f.delete(claim, false))
+  }
+
+  test("DFS-arm stamp write fault + classification READ fault: the " +
+    "read fault propagates WITH the original create failure attached " +
+    "as suppressed (r15 ADVICE — the root-cause diagnostic must not " +
+    "be silently replaced)") {
+    val (root, local) = tmp("rtfault3")
+    val f = fsOf(root)
+    f.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val claim = new org.apache.hadoop.fs.Path(root, ".cycle-claim")
+    RawTestFs.failStampWrite = _.endsWith(".cycle-claim")
+    RawTestFs.failOpen = _.endsWith(".cycle-claim")
+    try {
+      val e = intercept[java.io.IOException] {
+        VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp")
+      }
+      assert(e.getMessage.contains("injected-rawtest-open"),
+        "the classification read fault is what propagates")
+      assert(e.getSuppressed.exists(
+        _.getMessage.contains("No space left on device (injected-rawtest)")),
+        s"the original create failure must ride along as suppressed; " +
+          s"got: ${e.getSuppressed.map(_.getMessage).mkString(" | ")}")
+    } finally {
+      RawTestFs.failStampWrite = _ => false
+      RawTestFs.failOpen = _ => false
+    }
+    // debris from the unclassifiable failure stays (crash-equivalent,
+    // aged-sweep territory); clear it and confirm the path serves
+    assert(Files.exists(Paths.get(local, ".cycle-claim")))
+    assert(f.delete(claim, false))
+    assert(VersionedStore.exclusiveCreateStamped(f, claim, "me-stamp"))
     assert(f.delete(claim, false))
   }
 }
