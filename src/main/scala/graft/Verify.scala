@@ -25,9 +25,14 @@ object Verify {
       // the whole pipeline into ONE task — serial at sf1 and beyond.
       // repartition inserts a shuffle barrier: the computation keeps its
       // parallelism and only the single-file write runs on one task.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query wall on stdout: scale sweeps (sf1/sf10) derive their
+        // per-family growth tables from these lines
+        println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: $e")
         e.printStackTrace()
       }
