@@ -36,6 +36,22 @@ object EngineSession {
   val InitialPartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256")
 
+  /** AQE coalesce floor (default 1 MB in Spark). The byte-based floor
+    * under-parallelizes CPU-DENSE post-shuffle stages when the shuffled
+    * bytes are small but the per-byte work is not: the dedup/similarity
+    * pipelines run double-md5 + shingle explodes (~100 CPU-s per shuffled
+    * MB) downstream of a collapse aggregate whose output is well under
+    * 32 MB, so AQE's 1 MB floor fused them onto 1–2 tasks and the stage
+    * ran serial at 32 cores (r16 profiler: d03/d09/i03 at parallelism
+    * ≈ 1.0; measured d03 1.4 → 0.5 s normalized from this one conf).
+    * 64 KB keeps those stages parallel in the small-bytes regime while
+    * changing nothing at scale: the coalesce target is
+    * max(totalBytes/parallelism, floor), and any production shuffle has
+    * totalBytes/parallelism ≫ 64 KB, so the floor never binds there.
+    */
+  val MinPartitionSize: String =
+    sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k")
+
   def builder(cores: String = defaultCores): SparkSession.Builder =
     SparkSession
       .builder()
@@ -53,6 +69,8 @@ object EngineSession {
       // This is how the same plan survives 100x without retuning.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         InitialPartitions)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        MinPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
@@ -104,6 +122,8 @@ object EngineSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         InitialPartitions)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        MinPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

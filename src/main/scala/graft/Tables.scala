@@ -41,8 +41,46 @@ object Tables {
     */
   def parallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions.toLong * 4 < target) df.repartition(target)
+    if (scanPartitions(df).toLong * 4 < target) df.repartition(target)
     else df
+  }
+
+  /** Partition count of the scan under `df`, memoized per (session, scan
+    * root paths). `df.rdd.getNumPartitions` plans the whole query and
+    * builds its RDD lineage — ~50–150 ms of driver work per call, paid at
+    * QUERY-CONSTRUCTION time by every [[parallel]] call site and again on
+    * every bench pass (r16 profiler: ~60 s of construction time across the
+    * catalog, a visible slice of it here). The count it produces depends
+    * only on the scanned files and the session's split confs — projections
+    * and filters above the scan never change it — so for a plan that is
+    * scan + narrow ops over one file source (the documented [[parallel]]
+    * contract) the probe is memoized on the scan's root paths. Any other
+    * plan shape falls back to the direct probe, uncached.
+    */
+  private val scanPartsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+
+  private def scanPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val analyzed = df.queryExecution.analyzed
+    // the memo is only valid when every node above the scan preserves its
+    // partitioning (narrow ops) — anything else (a join, an aggregate, a
+    // repartition) changes the count and takes the uncached probe
+    val narrowOnly = analyzed.collect {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[SubqueryAlias] && !p.isInstanceOf[LogicalRelation] => p
+    }.isEmpty
+    val roots = analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }
+    if (narrowOnly && roots.length == 1 && roots.head.nonEmpty)
+      scanPartsCache.computeIfAbsent((df.sparkSession, roots.head),
+        _ => df.rdd.getNumPartitions)
+    else df.rdd.getNumPartitions
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -1101,12 +1101,19 @@ object Dedup {
     // normalize ids to LONG up front: callers may pass integer-typed ids,
     // and both the primitive-array collect below and the cross-path label
     // type (local vs distributed must agree) depend on a fixed width
+    // no .distinct() on the undirected expansion: every caller passes an
+    // aggregate's output (unique (doc_a < doc_b) pairs), so the two
+    // directed projections cannot collide — and both CC paths are
+    // idempotent to duplicate edges anyway (union-find unions, min-label
+    // propagation takes min). The distinct was a full extra exchange +
+    // aggregate of the edge relation on every clustering query
+    // (d07/d14/p18/t22 and the graph lanes), paid for nothing.
     val edges = pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst"))
       .union(pairs.select(col("doc_b").cast("long").as("src"),
         col("doc_a").cast("long").as("dst")))
-      .distinct().persist()
+      .persist()
     val edgeCount = edges.count()
     if (edgeCount <= localEdgeThreshold) {
       val spark = pairs.sparkSession

@@ -89,7 +89,16 @@ object Relational4 {
          |  FROM lineitem)
          |$rowsSql
          |ORDER BY col_a, col_b""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
+      // the 15 exact-decimal product sums are CPU-dense per row (the
+      // DECIMAL(25,4) products leave the long-backed fast path), and the
+      // partial aggregate runs inside the scan stage — on a store whose
+      // row groups under-split the scan (the r16 profiler read this
+      // query at parallelism 1.0) that serializes the whole pass. The
+      // scan-parallelism guard round-robins the 4 projected columns only
+      // when the scan is under-split; at a healthy layout it is an
+      // identity (same contract as the dedup lanes' scans).
+      val li = Tables.parallel(Tables.lineitem(s, d)
+        .select(corrCols.map(c => col(c._1)): _*))
       val aggs = count(lit(1)).as("n") +:
         (corrCols.flatMap { case (c, a) =>
           Seq(sum(money(col(c))).cast("double").as(s"s_$a"),
