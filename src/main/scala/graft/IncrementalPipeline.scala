@@ -430,17 +430,29 @@ object IncrementalPipeline {
         .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
     val applied = Incremental.applyLatest(base, applicable).localCheckpoint()
 
-    // exact stats fold from the narrow snapshot diff (i01's shape)
+    // exact stats fold from the narrow snapshot diff (i01's shape).
+    // The fold and the corpus publish are independent — `base` is pinned
+    // to the pre-publish version directory at read() time and `applied`
+    // is checkpointed, so the fold's aggregates cannot observe the new
+    // version — and each was a driver-sequential barrier; overlapped
+    // (guide §2.6). Same for the two derived-state writes after the
+    // publish (disjoint roots) and the three summary counts (cached
+    // checkpoints). All inside the cycle claim, so the single-writer
+    // contract is untouched.
     val (removed, added) = snapshotDiff(base, applied)
-    val newStats = Retrieval.bm25StatsDelta(
-      loadStats(spark, statsRoot), removed, added)
-
-    val v = VersionedStore.publish(applied, storeRoot)
-    Dedup.appendBandIndex(survivors, idxRoot,
-      VersionedStore.versionDirName(v))
-    val sv = publishStats(spark, statsRoot, newStats, v)
-    DayState(v, sv, applied.count(), survivors.count(),
-      addCands.count() - survivors.count())
+    val (newStats, v) = graft.Par.both(
+      () => Retrieval.bm25StatsDelta(loadStats(spark, statsRoot),
+        removed, added),
+      () => VersionedStore.publish(applied, storeRoot))
+    val (_, sv, counts) = graft.Par.three(
+      () => Dedup.appendBandIndex(survivors, idxRoot,
+        VersionedStore.versionDirName(v)),
+      () => publishStats(spark, statsRoot, newStats, v),
+      () => {
+        val nSurv = survivors.count()
+        (applied.count(), nSurv, addCands.count() - nSurv)
+      })
+    DayState(v, sv, counts._1, counts._2, counts._3)
   }
 
   /** Heal crash-torn derived state: for every corpus version newer than

@@ -910,16 +910,23 @@ object Dedup {
     //    broadcast against the bands artifact
     val deltaBands = bandKeys(fresh, SIGS, BANDS)
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"))
-    val cand = index.bands
+    // bounded driver collect: candidate pairs are the band collisions of a
+    // single delta batch (not corpus-scale). ONE collect replaces the
+    // previous localCheckpoint + collect pair (two jobs over the same
+    // relation): the pair list comes back to the driver once and re-enters
+    // the confirm join as a broadcast local relation — same rows, one
+    // fewer scheduled job on the per-batch ingest path.
+    val spark = incoming.sparkSession
+    val candRows = index.bands
       .join(broadcast(deltaBands), Seq("band_idx", "band_val"))
       .select(col("new_id"), col("doc_id").as("idx_id"))
       .distinct()
-      .localCheckpoint() // candidate-sized; read twice below
-    // bounded driver collect: candidate ids are the band collisions of a
-    // single delta batch (not corpus-scale); the adaptive fallback keeps
-    // pathological batches correct without a pathological IN literal
-    val candIds = cand.select(col("idx_id")).distinct()
-      .collect().map(_.getLong(0))
+      .collect()
+    val candIds = candRows.map(_.getLong(1)).distinct
+    import spark.implicits._
+    val cand = spark.createDataset(
+      candRows.toSeq.map(r => (r.getLong(0), r.getLong(1))))
+      .toDF("new_id", "idx_id")
 
     val idxDrops =
       if (candIds.isEmpty) inDrops.limit(0)

@@ -579,22 +579,30 @@ object Similarity2 {
         .select(col("qid"), col("cid"), cos16.as("c16"))
         .withColumn("rn", row_number().over(w16)).filter(col("rn") <= k)
 
-      val sq8 = sq8Search(emb, sq8Fit(emb), queries, k)
-      val pq = Similarity.pqSearch(
-        Similarity.pqIndex(emb, m = 4, ksub = 4, iters = 1), queries, k)
-      val bq = bqRerank.run(s, d) // the registered s25 pipeline verbatim
-      val ivfsq = ivfSqSearch(
-        Similarity.ivfIndex(emb, nlist = 8, iters = 1),
-        emb.filter(col("vec_id") < 8), k, nprobe = 2)
+      // the five serving-tier lanes are mutually independent (each trains
+      ///probes its own index over the same immutable scan and ends in a
+      // bounded recall collect) but each one is a chain of driver actions
+      // — sequentially they serialized ~10 small jobs end to end.
+      // Overlapped per guide §2.6: lane recalls are computed concurrently
+      // and assembled in a fixed order, so the result is unchanged.
+      val recalls = graft.Par.all[Double](
+        () => recallOf(trunc),
+        () => recallOf(sq8Search(emb, sq8Fit(emb), queries, k)),
+        () => recallOf(ivfSqSearch(
+          Similarity.ivfIndex(emb, nlist = 8, iters = 1),
+          emb.filter(col("vec_id") < 8), k, nprobe = 2)),
+        () => recallOf(Similarity.pqSearch(
+          Similarity.pqIndex(emb, m = 4, ksub = 4, iters = 1), queries, k)),
+        () => recallOf(bqRerank.run(s, d))) // the registered s25 pipeline
 
       Seq(
         ("exact_f32", 256L, 1.0),
-        ("trunc_16of64", 64L, recallOf(trunc)),
-        ("sq8", 64L, recallOf(sq8)),
+        ("trunc_16of64", 64L, recalls(0)),
+        ("sq8", 64L, recalls(1)),
         // 64 residual codes + the list id — routing loss included
-        ("ivfsq_nprobe2", 72L, recallOf(ivfsq)),
-        ("pq_m4", 4L, recallOf(pq)),
-        ("bq_1bit", 8L, recallOf(bq)))
+        ("ivfsq_nprobe2", 72L, recalls(2)),
+        ("pq_m4", 4L, recalls(3)),
+        ("bq_1bit", 8L, recalls(4)))
         .toDF("method", "bytes_per_vec", "recall_at_3")
         .orderBy(col("bytes_per_vec").desc, col("method"))
     })
