@@ -39,9 +39,18 @@ object Tables {
     * at plan-build time. Library operators therefore do NOT guard their
     * inputs — the per-query entry points guard their own scans.
     */
-  def parallel(df: DataFrame): DataFrame = {
+  /** `slack` tunes when the guard fires: partitions × slack < target.
+    * The default 4 tolerates partial width (a 9-partition scan on 32
+    * cores is left alone — the rebalance usually costs more than the
+    * residual idle); slack = 1 demands FULL width and suits only stages
+    * whose per-row CPU dwarfs the rebalance (the char-5-gram md5
+    * pipeline: ~5× word-shingle volume, measured 1.9 → 1.2 s at sf0.1
+    * going 8 → 32-way). At a healthy layout partitions ≥ target and any
+    * slack ≥ 1 is an identity.
+    */
+  def parallel(df: DataFrame, slack: Int = 4): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (scanPartitions(df).toLong * 4 < target) df.repartition(target)
+    if (scanPartitions(df).toLong * slack < target) df.repartition(target)
     else df
   }
 

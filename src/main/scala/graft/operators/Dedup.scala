@@ -1553,14 +1553,18 @@ object Dedup {
       val base = Tables.documents(s, d).select("doc_id", "text")
       val collapsed = collapseExact(base)
       // Tables.parallel here is LOAD-BEARING: AQE coalesces the collapse
-      // aggregate's few-MB output to 1-2 partitions, and without the
-      // round-robin the char-md5 explode downstream — the densest scan
+      // aggregate's few-MB output to a handful of partitions, and without
+      // the round-robin the char-md5 explode downstream — the densest scan
       // in the module, every 5-char window ≈ 5× the word-trigram shingle
       // volume — runs nearly serial (measured 7.4 → 2.1 s at sf0.1, equal
       // load, from this one repartition; d03's word pipeline is light enough that
-      // its comment-documented no-parallel choice still holds there)
+      // its comment-documented no-parallel choice still holds there).
+      // slack = 1: with the r16 64 KB coalesce floor the collapse output
+      // lands at ~8 partitions — above the default guard's target/4
+      // threshold but still 4× under the cores — and this stage's per-row
+      // md5 CPU dwarfs the rebalance (1.9 → 1.2 s at sf0.1 from full width).
       val reps = Tables.parallel(
-        collapsed.select(col("rep_id").as("doc_id"), col("text")))
+        collapsed.select(col("rep_id").as("doc_id"), col("text")), slack = 1)
       // materialize the tiny pair table once: the expansion joins
       // reference it more than once and AQE cannot reuse the
       // differently-pruned signature subplans
@@ -1670,7 +1674,7 @@ object Dedup {
        |ORDER BY rep_a, rep_b""".stripMargin) { (s, d) =>
     val base = Tables.documents(s, d).select("doc_id", "text")
     val reps = Tables.parallel(collapseExact(base)
-      .select(col("rep_id").as("doc_id"), col("text")))
+      .select(col("rep_id").as("doc_id"), col("text")), slack = 1)
     val bands = charBandKeys(reps, CharPlannedSigs, charPlannedBands)
     val kc = bands.groupBy("band_idx", "band_val")
       .agg(count(lit(1)).as("nk"))
@@ -1704,7 +1708,7 @@ object Dedup {
        |ORDER BY band_idx""".stripMargin) { (s, d) =>
     val base = Tables.documents(s, d).select("doc_id", "text")
     val reps = Tables.parallel(collapseExact(base)
-      .select(col("rep_id").as("doc_id"), col("text")))
+      .select(col("rep_id").as("doc_id"), col("text")), slack = 1)
     charBandKeys(reps, CharPlannedSigs, charPlannedBands)
       .groupBy("band_idx", "band_val").agg(count(lit(1)).as("nk"))
       .groupBy("band_idx")

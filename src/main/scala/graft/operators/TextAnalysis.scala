@@ -927,11 +927,14 @@ object TextAnalysis {
       // the vocab tables are re-read every PageRank iteration (edges 3×
       // + out-degree, nodes per rank rebuild): materialize once, keep
       // lineage flat — the same s13 move, measured 2.2 s → sub-second
-      val nid = wd.select(explode(col("ws")).as("w")).distinct()
-        .select(col("w"), wid("w").as("id"))
-        .localCheckpoint()
-      val edges = eu.select(wid("wa").as("src"), wid("wb").as("dst"))
-        .localCheckpoint()
+      // independent materializations (vocab ids vs edge list) — overlapped
+      // (guide §2.6) instead of two sequential checkpoint barriers
+      val (nid, edges) = graft.Par.both(
+        () => wd.select(explode(col("ws")).as("w")).distinct()
+          .select(col("w"), wid("w").as("id"))
+          .localCheckpoint(),
+        () => eu.select(wid("wa").as("src"), wid("wb").as("dst"))
+          .localCheckpoint())
       val ranks = Similarity.pageRankInt(nid.select("id"), edges, iters = 3)
       nid.join(ranks, "id")
         .select(col("w").as("word"), col("rank"))
