@@ -1115,12 +1115,20 @@ object Dedup {
     // propagation takes min). The distinct was a full extra exchange +
     // aggregate of the edge relation on every clustering query
     // (d07/d14/p18/t22 and the graph lanes), paid for nothing.
-    val edges = pairs
+    // localCheckpoint (via Checkpoints, for deterministic freeing), not
+    // persist: a persisted DataFrame keeps the caller's full pair-scaffold
+    // logical plan, so EVERY subsequent action — the threshold count, the
+    // local-path collect, and each distributed round's two joins — re-ran
+    // Catalyst analysis over the deep banding/join/aggregate tree before
+    // the cache manager could substitute the materialized relation. The
+    // checkpoint truncates that to a leaf: the scaffold is analyzed and
+    // computed exactly once (profiler: the d07/d14/p18/t22 construction
+    // chains were dominated by this re-analysis, not by tasks).
+    val (edges, edgeIds) = graft.Checkpoints.checkpoint(pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst"))
       .union(pairs.select(col("doc_b").cast("long").as("src"),
-        col("doc_a").cast("long").as("dst")))
-      .persist()
+        col("doc_a").cast("long").as("dst"))))
     val edgeCount = edges.count()
     if (edgeCount <= localEdgeThreshold) {
       val spark = pairs.sparkSession
@@ -1135,7 +1143,7 @@ object Dedup {
       while (i < rows.length) {
         srcArr(i) = rows(i).getLong(0); dstArr(i) = rows(i).getLong(1); i += 1
       }
-      edges.unpersist()
+      graft.Checkpoints.free(spark, edgeIds)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -1197,7 +1205,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    graft.Checkpoints.free(spark, edgeIds)
     // returning partial labels on a non-converged loop would silently
     // mislabel clusters (docs kept that should have been dropped); with
     // pointer jumping maxIters=20 covers diameters to ~2^20, so hitting

@@ -78,9 +78,19 @@ object MlQuality {
       .evaluate(predictions)
 
     import spark.implicits._
+    // one aggregate over the cached `labeled` instead of three scheduled
+    // actions (train.count / test.count / predictions-positive count):
+    // HashingTF and model.transform both carry every input row and column
+    // through 1:1, so the three counts are plain conditional counts over
+    // the pre-transform frame — identical values, two fewer driver
+    // barriers on the audit tail
+    val cnts = labeled.agg(
+      count_if(col("is_train")).as("n_train"),
+      count_if(!col("is_train")).as("n_test"),
+      count_if(!col("is_train") && col("label") === 1.0).as("n_pos_test"))
+      .head()
     val row = Seq((
-      train.count(), test.count(),
-      predictions.filter(col("label") === 1.0).count(),
+      cnts.getLong(0), cnts.getLong(1), cnts.getLong(2),
       auc >= 0.85)).toDF("n_train", "n_test", "n_pos_test", "auc_ok")
     labeled.unpersist()
     (row, auc)
