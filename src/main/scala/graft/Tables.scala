@@ -15,8 +15,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet SCHEMA memo, keyed on (session, file identity). Without an
+    * explicit schema every `spark.read.parquet` call re-reads a footer to
+    * infer one — paid at query-construction time by every table load on
+    * every bench pass (and several queries load a table more than once).
+    * The schema depends only on the file bytes and the session's type
+    * mapping confs (nanosAsLong), so it is memoized per session + path +
+    * mtime + length; a rebuilt store at the same path misses the memo and
+    * re-infers. Non-local paths (no java.io.File identity) skip the memo.
+    * This caches METADATA only — every query still scans the parquet.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    if (!f.exists()) spark.read.parquet(path)
+    else {
+      val schema = schemaCache.computeIfAbsent(
+        (spark, s"$path|${f.lastModified}|${f.length}"),
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
+  }
 
   /** Adaptive scan-parallelism guard for CPU-heavy per-row pipelines
     * (hashing, shingling, quantized vector math).
