@@ -1943,8 +1943,11 @@ object Similarity {
        |WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin) { (s, d) =>
     val emb = Tables.parallel(Tables.embeddings(s, d))
-    val ivf = ivfIndex(emb, nlist = 8, iters = 1)
-    val pq = pqIndex(emb, m = 4, ksub = 4, iters = 1)
+    // the two trainings are independent collect-driven loops over the
+    // same immutable scan — overlapped (guide §2.6), results unchanged
+    val (ivf, pq) = graft.Par.both(
+      () => ivfIndex(emb, nlist = 8, iters = 1),
+      () => pqIndex(emb, m = 4, ksub = 4, iters = 1))
     ivfPqSearch(ivf, pq, emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
       .orderBy("qid", "rn")
   }
@@ -2007,8 +2010,10 @@ object Similarity {
        |WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin) { (s, d) =>
     val emb = Tables.parallel(Tables.embeddings(s, d))
-    val ivf = ivfIndex(emb, nlist = 8, iters = 1)
-    val pq = pqIndex(emb, m = 4, ksub = 4, iters = 1)
+    // same overlap as s15: independent trainings over the same scan
+    val (ivf, pq) = graft.Par.both(
+      () => ivfIndex(emb, nlist = 8, iters = 1),
+      () => pqIndex(emb, m = 4, ksub = 4, iters = 1))
     ivfPqRerank(ivf, pq, emb, emb.filter(col("vec_id") < 8),
         kFinal = 3, kCand = 10, nprobe = 2)
       .orderBy("qid", "rn")
