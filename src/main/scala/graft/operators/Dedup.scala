@@ -801,13 +801,34 @@ object Dedup {
       .map(_.getName).sorted
   }
 
+  /** Meta-ROW memo for committed band-index artifacts. The meta relation
+    * is written last (the artifact's commit point) and never rewritten in
+    * place except by a full overwrite, which recreates the directory and
+    * changes its mtime — so one (session, path, mtime, length) read is
+    * valid for the artifact's lifetime. Every i07/i08 screen paid two
+    * meta reads (existence probe + load) with a scheduled head() job
+    * each, per invocation, for bytes that cannot have changed. Non-local
+    * paths (no java.io.File identity — the fault-injecting test schemes)
+    * skip the memo and read uncached.
+    */
+  private val metaRowCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.Row]()
+
+  private def metaRow(spark: SparkSession, path: String): org.apache.spark.sql.Row = {
+    val dir = new java.io.File(path, "meta")
+    if (!dir.exists()) spark.read.parquet(s"$path/meta").head()
+    else metaRowCache.computeIfAbsent(
+      (spark, s"$path|${dir.lastModified}|${dir.length}"),
+      _ => spark.read.parquet(s"$path/meta").head())
+  }
+
   /** The `covered` lineage metadata recorded by [[writeBandIndex]]
     * (-1 when the artifact predates the column or is unversioned).
     */
   def bandIndexCovered(spark: SparkSession, path: String): Int = {
-    val meta = spark.read.parquet(s"$path/meta")
-    if (meta.columns.contains("covered"))
-      meta.head().getAs[Int]("covered")
+    val meta = metaRow(spark, path)
+    if (meta.schema.fieldNames.contains("covered"))
+      meta.getAs[Int]("covered")
     else -1
   }
 
@@ -825,13 +846,33 @@ object Dedup {
       .map { p => f.delete(p, true); p.getName }.sorted
   }
 
+  /** Loaded-artifact memo: the returned [[BandIndex]] holds LAZY plans
+    * (no data is cached — every consumer still scans the parquet), but
+    * building them costs a footer read per relation plus the meta
+    * banding check. Committed batches and the base are immutable, so the
+    * plans are memoized per (session, root identity, committed-batch
+    * set); a new append changes the batch list and misses, a rebuilt
+    * base changes the meta directory identity and misses.
+    */
+  private val bandIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), BandIndex]()
+
   /** Load a [[writeBandIndex]] artifact, schema- and banding-checked:
     * the base relations unioned with every COMMITTED batch
     * ([[appendBandIndex]]); uncommitted (torn/in-flight) batch
     * directories are invisible.
     */
   def loadBandIndex(spark: SparkSession, path: String): BandIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val metaDir = new java.io.File(path, "meta")
+    if (metaDir.exists()) {
+      val key = (spark, s"$path|${metaDir.lastModified}|${metaDir.length}|" +
+        bandIndexBatches(spark, path).mkString(","))
+      bandIndexCache.computeIfAbsent(key, _ => loadBandIndexUncached(spark, path))
+    } else loadBandIndexUncached(spark, path)
+  }
+
+  private def loadBandIndexUncached(spark: SparkSession, path: String): BandIndex = {
+    val meta = metaRow(spark, path)
     require(meta.getAs[Int]("sigs") == SIGS && meta.getAs[Int]("bands") == BANDS,
       s"$path was built with (sigs=${meta.getAs[Int]("sigs")}, " +
         s"bands=${meta.getAs[Int]("bands")}) but this engine bands at " +
