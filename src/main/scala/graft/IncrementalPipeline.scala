@@ -407,10 +407,15 @@ object IncrementalPipeline {
   private def publishDayExclusive(spark: SparkSession, storeRoot: String,
       idxRoot: String, statsRoot: String, logDir: String,
       jaccardThreshold: Double): DayState = {
-    repairUnclaimed(spark, storeRoot, idxRoot, statsRoot)
+    // the repair probe (heals DERIVED state: band index, stats) and the
+    // change-log read touch disjoint roots — overlapped (guide §2.6);
+    // `base` still reads the corpus only after repair returned, and the
+    // screen below only runs after the healed index is in place
+    val (_, latest) = graft.Par.both(
+      () => repairUnclaimed(spark, storeRoot, idxRoot, statsRoot),
+      // log-sized; several legs below re-derive it
+      () => ChangeStream.logLatest(spark, logDir).localCheckpoint())
     val base = VersionedStore.read(spark, storeRoot).select("doc_id", "text")
-    // log-sized; several legs below re-derive it
-    val latest = ChangeStream.logLatest(spark, logDir).localCheckpoint()
     val baseKeys = base.select("doc_id")
 
     // screen ADDED keys (new documents) against the accepted corpus via
