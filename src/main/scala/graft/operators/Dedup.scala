@@ -814,11 +814,20 @@ object Dedup {
   private val metaRowCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.sql.Row]()
 
+  /** Identity of a local directory's CONTENTS (entry names + lengths +
+    * mtimes), not just the directory mtime: two rebuilds inside one
+    * mtime tick still differ in part-file identity, so a stale memo hit
+    * would need identical names, byte counts and timestamps. */
+  private def dirIdentity(dir: java.io.File): String =
+    Option(dir.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(s"${dir.lastModified}|", ",", "")
+
   private def metaRow(spark: SparkSession, path: String): org.apache.spark.sql.Row = {
     val dir = new java.io.File(path, "meta")
     if (!dir.exists()) spark.read.parquet(s"$path/meta").head()
     else metaRowCache.computeIfAbsent(
-      (spark, s"$path|${dir.lastModified}|${dir.length}"),
+      (spark, s"$path|${dirIdentity(dir)}"),
       _ => spark.read.parquet(s"$path/meta").head())
   }
 
@@ -865,7 +874,7 @@ object Dedup {
   def loadBandIndex(spark: SparkSession, path: String): BandIndex = {
     val metaDir = new java.io.File(path, "meta")
     if (metaDir.exists()) {
-      val key = (spark, s"$path|${metaDir.lastModified}|${metaDir.length}|" +
+      val key = (spark, s"$path|${dirIdentity(metaDir)}|" +
         bandIndexBatches(spark, path).mkString(","))
       bandIndexCache.computeIfAbsent(key, _ => loadBandIndexUncached(spark, path))
     } else loadBandIndexUncached(spark, path)
