@@ -24,12 +24,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Checkpoints {
 
-  /** Eager localCheckpoint + the RDD ids it pinned. */
+  /** Eager localCheckpoint + the RDD ids it pinned.
+    *
+    * Ownership is read off the RETURNED plan, not diffed from the global
+    * persistent-RDD registry: `Dataset.localCheckpoint` wraps exactly the
+    * RDD it persisted in the result's `LogicalRDD` leaf, so collecting
+    * that leaf's rdd id is race-free — a sibling driver thread
+    * checkpointing concurrently (the r16 Par overlaps) can no longer be
+    * captured into this loop's free-set and have its lineage-less
+    * snapshot destroyed. The registry diff remains only as a fallback
+    * for a plan shape without a reflectable leaf (then the old
+    * single-threaded assumption applies, as before r16).
+    */
   def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    val owned = out.queryExecution.analyzed.collect {
+      case leaf if leaf.getClass.getSimpleName == "LogicalRDD" =>
+        val m = leaf.getClass.getMethod("rdd")
+        m.setAccessible(true)
+        m.invoke(leaf).asInstanceOf[org.apache.spark.rdd.RDD[_]].id
+    }.toSet
+    if (owned.nonEmpty) (out, owned)
+    else (out, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
   /** Drops the snapshot blocks for `ids` (async; no-op for absent ids). */

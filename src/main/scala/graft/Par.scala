@@ -28,13 +28,24 @@ private[graft] object Par {
         })
       }
       // await ALL legs before propagating anything, so a failed leg never
-      // leaves a sibling running past the call
-      val results = futures.map { f =>
-        try Right(f.get())
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            Left(Option(e.getCause).getOrElse(e))
+      // leaves a sibling running past the call. If the AWAITING thread is
+      // itself interrupted (test timeout, job cancel, shutdown hook), the
+      // unawaited legs are interrupted too (cancel(true) + shutdownNow)
+      // before rethrowing — best-effort, but a detached leg no longer
+      // keeps running silently past the call and the caller's claim scope
+      val results = try {
+        futures.map { f =>
+          try Right(f.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Left(Option(e.getCause).getOrElse(e))
+          }
         }
+      } catch {
+        case e: InterruptedException =>
+          futures.foreach(_.cancel(true))
+          pool.shutdownNow()
+          throw e
       }
       results.collectFirst { case Left(e) => throw e }
       results.map(_.toOption.get)

@@ -28,11 +28,36 @@ object Tables {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.sql.types.StructType]()
 
+  /** Crude bound for the metadata memos: every in-place rewrite mints a
+    * new key and old entries (which pin their SparkSession) would
+    * otherwise accumulate for the JVM's lifetime. A full clear past the
+    * bound costs one re-read per live entry — metadata, not data.
+    */
+  private[graft] def bounded[K, V](
+      cache: java.util.concurrent.ConcurrentHashMap[K, V]): Unit =
+    if (cache.size > 512) cache.clear()
+
+  /** Local-file identity (path|mtime|length) for memo keys; non-local or
+    * absent paths return the bare string (callers then either skip the
+    * memo or accept the weaker key — each call site documents which).
+    */
+  private[graft] def fileIdent(root: String): String = {
+    val f = try {
+      val u = new java.net.URI(root)
+      if (u.getScheme == null) new java.io.File(root)
+      else if (u.getScheme == "file") new java.io.File(u.getPath)
+      else null
+    } catch { case _: Exception => new java.io.File(root) }
+    if (f == null || !f.exists()) root
+    else s"$root|${f.lastModified}|${f.length}"
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val f = new java.io.File(path)
     if (!f.exists()) spark.read.parquet(path)
     else {
+      bounded(schemaCache)
       val schema = schemaCache.computeIfAbsent(
         (spark, s"$path|${f.lastModified}|${f.length}"),
         _ => spark.read.parquet(path).schema)
@@ -108,10 +133,16 @@ object Tables {
         case _ => ""
       }
     }
-    if (narrowOnly && roots.length == 1 && roots.head.nonEmpty)
-      scanPartsCache.computeIfAbsent((df.sparkSession, roots.head),
+    if (narrowOnly && roots.length == 1 && roots.head.nonEmpty) {
+      bounded(scanPartsCache)
+      // the key carries the scanned file's identity (mtime+length), not
+      // just its path: a store rewritten in place within one session
+      // changes its split count and must re-probe, not serve a stale
+      // width to the parallel guard
+      scanPartsCache.computeIfAbsent(
+        (df.sparkSession, roots.head.split(",").map(fileIdent).mkString(",")),
         _ => df.rdd.getNumPartitions)
-    else df.rdd.getNumPartitions
+    } else df.rdd.getNumPartitions
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

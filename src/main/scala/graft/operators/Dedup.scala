@@ -826,9 +826,12 @@ object Dedup {
   private def metaRow(spark: SparkSession, path: String): org.apache.spark.sql.Row = {
     val dir = new java.io.File(path, "meta")
     if (!dir.exists()) spark.read.parquet(s"$path/meta").head()
-    else metaRowCache.computeIfAbsent(
-      (spark, s"$path|${dirIdentity(dir)}"),
-      _ => spark.read.parquet(s"$path/meta").head())
+    else {
+      graft.Tables.bounded(metaRowCache)
+      metaRowCache.computeIfAbsent(
+        (spark, s"$path|${dirIdentity(dir)}"),
+        _ => spark.read.parquet(s"$path/meta").head())
+    }
   }
 
   /** The `covered` lineage metadata recorded by [[writeBandIndex]]
@@ -876,6 +879,7 @@ object Dedup {
     if (metaDir.exists()) {
       val key = (spark, s"$path|${dirIdentity(metaDir)}|" +
         bandIndexBatches(spark, path).mkString(","))
+      graft.Tables.bounded(bandIndexCache)
       bandIndexCache.computeIfAbsent(key, _ => loadBandIndexUncached(spark, path))
     } else loadBandIndexUncached(spark, path)
   }
@@ -960,23 +964,24 @@ object Dedup {
     //    broadcast against the bands artifact
     val deltaBands = bandKeys(fresh, SIGS, BANDS)
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"))
-    // bounded driver collect: candidate pairs are the band collisions of a
-    // single delta batch (not corpus-scale). ONE collect replaces the
-    // previous localCheckpoint + collect pair (two jobs over the same
-    // relation): the pair list comes back to the driver once and re-enters
-    // the confirm join as a broadcast local relation — same rows, one
-    // fewer scheduled job on the per-batch ingest path.
-    val spark = incoming.sparkSession
-    val candRows = index.bands
+    // The PAIR relation stays DISTRIBUTED (localCheckpoint, read twice
+    // below); only the distinct INDEX ids come to the driver, and only
+    // to pick the confirm-leg read path — the IN-pushdown point read
+    // under inListMax, the broadcast semi-join scan above it. An earlier
+    // r16 revision collected the full pair relation to save this one job;
+    // reverted: a boilerplate-heavy batch whose band keys collide with a
+    // popular index band produces |batch|×|collisions| pairs, and pulling
+    // those onto the driver trades the adaptive fallback's bounded memory
+    // for ~0.15 s — the wrong trade on the production ingest path. The
+    // id collect is bounded by the fallback's own threshold check and
+    // stays the smaller (index-side, distinct) relation.
+    val cand = index.bands
       .join(broadcast(deltaBands), Seq("band_idx", "band_val"))
       .select(col("new_id"), col("doc_id").as("idx_id"))
       .distinct()
-      .collect()
-    val candIds = candRows.map(_.getLong(1)).distinct
-    import spark.implicits._
-    val cand = spark.createDataset(
-      candRows.toSeq.map(r => (r.getLong(0), r.getLong(1))))
-      .toDF("new_id", "idx_id")
+      .localCheckpoint() // candidate-sized; read twice below
+    val candIds = cand.select(col("idx_id")).distinct()
+      .collect().map(_.getLong(0))
 
     val idxDrops =
       if (candIds.isEmpty) inDrops.limit(0)
