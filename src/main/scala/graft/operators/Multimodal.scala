@@ -282,8 +282,65 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRow(id, "audio", syntheticWav(id))))
   }
 
-  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the RIFF
-    * container and hands back the PCM stream; features are exact integer
+  /** The JDK audio-file SPI providers, loaded ONCE per JVM. Every
+    * `AudioSystem.getAudioInputStream(stream)` call re-runs the provider
+    * lookup through `JDK13Services.getProviders` — a STATIC SYNCHRONIZED
+    * service-loader scan that re-walks META-INF/services per call — so
+    * concurrently decoding tasks serialize on one JVM-global class lock
+    * (r17 JFR on an m09 run: 58–74 s of monitor-blocked time across 32
+    * workers, the whole scaling gap of the audio family). The readers
+    * themselves are stateless and shareable; loading them once and
+    * dispatching directly is the same decode through the same codec,
+    * minus the global lock. Guide §4.5 (heavyweight state once per task,
+    * here once per JVM).
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+  }
+
+  /** The reader that accepted the LAST clip, tried first on the next one:
+    * a corpus is format-homogeneous in practice, and without this hint
+    * every clip pays an `UnsupportedAudioFileException` (constructed per
+    * rejecting provider) from each reader ahead of the right one in SPI
+    * order — measured +0.15–0.3 s on m05/m07/m09 at sf0.1. Benign race:
+    * worst case a thread reads a stale hint and falls through to the scan.
+    */
+  @volatile private var preferredReader: javax.sound.sampled.spi.AudioFileReader = _
+
+  /** `AudioSystem.getAudioInputStream` minus the per-call provider scan.
+    * Each provider sees a fresh in-memory stream and rejects foreign
+    * formats with `UnsupportedAudioFileException` (the same contract
+    * `AudioSystem` relies on); exactly one JDK reader accepts a given
+    * container, so provider order — and the [[preferredReader]] shortcut —
+    * cannot change the result.
+    */
+  private[operators] def openAudio(content: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val pref = preferredReader
+    if (pref != null) {
+      try return pref.getAudioInputStream(new ByteArrayInputStream(content))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val reader = it.next()
+      if (reader ne pref) {
+        try {
+          val stream = reader.getAudioInputStream(new ByteArrayInputStream(content))
+          preferredReader = reader
+          return stream
+        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
+  /** REAL audio decode: the RIFF container is parsed by the JDK's own
+    * `javax.sound.sampled` codec (via [[openAudio]] — same readers
+    * `AudioSystem` dispatches to) and features are exact integer
     * aggregates of the decoded int16 samples (energy fits a long:
     * 2^30 per sample × bounded clip length). Non-audio bytes and
     * unexpected formats fail loudly. Same per-partition batch shape as
@@ -293,8 +350,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new ByteArrayInputStream(r.content))
+        val ais = openAudio(r.content)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian && fmt.getEncoding ==
@@ -345,8 +401,7 @@ object Multimodal {
     require(frameLen > 0, s"frameLen must be positive (got $frameLen)")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new ByteArrayInputStream(r.content))
+        val ais = openAudio(r.content)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian && fmt.getEncoding ==
@@ -811,8 +866,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new ByteArrayInputStream(r.content))
+        val ais = openAudio(r.content)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian,

@@ -122,6 +122,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("openAudio: decodes byte-identically to AudioSystem on fixture and " +
+      "synthetic clips; junk still raises UnsupportedAudioFileException") {
+    // openAudio replaces AudioSystem.getAudioInputStream (which re-runs a
+    // globally synchronized provider scan per call) with a once-loaded
+    // provider list — the decode itself must be THE SAME codec's output.
+    val fixture = {
+      val in = getClass.getResourceAsStream("/graft/tone.wav")
+      try in.readAllBytes() finally in.close()
+    }
+    val clips = fixture +: Seq(0L, 1L, 255L, 777L).map(Multimodal.syntheticWav)
+    clips.foreach { bytes =>
+      val viaSystem = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val viaOpen = Multimodal.openAudio(bytes)
+      assert(viaOpen.getFormat.toString == viaSystem.getFormat.toString)
+      assert(viaOpen.readAllBytes().toSeq == viaSystem.readAllBytes().toSeq)
+    }
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      Multimodal.openAudio(Array[Byte](1, 2, 3))
+    }
+  }
+
   test("wavFrames: frame features partition the clip exactly (energies " +
       "sum to the whole-clip energy; zc law on a sign-alternating frame)") {
     import spark.implicits._
