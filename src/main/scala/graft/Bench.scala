@@ -58,6 +58,24 @@ object Bench {
     }
     val gcMs = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     val jitMs = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    // HOST STEAL tracking (r17): this box is a shared sandbox whose
+    // hypervisor steals CPU in bursts (observed: whole runs at 3-5× with
+    // a quiet bracket canary — the burst lands between canary readings
+    // and inflates specific queries by 5-25×, which past rounds misread
+    // as regressions). /proc/stat's steal counter attributes it exactly:
+    // per-query steal jiffies land in the full-map JSON and the run-level
+    // ratio in both JSON lines, so a reading taken under steal is
+    // self-labelling. Measurement metadata only — timings are untouched.
+    def procStat(): (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // cpu-line fields after the "cpu" tag: user nice system idle
+        // iowait irq softirq STEAL guest guest_nice → steal = index 7
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+    val stealJ = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     def jitTimeMs(): Long =
       java.lang.management.ManagementFactory.getCompilationMXBean
         .getTotalCompilationTime
@@ -91,9 +109,12 @@ object Bench {
         if (gcBetween) System.gc()
         val g0 = if (gcStatsOn) gcTimeMs() else 0L
         val j0 = if (gcStatsOn) jitTimeMs() else 0L
+        val (s0, _) = procStat()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
+        val (s1, _) = procStat()
+        stealJ(name) = stealJ(name) + (s1 - s0)
         if (gcStatsOn) {
           gcMs(name) = gcMs(name) + (gcTimeMs() - g0)
           jitMs(name) = jitMs(name) + (jitTimeMs() - j0)
@@ -111,7 +132,13 @@ object Bench {
     // (see LoadCanary scaladoc for the r7/r8 reference-drift post-mortem).
     val canaryStart = LoadCanary.measure(spark)
     val bwStart = LoadCanary.bandwidthMeasure()
+    val (runS0, runT0) = procStat()
     val (p1, p2) = (pass(), pass())
+    val (runS1, runT1) = procStat()
+    // fraction of ALL machine time (every cpu, busy or idle) the
+    // hypervisor stole during the timed passes; ≫ 0 marks a burst-hit run
+    val stealRatio =
+      if (runT1 > runT0) (runS1 - runS0).toDouble / (runT1 - runT0) else 0.0
     val canaryEnd = LoadCanary.measure(spark)
     val bwEnd = LoadCanary.bandwidthMeasure()
     val canary = math.min(canaryStart, canaryEnd)
@@ -152,7 +179,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val fail = if (failedQueries > 0) s""","queries_failed":$failedQueries""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","canary_sec":${f3(canary)},"canary_ratio":${f3(canaryRatio)},"canary_cpu_ratio":${f3(cpuRatio)},"canary_bw_ratio":${f3(bwRatio)},"queries":$qs$omit$fail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","canary_sec":${f3(canary)},"canary_ratio":${f3(canaryRatio)},"canary_cpu_ratio":${f3(cpuRatio)},"canary_bw_ratio":${f3(bwRatio)},"steal_ratio":${f3(stealRatio)},"queries":$qs$omit$fail,"sf":"$sfDir"}"""
     }
     // The harness captures only the last ~2000 chars of stdout and parses the
     // JSON out of that tail; sbt's own "[success] Total time..." trailer also
@@ -182,8 +209,10 @@ object Bench {
           jitMs.map { case (k, v) => "\"" + k + "\":" + v }
             .mkString(""","jit_ms":{""", ",", "}")
       else ""
+    val stealQs = stealJ.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_ratio":$canaryRatio,"canary_cpu_ratio":$cpuRatio,"canary_bw_ratio":$bwRatio,"canary_bw_sec":$bwCanary,"canary_bw_ref_sec":${LoadCanary.bandwidthReferenceSec},"canary_ref_sec":${LoadCanary.referenceSec},"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"norm_total":$normTotal,"queries_failed":$failedQueries,"canary_segments":$segJson,"queries":$fullQs,"queries_norm":$normQs$gcJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_ratio":$canaryRatio,"canary_cpu_ratio":$cpuRatio,"canary_bw_ratio":$bwRatio,"canary_bw_sec":$bwCanary,"canary_bw_ref_sec":${LoadCanary.bandwidthReferenceSec},"canary_ref_sec":${LoadCanary.referenceSec},"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"norm_total":$normTotal,"queries_failed":$failedQueries,"steal_ratio":$stealRatio,"canary_segments":$segJson,"queries":$fullQs,"queries_norm":$normQs,"queries_steal_jiffies":$stealQs$gcJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }

@@ -423,10 +423,15 @@ object IncrementalPipeline {
     val addCands = latest.filter(col("op") =!= "D")
       .join(baseKeys, Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
-    val survivors = Dedup
-      .deduplicateAgainst(addCands, Dedup.loadBandIndex(spark, idxRoot),
-        jaccardThreshold)
-      .localCheckpoint()
+    // tracked variant: the screen's internal snapshots (fresh + candidate
+    // pairs) are released as soon as `survivors` is eagerly checkpointed —
+    // a per-day publish loop no longer accumulates them until the
+    // ContextCleaner gets around to GC (r16 ADVICE item)
+    val (survivorsLazy, screenCkptIds) = Dedup.deduplicateAgainstTracked(
+      addCands, Dedup.loadBandIndex(spark, idxRoot), jaccardThreshold,
+      Dedup.BandIndexInListMax)
+    val survivors = survivorsLazy.localCheckpoint()
+    graft.Checkpoints.free(spark, screenCkptIds)
 
     // fold: existing-key rows (updates/deletes) + accepted adds
     val applicable = latest

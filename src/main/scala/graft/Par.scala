@@ -20,19 +20,36 @@ private[graft] object Par {
 
   def all[T](thunks: (() => T)*): Seq[T] = {
     if (thunks.sizeIs <= 1) return thunks.map(_())
+    // per-call job group: a driver-thread interrupt alone cannot stop a
+    // Spark job the leg already SUBMITTED (the job runs on in the
+    // scheduler), so each leg tags its jobs with this call's group and
+    // the interrupt path cancels the group — firm cancellation instead
+    // of the previous thread-interrupt-only best effort (r16 ADVICE).
+    // Job-group state is thread-local to the leg, so sibling work on the
+    // calling thread is untouched. Nested Par calls cancel their own
+    // groups when the outer cancellation interrupts their awaiting leg.
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val groupId = s"graft-par-${java.util.UUID.randomUUID()}"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
     try {
       val futures = thunks.map { t =>
         pool.submit(new java.util.concurrent.Callable[T] {
-          def call(): T = t()
+          def call(): T = {
+            sc.foreach(_.setJobGroup(groupId, "graft.Par leg",
+              interruptOnCancel = true))
+            t()
+          }
         })
       }
       // await ALL legs before propagating anything, so a failed leg never
       // leaves a sibling running past the call. If the AWAITING thread is
       // itself interrupted (test timeout, job cancel, shutdown hook), the
-      // unawaited legs are interrupted too (cancel(true) + shutdownNow)
-      // before rethrowing — best-effort, but a detached leg no longer
-      // keeps running silently past the call and the caller's claim scope
+      // legs' submitted jobs are cancelled via the group and the leg
+      // threads interrupted (cancel(true) + shutdownNow) before
+      // rethrowing — a detached leg no longer keeps running silently past
+      // the call and the caller's claim scope
       val results = try {
         futures.map { f =>
           try Right(f.get())
@@ -43,6 +60,7 @@ private[graft] object Par {
         }
       } catch {
         case e: InterruptedException =>
+          sc.foreach(_.cancelJobGroup(groupId))
           futures.foreach(_.cancel(true))
           pool.shutdownNow()
           throw e

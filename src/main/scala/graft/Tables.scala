@@ -37,9 +37,20 @@ object Tables {
       cache: java.util.concurrent.ConcurrentHashMap[K, V]): Unit =
     if (cache.size > 512) cache.clear()
 
-  /** Local-file identity (path|mtime|length) for memo keys; non-local or
-    * absent paths return the bare string (callers then either skip the
-    * memo or accept the weaker key — each call site documents which).
+  /** Local-file CONTENT identity for memo keys; non-local or absent paths
+    * return the bare string (callers then either skip the memo or accept
+    * the weaker key — each call site documents which).
+    *
+    * Plain files key on (path, mtime, length). Directories key on their
+    * RECURSIVELY ENUMERATED content — every entry's relative name, length
+    * and mtime — because `File.length` is meaningless for a directory and
+    * dir mtime only changes when direct entries are created/deleted/
+    * renamed: an in-place rewrite of a nested part file (same name) would
+    * otherwise serve a stale schema/partition count (the r16 ADVICE
+    * hole; `MemoSpec` pins the miss). Entry walks are bounded: past
+    * [[identWalkCap]] entries the identity degrades to an aggregate
+    * (count + total length + max mtime) over the remainder — still
+    * content-sensitive for any rewrite that changes bytes or timestamps.
     */
   private[graft] def fileIdent(root: String): String = {
     val f = try {
@@ -49,8 +60,34 @@ object Tables {
       else null
     } catch { case _: Exception => new java.io.File(root) }
     if (f == null || !f.exists()) root
-    else s"$root|${f.lastModified}|${f.length}"
+    else if (f.isFile) s"$root|${f.lastModified}|${f.length}"
+    else {
+      val sb = new StringBuilder(root).append('|').append(f.lastModified)
+      var walked = 0
+      var aggCount = 0L; var aggLen = 0L; var aggMtime = 0L
+      def walk(d: java.io.File, prefix: String): Unit = {
+        val entries = Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        entries.foreach { e =>
+          if (walked < identWalkCap) {
+            walked += 1
+            sb.append(',').append(prefix).append(e.getName)
+              .append(':').append(e.length).append(':').append(e.lastModified)
+          } else {
+            aggCount += 1; aggLen += e.length
+            if (e.lastModified > aggMtime) aggMtime = e.lastModified
+          }
+          if (e.isDirectory) walk(e, s"$prefix${e.getName}/")
+        }
+      }
+      walk(f, "")
+      if (aggCount > 0)
+        sb.append("|rest:").append(aggCount).append(':').append(aggLen)
+          .append(':').append(aggMtime)
+      sb.toString
+    }
   }
+
+  private[graft] val identWalkCap = 4096
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -58,8 +95,10 @@ object Tables {
     if (!f.exists()) spark.read.parquet(path)
     else {
       bounded(schemaCache)
+      // fileIdent = recursive content identity for directories: a nested
+      // same-name part-file rewrite mints a new key (r16 ADVICE item)
       val schema = schemaCache.computeIfAbsent(
-        (spark, s"$path|${f.lastModified}|${f.length}"),
+        (spark, fileIdent(path)),
         _ => spark.read.parquet(path).schema)
       spark.read.schema(schema).parquet(path)
     }
@@ -98,6 +137,38 @@ object Tables {
   def parallel(df: DataFrame, slack: Int = 4): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (scanPartitions(df).toLong * slack < target) df.repartition(target)
+    else df
+  }
+
+  /** Full-width rebalance for CPU-dense POST-AGGREGATE stages in the
+    * small-data regime — the successor to the r16 `slack = 1` probes on
+    * the char-md5 lanes. Those probes called `df.rdd.getNumPartitions`
+    * on a post-shuffle plan, and under AQE that EXECUTES the upstream
+    * query stages at plan-construction time (the r17 profiler read d20's
+    * construction at 9.4 s and the purity scan caught a job inside
+    * d24's build) — the collapse aggregate ran twice per pass.
+    *
+    * This guard decides from DRIVER-SIDE FILE METADATA only: it fires
+    * iff the plan's source relations total under `cores × 8 MB` of file
+    * bytes. In that regime AQE's byte-based coalescing necessarily lands
+    * the aggregate output below full width (bytes/floor < cores) while
+    * the rebalance itself moves only a few MB; at production volumes the
+    * post-shuffle width already covers the cluster (AQE starts shuffles
+    * at `initialPartitionNum` ≥ cores and coalesces by bytes), so the
+    * guard is an identity and adds no exchange. Partitioning never
+    * changes these lanes' results (hash/min aggregates and equi-joins
+    * downstream).
+    */
+  def widenSmall(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation
+    }
+    val known = rels.collect { case h: HadoopFsRelation => h.location.sizeInBytes }
+    // any non-file source (unknown volume): stay an identity
+    if (known.length == rels.length &&
+        known.sum < target.toLong * 8L * 1024 * 1024) df.repartition(target)
     else df
   }
 

@@ -812,7 +812,7 @@ object Dedup {
     * skip the memo and read uncached.
     */
   private val metaRowCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.Row]()
+    (SparkSession, String), Option[org.apache.spark.sql.Row]]()
 
   /** Identity of a local directory's CONTENTS (entry names + lengths +
     * mtimes), not just the directory mtime: two rebuilds inside one
@@ -823,26 +823,35 @@ object Dedup {
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString(s"${dir.lastModified}|", ",", "")
 
-  private def metaRow(spark: SparkSession, path: String): org.apache.spark.sql.Row = {
+  /** None ⇔ the meta relation exists but holds no rows (a torn write):
+    * `take(1)` instead of `head()` so an empty meta is a VALUE, not a
+    * NoSuchElementException — [[bandIndexCovered]] maps it to the
+    * legacy/-1 path rather than failing the repair cycle (r16 ADVICE
+    * item; a missing meta DIRECTORY still surfaces as the
+    * AnalysisException the repair path keys on).
+    */
+  private def metaRow(
+      spark: SparkSession, path: String): Option[org.apache.spark.sql.Row] = {
     val dir = new java.io.File(path, "meta")
-    if (!dir.exists()) spark.read.parquet(s"$path/meta").head()
+    if (!dir.exists()) spark.read.parquet(s"$path/meta").take(1).headOption
     else {
       graft.Tables.bounded(metaRowCache)
       metaRowCache.computeIfAbsent(
         (spark, s"$path|${dirIdentity(dir)}"),
-        _ => spark.read.parquet(s"$path/meta").head())
+        _ => spark.read.parquet(s"$path/meta").take(1).headOption)
     }
   }
 
   /** The `covered` lineage metadata recorded by [[writeBandIndex]]
-    * (-1 when the artifact predates the column or is unversioned).
+    * (-1 when the artifact predates the column, is unversioned, or its
+    * meta is present-but-empty).
     */
-  def bandIndexCovered(spark: SparkSession, path: String): Int = {
-    val meta = metaRow(spark, path)
-    if (meta.schema.fieldNames.contains("covered"))
-      meta.getAs[Int]("covered")
-    else -1
-  }
+  def bandIndexCovered(spark: SparkSession, path: String): Int =
+    metaRow(spark, path) match {
+      case Some(meta) if meta.schema.fieldNames.contains("covered") =>
+        meta.getAs[Int]("covered")
+      case _ => -1
+    }
 
   /** Delete UNCOMMITTED batch directories (crash debris whose batchId was
     * never retried). Committed batches and the base are untouched.
@@ -885,7 +894,10 @@ object Dedup {
   }
 
   private def loadBandIndexUncached(spark: SparkSession, path: String): BandIndex = {
-    val meta = metaRow(spark, path)
+    // empty meta on the LOAD path keeps its pre-memo failure class
+    // (head() on an empty relation = NoSuchElementException)
+    val meta = metaRow(spark, path).getOrElse(
+      throw new NoSuchElementException(s"$path/meta holds no rows"))
     require(meta.getAs[Int]("sigs") == SIGS && meta.getAs[Int]("bands") == BANDS,
       s"$path was built with (sigs=${meta.getAs[Int]("sigs")}, " +
         s"bands=${meta.getAs[Int]("bands")}) but this engine bands at " +
@@ -941,20 +953,39 @@ object Dedup {
     * agree).
     */
   def deduplicateAgainst(incoming: DataFrame, index: BandIndex,
-      jaccardThreshold: Double, inListMax: Int): DataFrame = {
+      jaccardThreshold: Double, inListMax: Int): DataFrame =
+    deduplicateAgainstTracked(incoming, index, jaccardThreshold, inListMax)._1
+
+  /** [[deduplicateAgainst]] that also returns the RDD ids its internal
+    * localCheckpoints pinned (`fresh` + the candidate pair relation) so a
+    * hot-loop caller can [[graft.Checkpoints.free]] them once the
+    * returned keep/drop frame is MATERIALIZED — without this, a
+    * long-running ingest loop accumulates one snapshot pair per batch
+    * until the ContextCleaner happens to GC them (r16 ADVICE item; the
+    * connectedComponents pattern). Freeing is destructive: callers must
+    * only free after an eager materialization (count/write/checkpoint) of
+    * the returned frame. The batch-collapse checkpoint (`inReps`) is
+    * freed HERE, eagerly — nothing references it once `fresh` is
+    * checkpointed.
+    */
+  private[graft] def deduplicateAgainstTracked(
+      incoming: DataFrame, index: BandIndex,
+      jaccardThreshold: Double, inListMax: Int): (DataFrame, Set[Int]) = {
     // 1. in-batch exact keep-min, pinned once (same rationale as the
     //    screened overload: several legs re-derive this aggregate)
-    val inReps = incoming.select(col("doc_id"), col("text"))
-      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("text"))
-      .localCheckpoint()
+    val (inReps, inRepsIds) = graft.Checkpoints.checkpoint(
+      incoming.select(col("doc_id"), col("text"))
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text")))
 
     // 2. exact leg: corpus texts that also appear in the batch (the
     //    broadcast side is the batch — the artifact scan never shuffles)
     val hitTexts = index.texts.select(col("text"))
       .join(broadcast(inReps.select(col("text"))), Seq("text"), "left_semi")
-    val fresh = inReps.join(hitTexts, Seq("text"), "left_anti")
-      .localCheckpoint()
+    val (fresh, freshIds) = graft.Checkpoints.checkpoint(
+      inReps.join(hitTexts, Seq("text"), "left_anti"))
+    // fresh's eager checkpoint was inReps' last reader — release it now
+    graft.Checkpoints.free(incoming.sparkSession, inRepsIds)
 
     // 5. in-batch near-dups (fresh is distinct-text: skew armor holds)
     val inDrops = nearDupPairs(fresh, jaccardThreshold)
@@ -975,11 +1006,11 @@ object Dedup {
     // for ~0.15 s — the wrong trade on the production ingest path. The
     // id collect is bounded by the fallback's own threshold check and
     // stays the smaller (index-side, distinct) relation.
-    val cand = index.bands
-      .join(broadcast(deltaBands), Seq("band_idx", "band_val"))
-      .select(col("new_id"), col("doc_id").as("idx_id"))
-      .distinct()
-      .localCheckpoint() // candidate-sized; read twice below
+    val (cand, candCkptIds) = graft.Checkpoints.checkpoint(
+      index.bands
+        .join(broadcast(deltaBands), Seq("band_idx", "band_val"))
+        .select(col("new_id"), col("doc_id").as("idx_id"))
+        .distinct()) // candidate-sized; read twice below
     val candIds = cand.select(col("idx_id")).distinct()
       .collect().map(_.getLong(0))
 
@@ -1011,9 +1042,10 @@ object Dedup {
           .select(col("new_id").as("doc_id")).distinct()
       }
 
-    incoming
+    (incoming
       .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
-      .join(inDrops.unionByName(idxDrops).distinct(), Seq("doc_id"), "left_anti")
+      .join(inDrops.unionByName(idxDrops).distinct(), Seq("doc_id"), "left_anti"),
+      freshIds ++ candCkptIds)
   }
 
   /** EXHAUSTIVE Jaccard pairs (doc_a < doc_b): every pair sharing at least
@@ -1615,19 +1647,20 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val base = Tables.documents(s, d).select("doc_id", "text")
       val collapsed = collapseExact(base)
-      // Tables.parallel here is LOAD-BEARING: AQE coalesces the collapse
+      // The rebalance here is LOAD-BEARING: AQE coalesces the collapse
       // aggregate's few-MB output to a handful of partitions, and without
       // the round-robin the char-md5 explode downstream — the densest scan
       // in the module, every 5-char window ≈ 5× the word-trigram shingle
       // volume — runs nearly serial (measured 7.4 → 2.1 s at sf0.1, equal
       // load, from this one repartition; d03's word pipeline is light enough that
       // its comment-documented no-parallel choice still holds there).
-      // slack = 1: with the r16 64 KB coalesce floor the collapse output
-      // lands at ~8 partitions — above the default guard's target/4
-      // threshold but still 4× under the cores — and this stage's per-row
-      // md5 CPU dwarfs the rebalance (1.9 → 1.2 s at sf0.1 from full width).
-      val reps = Tables.parallel(
-        collapsed.select(col("rep_id").as("doc_id"), col("text")), slack = 1)
+      // widenSmall (r17) replaces the r16 slack=1 probe: the `.rdd`
+      // partition probe on this post-aggregate plan EXECUTED the collapse
+      // stages at construction time under AQE — the metadata-only source-
+      // bytes gate keeps the full-width rebalance without running the
+      // query twice.
+      val reps = Tables.widenSmall(
+        collapsed.select(col("rep_id").as("doc_id"), col("text")))
       // materialize the tiny pair table once: the expansion joins
       // reference it more than once and AQE cannot reuse the
       // differently-pruned signature subplans
@@ -1736,8 +1769,9 @@ object Dedup {
        |            AND a.doc_id < b.doc_id
        |ORDER BY rep_a, rep_b""".stripMargin) { (s, d) =>
     val base = Tables.documents(s, d).select("doc_id", "text")
-    val reps = Tables.parallel(collapseExact(base)
-      .select(col("rep_id").as("doc_id"), col("text")), slack = 1)
+    // widenSmall, not a partition probe: see d20 (same lane, same r17 fix)
+    val reps = Tables.widenSmall(collapseExact(base)
+      .select(col("rep_id").as("doc_id"), col("text")))
     val bands = charBandKeys(reps, CharPlannedSigs, charPlannedBands)
     val kc = bands.groupBy("band_idx", "band_val")
       .agg(count(lit(1)).as("nk"))
@@ -1770,8 +1804,9 @@ object Dedup {
        |FROM kc GROUP BY band_idx
        |ORDER BY band_idx""".stripMargin) { (s, d) =>
     val base = Tables.documents(s, d).select("doc_id", "text")
-    val reps = Tables.parallel(collapseExact(base)
-      .select(col("rep_id").as("doc_id"), col("text")), slack = 1)
+    // widenSmall, not a partition probe: see d20 (same lane, same r17 fix)
+    val reps = Tables.widenSmall(collapseExact(base)
+      .select(col("rep_id").as("doc_id"), col("text")))
     charBandKeys(reps, CharPlannedSigs, charPlannedBands)
       .groupBy("band_idx", "band_val").agg(count(lit(1)).as("nk"))
       .groupBy("band_idx")

@@ -197,6 +197,15 @@ object Relational4 {
          |  FROM lineitem)
          |$rows
          |ORDER BY col_name""".stripMargin) { (s, d) =>
+      // r17 A/B note: routing this through the q53 projection+guard
+      // pattern was measured 2× SLOWER (0.97 → 2.0-2.2 s at sf0.1) — the
+      // round-robin exchange is NOT reused across the 8 independent
+      // aggregate subtrees (each is its own AQE stage tree below a
+      // broadcast join), so the guard multiplied the shuffle instead of
+      // sharing it. The 8 scan-fused single-task partial aggs run
+      // CONCURRENTLY (independent stages of one job), which is why the
+      // unguarded shape wins despite the one-row-group store. Left as-is,
+      // measured, documented.
       val li = Tables.lineitem(s, d)
       // Plan shape (two revisions, both in BASELINE.md):
       //   1. ALL distincts in one aggregate → Spark's multi-distinct

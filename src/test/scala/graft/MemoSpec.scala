@@ -57,6 +57,45 @@ class MemoSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rewritten file (new length/mtime) must re-infer, not serve the memo")
   }
 
+  test("Tables.load memo invalidates when a NESTED part file is rewritten " +
+      "in place (same entry names, directory mtime unchanged)") {
+    import spark.implicits._
+    val dir = tmp("memonest")
+    val path = s"$dir/documents.parquet"
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    // strip the local FS's .crc sidecars up front: the in-place rewrite
+    // below must change NOTHING but the part file's bytes (a sidecar
+    // holding the old content's checksum would fail the re-read for its
+    // own reasons; real rewriters regenerate them)
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val first = Tables.load(spark, dir, "documents").schema
+    assert(first.fieldNames.sorted === Array("doc_id", "text"))
+    // rewrite the part file's CONTENT at the same name: directory entry
+    // set unchanged, so the dir's own mtime/length stay put — the exact
+    // hole the old (dir mtime+length) key could not see
+    val alt = s"$dir/alt.parquet"
+    Seq((1L, "a", 7L)).toDF("doc_id", "text", "extra")
+      .coalesce(1).write.mode("overwrite").parquet(alt)
+    val altPart = new java.io.File(alt).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val oldPart = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dirMtime = new java.io.File(path).lastModified
+    Files.write(oldPart.toPath, Files.readAllBytes(altPart.toPath))
+    assert(new java.io.File(path).lastModified == dirMtime,
+      "precondition: rewrite must not change the directory's own mtime")
+    // Spark's OWN session FileStatusCache also holds the stale file
+    // length after an in-place rewrite (any real rewriter must refresh
+    // it); this test pins that the graft memo adds no staleness of its
+    // own on top
+    spark.catalog.refreshByPath(path)
+    val second = Tables.load(spark, dir, "documents").schema
+    assert(second.fieldNames.sorted === Array("doc_id", "extra", "text"),
+      "nested same-name rewrite must re-infer, not serve the stale memo")
+  }
+
   test("band-index meta memo invalidates on an in-place artifact rebuild") {
     import org.apache.spark.sql.functions._
     val root = tmp("memoidx")
