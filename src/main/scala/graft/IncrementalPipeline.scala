@@ -430,6 +430,10 @@ object IncrementalPipeline {
     val (survivorsLazy, screenCkptIds) = Dedup.deduplicateAgainstTracked(
       addCands, Dedup.loadBandIndex(spark, idxRoot), jaccardThreshold,
       Dedup.BandIndexInListMax)
+    // (r17 A/B note: overlapping this checkpoint with the fold's
+    // existing-key leg CONSTRUCTION measured neutral-to-worse — the
+    // fold gap's bulk is the union/applyLatest analysis that needs
+    // `survivors` — so the fold stays sequential, measured not assumed.)
     val survivors = survivorsLazy.localCheckpoint()
     graft.Checkpoints.free(spark, screenCkptIds)
 

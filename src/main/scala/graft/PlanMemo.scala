@@ -51,6 +51,7 @@ object PlanMemo {
     "d12_paragraph_dedup", "d13_span_dedup", "d15_editdist_snm",
     "d16_source_overlap", "d17_span_scrub", "d18_overlap_containment",
     "d19_lsh_planned", "d21_idf_jaccard", "d22_url_canonical",
+    "d24_charngram_planned", "d25_charband_audit",
     "d26_lsh_recall_audit", "i01_snapshot_diff", "i02_upsert_merge",
     "i03_delta_dedup", "i04_late_reconcile", "i05_expectation_audit",
     "m01_multimodal_meta", "m02_multimodal_decode", "m03_frame_sample",

@@ -987,14 +987,6 @@ object Dedup {
     // fresh's eager checkpoint was inReps' last reader — release it now
     graft.Checkpoints.free(incoming.sparkSession, inRepsIds)
 
-    // 5. in-batch near-dups (fresh is distinct-text: skew armor holds)
-    val inDrops = nearDupPairs(fresh, jaccardThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-
-    // 3. candidate generation: delta band keys (row-local, delta-sized)
-    //    broadcast against the bands artifact
-    val deltaBands = bandKeys(fresh, SIGS, BANDS)
-      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"))
     // The PAIR relation stays DISTRIBUTED (localCheckpoint, read twice
     // below); only the distinct INDEX ids come to the driver, and only
     // to pick the confirm-leg read path — the IN-pushdown point read
@@ -1006,11 +998,29 @@ object Dedup {
     // for ~0.15 s — the wrong trade on the production ingest path. The
     // id collect is bounded by the fallback's own threshold check and
     // stays the smaller (index-side, distinct) relation.
-    val (cand, candCkptIds) = graft.Checkpoints.checkpoint(
-      index.bands
-        .join(broadcast(deltaBands), Seq("band_idx", "band_val"))
-        .select(col("new_id"), col("doc_id").as("idx_id"))
-        .distinct()) // candidate-sized; read twice below
+    //
+    // Overlap (guide §2.6, r17): leg A only BUILDS the in-batch LSH plan
+    // (5. in-batch near-dups; ~0.6 s of pure Catalyst analysis of the
+    // banding tree — the r17 chain profiler's biggest i08 gap) while leg
+    // B runs the candidate checkpoint's jobs. Both depend only on the
+    // already-materialized `fresh` leaf; leg A starts no job, so the
+    // interleaving cannot change any result.
+    val (inDrops, candPair) = graft.Par.both(
+      // 5. in-batch near-dups (fresh is distinct-text: skew armor holds)
+      () => nearDupPairs(fresh, jaccardThreshold)
+        .select(col("doc_b").as("doc_id")).distinct(),
+      () => {
+        // 3. candidate generation: delta band keys (row-local,
+        //    delta-sized) broadcast against the bands artifact
+        val deltaBands = bandKeys(fresh, SIGS, BANDS)
+          .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"))
+        graft.Checkpoints.checkpoint(
+          index.bands
+            .join(broadcast(deltaBands), Seq("band_idx", "band_val"))
+            .select(col("new_id"), col("doc_id").as("idx_id"))
+            .distinct()) // candidate-sized; read twice below
+      })
+    val (cand, candCkptIds) = candPair
     val candIds = cand.select(col("idx_id")).distinct()
       .collect().map(_.getLong(0))
 
